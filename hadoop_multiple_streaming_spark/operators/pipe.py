@@ -1,0 +1,302 @@
+"""The pipe operator — subprocess mapper/reducer with streaming-compatible
+line semantics (reference P1-P9, SURVEY §2.2).
+
+The reference delegates ALL row-level computation to user subprocesses:
+each input record is written to the subprocess stdin as a line, each
+stdout line becomes an output record (MultiPipeMapRed.java:153-230 spawn,
+MultiPipeMapper.java:150-169 feed, MROutputThread :427-510 drain). This
+module reproduces those semantics on Spark:
+
+* ``pipe_lines(df, cmd)`` — DataFrame[line] -> DataFrame[line] through a
+  subprocess, one subprocess per partition, async writer thread so the
+  feed never deadlocks against a full stdout pipe (the reference's
+  MROutputThread/MRErrorThread decoupling, MultiPipeMapRed.java:427-627).
+* stderr side-channel: ``reporter:counter:group,name,amount`` lines
+  increment Spark accumulators; ``reporter:status:...`` is logged; other
+  stderr passes through to the executor log (P7,
+  MultiPipeMapRed.java:512-627; prefix configurable).
+* exit-code policy (P9, stream.non.zero.exit.is.failure,
+  MultiPipeMapRed.java:162-163,365-376) and record-skip-on-failure (P8,
+  MultiPipeMapper.java:183-197).
+* env injection (P6, MultiPipeMapRed.java:266-322): sanitized conf
+  ("[^0-9A-Za-z] -> _") + user cmdenv + task context.
+* quoted command-line splitting (P4, splitArgs
+  MultiPipeMapRed.java:107-151) via shlex.
+
+Scale note: this is deliberately the ONLY RDD/Python-worker surface in
+the engine. Each Spark partition maps to one subprocess, so parallelism
+== partition count; at 100 TB size partitions via
+spark.sql.files.maxPartitionBytes and feed the pipe from a column-pruned
+scan serialized with functions.kv.to_lines (projection happens BEFORE
+the Python boundary, JVM-side).
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import subprocess
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark import AccumulatorParam
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.kv import join_key_val, with_key_val
+from ..session import ensure_package_shipped
+
+LINE_SCHEMA = StructType([StructField("line", StringType(), True)])
+
+#: stderr report prefixes (stream.stderr.reporter.prefix, default
+#: "reporter:" — MultiPipeMapRed.java:516-519,525-528)
+COUNTER_PREFIX = "reporter:counter:"
+STATUS_PREFIX = "reporter:status:"
+
+
+@dataclass
+class PipeOptions:
+    """Knobs for one pipe invocation (reference stream.* conf surface)."""
+
+    env: dict[str, str] = field(default_factory=dict)
+    #: exit!=0 fails the task when True (stream.non.zero.exit.is.failure)
+    non_zero_exit_is_failure: bool = True
+    #: skip records on write failure once this many records were written
+    #: (stream.minRecWrittenToEnableSkip_, MultiPipeMapRed.java:232-241);
+    #: default disables skipping (fail the task).
+    min_records_before_skip: int = 2**63 - 1
+    #: export task/partition context env vars (mapred_task_partition etc.)
+    export_context: bool = True
+    bufsize: int = 128 * 1024  # reference BUFFER_SIZE MultiPipeMapRed.java:79
+
+
+def split_args(cmd: str) -> list[str]:
+    """Quoted command-line splitting (P4). The reference implements a
+    hand-rolled quote-aware tokenizer (splitArgs,
+    MultiPipeMapRed.java:107-151); shlex in POSIX mode matches its
+    observable behavior for '...'/"..." quoting."""
+    return shlex.split(cmd)
+
+
+def _build_env(opts: PipeOptions, partition_id: int, spark_conf: dict[str, str]) -> dict[str, str]:
+    """P6: child env = parent env + sanitized engine conf + user cmdenv
+    + task context. Hadoop exports the flattened JobConf with
+    non-alphanumerics mapped to '_' (safeEnvVarName,
+    MultiPipeMapRed.java:266-322)."""
+    env = dict(os.environ)
+    for k, v in spark_conf.items():
+        safe = "".join(c if c.isalnum() else "_" for c in k)
+        env[safe] = v
+    env.update(opts.env)
+    if opts.export_context:
+        env["mapred_task_partition"] = str(partition_id)
+        env["mapreduce_task_partition"] = str(partition_id)
+    env.setdefault("TMPDIR", env.get("TMPDIR", "/tmp"))  # stream.tmpdir
+    return env
+
+
+def _pipe_partition(
+    lines: Iterator,
+    argv: list[str],
+    opts: PipeOptions,
+    partition_id: int,
+    spark_conf: dict[str, str],
+    counters,  # dict-accumulator or None
+) -> Iterator[tuple[str]]:
+    """Run one subprocess for this partition; feed lines on a writer
+    thread, yield stdout lines, parse stderr reports. Mirrors the
+    reference's thread layout: feed loop / MROutputThread / MRErrorThread
+    (MultiPipeMapRunner.java:29-35 starts drains before the feed)."""
+    proc = subprocess.Popen(
+        argv,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        bufsize=opts.bufsize,
+        env=_build_env(opts, partition_id, spark_conf),
+    )
+
+    state = {"written": 0, "skipped": 0, "write_error": None}
+
+    def feed() -> None:
+        try:
+            assert proc.stdin is not None
+            for row in lines:
+                line = row[0]
+                data = (line if line is not None else "").encode("utf-8") + b"\n"
+                try:
+                    proc.stdin.write(data)
+                    state["written"] += 1
+                except (BrokenPipeError, OSError) as e:
+                    # P8: tolerate subprocess death mid-stream only once
+                    # enough records were written (skip mode); else
+                    # record the error so the task fails.
+                    if state["written"] >= opts.min_records_before_skip:
+                        state["skipped"] += 1
+                        break
+                    state["write_error"] = e
+                    break
+            try:
+                proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass
+        except Exception as e:  # surface feeder crashes to the task
+            state["write_error"] = e
+            try:
+                proc.stdin.close()
+            except Exception:
+                pass
+
+    def drain_stderr() -> None:
+        assert proc.stderr is not None
+        local: dict[str, int] = {}
+        for raw in proc.stderr:
+            text = raw.decode("utf-8", errors="replace").rstrip("\n")
+            if text.startswith(COUNTER_PREFIX):
+                # reporter:counter:group,name,amount
+                # (MultiPipeMapRed.java:590-616)
+                body = text[len(COUNTER_PREFIX):]
+                parts = body.split(",")
+                if len(parts) == 3:
+                    try:
+                        amount = int(parts[2])
+                    except ValueError:
+                        continue
+                    local[f"{parts[0]}.{parts[1]}"] = (
+                        local.get(f"{parts[0]}.{parts[1]}", 0) + amount
+                    )
+            elif text.startswith(STATUS_PREFIX):
+                print(f"[pipe status p{partition_id}] {text[len(STATUS_PREFIX):]}")
+            else:
+                print(f"[pipe stderr p{partition_id}] {text}")
+        if counters is not None and local:
+            counters.add(local)
+
+    writer = threading.Thread(target=feed, daemon=True)
+    err_thread = threading.Thread(target=drain_stderr, daemon=True)
+    err_thread.start()
+    writer.start()
+
+    assert proc.stdout is not None
+    n_out = 0
+    for raw in proc.stdout:
+        n_out += 1
+        yield (raw.decode("utf-8", errors="replace").rstrip("\n"),)
+
+    writer.join()
+    err_thread.join()
+    rc = proc.wait()
+    if state["write_error"] is not None:
+        raise IOError(
+            f"pipe subprocess {argv!r} failed while consuming input "
+            f"(after {state['written']} records): {state['write_error']}"
+        )
+    if rc != 0 and opts.non_zero_exit_is_failure:
+        # P9: subprocess exit != 0 fails the task unless tolerated
+        raise IOError(f"pipe subprocess {argv!r} exited with code {rc}")
+    if counters is not None:
+        counters.add(
+            {
+                "pipe.records_written": state["written"],
+                "pipe.records_read": n_out,
+                "pipe.records_skipped": state["skipped"],
+            }
+        )
+
+
+class _DictAccumulator(AccumulatorParam):
+    """AccumulatorParam merging {name: count} dicts (P7 counters)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
+def make_counters(spark: SparkSession):
+    """Create a counters accumulator for the stderr reporter protocol."""
+    return spark.sparkContext.accumulator({}, _DictAccumulator())
+
+
+def pipe_lines(
+    df: DataFrame,
+    cmd: str | list[str],
+    opts: PipeOptions | None = None,
+    counters=None,
+) -> DataFrame:
+    """DataFrame[line:string] -> DataFrame[line:string] through ``cmd``.
+
+    One subprocess per partition (the reference spawns one per map task
+    per branch, MultiPipeMapRed.java:171-221). The input DataFrame must
+    have exactly one string column.
+    """
+    opts = opts or PipeOptions()
+    argv = split_args(cmd) if isinstance(cmd, str) else list(cmd)
+    if len(df.columns) != 1:
+        raise ValueError(f"pipe_lines expects a single line column, got {df.columns}")
+
+    spark = df.sparkSession
+    ensure_package_shipped(spark)
+    # export only engine-relevant conf (full flattened conf would be
+    # thousands of vars); mirrors the spirit of P6 without the bloat.
+    conf_export = {
+        k: v
+        for k, v in spark.sparkContext.getConf().getAll()
+        if k.startswith(("spark.app", "spark.master"))
+    }
+
+    def run(split_index: int, it: Iterator) -> Iterator[tuple[str]]:
+        return _pipe_partition(it, argv, opts, split_index, conf_export, counters)
+
+    rdd = df.rdd.mapPartitionsWithIndex(run, preservesPartitioning=False)
+    return spark.createDataFrame(rdd, LINE_SCHEMA)
+
+
+def pipe_map(
+    df_lines: DataFrame,
+    cmd: str | list[str],
+    separator: str = "\t",
+    num_key_fields: int = 1,
+    opts: PipeOptions | None = None,
+    counters=None,
+) -> DataFrame:
+    """Pipe-map (P1 for one branch): lines -> subprocess -> (key, value).
+
+    The stdout split uses splitKeyVal semantics (functions.kv). The
+    reference then normalizes the intermediate to ``key\\tvalue``
+    (MultiPipeMapRed.java:458-463); we keep (key, value) columns — the
+    normalization happens if/when serialized by join_key_val.
+    """
+    out = pipe_lines(df_lines, cmd, opts=opts, counters=counters)
+    return with_key_val(out, "line", separator, num_key_fields)
+
+
+def pipe_reduce(
+    df_kv: DataFrame,
+    cmd: str | list[str],
+    num_partitions: int | None = None,
+    separator: str = "\t",
+    num_key_fields: int = 1,
+    opts: PipeOptions | None = None,
+    counters=None,
+) -> DataFrame:
+    """Pipe-reduce (P2/G1): hash-partition by key, sort by key within
+    partitions, stream the whole sorted partition (`key\\tvalue` lines)
+    through the reducer subprocess — Hadoop-reducer semantics where one
+    subprocess sees ALL groups of its partition in key order
+    (RedStreamJob.java:745-762; SURVEY §7 'hard' #3).
+
+    Returns (key, value) columns split from the reducer's stdout.
+    """
+    if set(df_kv.columns) != {"key", "value"}:
+        raise ValueError(f"pipe_reduce expects (key, value) columns, got {df_kv.columns}")
+    n = num_partitions or df_kv.sparkSession.sparkContext.defaultParallelism
+    arranged = df_kv.repartition(n, "key").sortWithinPartitions("key")
+    lines = arranged.select(join_key_val("key", "value", separator).alias("line"))
+    out = pipe_lines(lines, cmd, opts=opts, counters=counters)
+    return with_key_val(out, "line", separator, num_key_fields)

@@ -1,0 +1,127 @@
+"""SparkSession factory + engine configuration.
+
+The reference exposed its config surface as ``-D``/``-jobconf`` JobConf
+passthrough plus a handful of ``stream.*`` knobs
+(MapStreamJob.java:325-332, MultiPipeMapRed.java:157,162-163,232-241).
+Here the engine config is an explicit dataclass (no stringly smuggling)
+and the SparkSession is tuned for OLAP-at-scale defaults: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), UTC
+session timezone (oracle comparability), Arrow for pandas interchange.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level knobs (reference: stream.* JobConf keys).
+
+    non_zero_exit_is_failure  <- stream.non.zero.exit.is.failure
+                                 (MultiPipeMapRed.java:162-163)
+    min_records_before_skip   <- stream.minRecWrittenToEnableSkip_
+                                 (MultiPipeMapRed.java:232-241)
+    field_separator           <- stream.map.output.field.separator
+                                 (MultiPipeMapper.java:117-122)
+    num_key_fields            <- stream.num.map.output.key.fields
+                                 (MultiPipeMapper.java:123-124)
+    """
+
+    non_zero_exit_is_failure: bool = True
+    min_records_before_skip: int = 2**63 - 1  # skip disabled by default
+    field_separator: str = "\t"
+    num_key_fields: int = 1
+    cmd_env: dict[str, str] = field(default_factory=dict)
+    # scan sharing strategy for fan-out: "persist" (cache in executors,
+    # right for inputs that fit cluster memory+disk) or "materialize"
+    # (phase-1-style write of branch inputs, right at 100 TB where the
+    # cache cannot hold the scan — mirrors the reference's mapoutput/
+    # intermediate, MultiStreamJobRunner.java:48-73).
+    share_mode: str = "persist"
+
+
+def get_spark(
+    app_name: str = "hadoop-multiple-streaming-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-minded defaults.
+
+    Local test runs honor $SPARK_GRAFT_CPUS; on a real cluster pass
+    ``master=None`` and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 8, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via ``sc.addPyFile`` (S10 — the
+    reference ships user scripts/jars with -file/-cacheFile,
+    MapStreamJob.java:282-288,890-906; here the engine ships ITSELF so
+    closures that reference engine modules unpickle on any worker,
+    local or cluster). Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(prefix="hms_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply engine defaults to an externally-provided session (the
+    driver harness hands us one); only runtime-settable confs."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs on a running session — leave as-is
+    return spark

@@ -1,0 +1,173 @@
+"""Pipe-operator semantics (P1-P9): cat identity, wordcount map+reduce,
+exit-code policy, env injection, counter protocol."""
+
+import sys
+import textwrap
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.operators.pipe import (
+    PipeOptions,
+    make_counters,
+    pipe_lines,
+    pipe_map,
+    pipe_reduce,
+    split_args,
+)
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([Row(line=x) for x in lines])
+
+
+def py(script: str) -> list[str]:
+    return [sys.executable, "-c", textwrap.dedent(script)]
+
+
+def test_split_args_quotes():
+    # P4 splitArgs (MultiPipeMapRed.java:107-151)
+    assert split_args("perl5 filter.pl") == ["perl5", "filter.pl"]
+    assert split_args("sh -c 'echo a b'") == ["sh", "-c", "echo a b"]
+    assert split_args('grep "a b"') == ["grep", "a b"]
+
+
+def test_cat_identity(spark):
+    data = ["hello", "a\tb", "", "서울\t대한민국"]
+    out = pipe_lines(lines_df(spark, data), "/bin/cat")
+    assert sorted(r.line for r in out.collect()) == sorted(data)
+
+
+def test_mapper_flatmap(spark):
+    # one line in -> many lines out (mapper is a flat-map, §2.7)
+    script = py(
+        """
+        import sys
+        for line in sys.stdin:
+            for w in line.split():
+                print(w + "\\t1")
+        """
+    )
+    out = pipe_map(lines_df(spark, ["a b a", "c"]), script)
+    rows = [(r.key, r.value) for r in out.collect()]
+    assert sorted(rows) == [("a", "1"), ("a", "1"), ("b", "1"), ("c", "1")]
+
+
+def test_wordcount_end_to_end(spark):
+    # M0 slice: pipe mapper -> shuffle -> pipe reducer (P1,P2,G1)
+    mapper = py(
+        """
+        import sys
+        for line in sys.stdin:
+            for w in line.split():
+                print(w + "\\t1")
+        """
+    )
+    reducer = py(
+        """
+        import sys
+        cur, tot = None, 0
+        for line in sys.stdin:
+            k, v = line.rstrip("\\n").split("\\t", 1)
+            if k != cur:
+                if cur is not None:
+                    print(cur + "\\t" + str(tot))
+                cur, tot = k, 0
+            tot += int(v)
+        if cur is not None:
+            print(cur + "\\t" + str(tot))
+        """
+    )
+    df = lines_df(spark, ["the quick fox", "the lazy dog", "the fox"])
+    mapped = pipe_map(df, mapper)
+    reduced = pipe_reduce(mapped, reducer, num_partitions=3)
+    got = {r.key: int(r.value) for r in reduced.collect()}
+    assert got == {"the": 3, "quick": 1, "fox": 2, "lazy": 1, "dog": 1}
+
+
+def test_reducer_sees_sorted_keys_per_partition(spark):
+    # Hadoop contract: one subprocess sees ALL groups of its partition
+    # in key order (SURVEY §7 hard-point 3).
+    checker = py(
+        """
+        import sys
+        prev = None
+        n = 0
+        for line in sys.stdin:
+            k = line.rstrip("\\n").split("\\t", 1)[0]
+            assert prev is None or k >= prev, (prev, k)
+            prev = k
+            n += 1
+        print("ok\\t" + str(n))
+        """
+    )
+    df = lines_df(spark, [f"k{i % 7}\t{i}" for i in range(100)])
+    kv = df.select(
+        F.split_part("line", F.lit("\t"), F.lit(1)).alias("key"),
+        F.split_part("line", F.lit("\t"), F.lit(2)).alias("value"),
+    )
+    out = pipe_reduce(kv, checker, num_partitions=4)
+    assert sum(int(r.value) for r in out.collect()) == 100
+
+
+def test_nonzero_exit_fails(spark):
+    bad = py("import sys; sys.stdin.read(); sys.exit(3)")
+    with pytest.raises(Exception, match="exited with code 3"):
+        pipe_lines(lines_df(spark, ["x"]), bad).collect()
+
+
+def test_nonzero_exit_tolerated(spark):
+    # P9: stream.non.zero.exit.is.failure=false
+    bad = py("import sys; sys.stdin.read(); print('done'); sys.exit(3)")
+    opts = PipeOptions(non_zero_exit_is_failure=False)
+    out = pipe_lines(lines_df(spark, ["x"]).coalesce(1), bad, opts=opts)
+    assert [r.line for r in out.collect()] == ["done"]
+
+
+def test_env_injection(spark):
+    # P6: -cmdenv k=v reaches the subprocess
+    script = py("import os,sys; sys.stdin.read(); print(os.environ['MY_FLAG'])")
+    opts = PipeOptions(env={"MY_FLAG": "hello42"})
+    out = pipe_lines(lines_df(spark, ["x"]).coalesce(1), script, opts=opts)
+    assert [r.line for r in out.collect()] == ["hello42"]
+
+
+def test_counter_protocol(spark):
+    # P7: reporter:counter:group,name,amount on stderr -> accumulator
+    script = py(
+        """
+        import sys
+        n = 0
+        for line in sys.stdin:
+            n += 1
+            print(line, end="")
+        sys.stderr.write("reporter:counter:my,seen,%d\\n" % n)
+        sys.stderr.write("reporter:status:all done\\n")
+        """
+    )
+    counters = make_counters(spark)
+    df = lines_df(spark, [f"row{i}" for i in range(10)]).coalesce(2)
+    out = pipe_lines(df, script, counters=counters)
+    assert out.count() == 10
+    assert counters.value["my.seen"] == 10
+    assert counters.value["pipe.records_written"] == 10
+    assert counters.value["pipe.records_read"] == 10
+
+
+def test_early_exit_mapper_fails_without_skip(spark):
+    # subprocess stops reading mid-stream -> task fails (P8 default)
+    head = py("import sys; sys.stdin.readline(); print('one'); sys.exit(0)")
+    df = lines_df(spark, [f"row{i}" for i in range(200000)]).coalesce(1)
+    with pytest.raises(Exception, match="failed while consuming input"):
+        pipe_lines(df, head).collect()
+
+
+def test_early_exit_tolerated_with_skip(spark):
+    # P8: once min_records_before_skip records were written, a write
+    # failure skips the rest instead of failing the task.
+    head = py("import sys; sys.stdin.readline(); print('one'); sys.exit(0)")
+    df = lines_df(spark, [f"row{i}" for i in range(200000)]).coalesce(1)
+    opts = PipeOptions(min_records_before_skip=1)
+    out = pipe_lines(df, head, opts=opts)
+    assert [r.line for r in out.collect()] == ["one"]
