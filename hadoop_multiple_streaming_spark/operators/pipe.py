@@ -97,6 +97,28 @@ def _build_env(opts: PipeOptions, partition_id: int, spark_conf: dict[str, str])
     return env
 
 
+def _resolve_executable(argv: list[str]) -> list[str]:
+    """P5: relative program names resolve against the task's shipped
+    files (the reference resolves via PATH + task cwd and chmods shipped
+    scripts, MultiPipeMapRed.java:174-199). Absolute paths and
+    PATH-resolvable names pass through."""
+    prog = argv[0]
+    if "/" not in prog:
+        try:
+            from pyspark import SparkFiles
+
+            cand = os.path.join(SparkFiles.getRootDirectory(), prog)
+            if os.path.isfile(cand):
+                try:
+                    os.chmod(cand, 0o755)
+                except OSError:
+                    pass
+                return [cand, *argv[1:]]
+        except Exception:
+            pass
+    return argv
+
+
 def _pipe_partition(
     lines: Iterator,
     argv: list[str],
@@ -110,7 +132,7 @@ def _pipe_partition(
     reference's thread layout: feed loop / MROutputThread / MRErrorThread
     (MultiPipeMapRunner.java:29-35 starts drains before the feed)."""
     proc = subprocess.Popen(
-        argv,
+        _resolve_executable(argv),
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,

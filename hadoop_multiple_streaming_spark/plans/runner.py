@@ -1,0 +1,277 @@
+"""Fan-out orchestration (F1, O1-O5) — the reference's raison d'être.
+
+Reference architecture: phase 1 reads the input ONCE and fans every
+record out to N mapper subprocesses whose outputs land in
+``out/mapoutput/<dirKey>/``; phase 2 submits N independent shuffle+
+reduce jobs concurrently and polls them (MultiStreamJobRunner.java:26-86,
+MultiPipeMapper.java:150-169).
+
+Spark translation: Catalyst does NOT share a scan across actions, so
+sharing is explicit (SURVEY §4.1):
+
+* share_mode="persist"    — cache the scan (memory-and-disk) and run
+  branch writes concurrently from a thread pool; FAIR scheduler pools
+  keep one branch from starving the rest. Right when the scan fits
+  cluster memory+disk.
+* share_mode="materialize" — reproduce the reference's phase 1: one
+  job pipes every record through all N mappers and writes
+  ``out/mapoutput/<dirKey>/`` in a single pass, then per-branch
+  shuffle+reduce jobs read those (restartable, and the only option at
+  100 TB where the cache can't hold the input).
+* share_mode="none"       — each branch re-reads the source. Right for
+  columnar inputs where branches prune different columns: N cheap
+  pruned scans beat one fat cached scan.
+
+Failure isolation: one branch failing does not kill its siblings; per
+-branch success/fail is reported at the end and the job exit code
+reflects any failure (MultiStreamJobRunner.java:109-124, O4).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.kv import with_key_val
+from ..operators.aggregate import aggregate_reduce
+from ..operators.pipe import PipeOptions, pipe_lines, pipe_map, pipe_reduce
+from ..sources.io import read_key_value_text, read_table, read_text, ship_files, table_to_lines, write_kv_text
+from .model import AGGREGATE, Branch, JobSpec
+
+# exit-code contract (O4, MapStreamJob.java:997-1027)
+EXIT_OK = 0
+EXIT_USAGE = 1
+EXIT_BAD_INPUT = 2
+EXIT_INVALID_CONF = 3
+EXIT_OUTPUT_EXISTS = 4
+EXIT_IO = 5
+
+
+@dataclass
+class BranchResult:
+    dir_key: str
+    success: bool
+    output_path: str
+    error: str | None = None
+    seconds: float = 0.0
+
+
+@dataclass
+class JobResult:
+    results: list[BranchResult] = field(default_factory=list)
+    seconds: float = 0.0
+
+    @property
+    def succeeded(self) -> bool:
+        return all(r.success for r in self.results)
+
+    @property
+    def exit_code(self) -> int:
+        if self.succeeded:
+            return EXIT_OK
+        errs = " ".join(r.error or "" for r in self.results)
+        if "already exists" in errs:
+            return EXIT_OUTPUT_EXISTS
+        if "Path does not exist" in errs or "PATH_NOT_FOUND" in errs:
+            return EXIT_BAD_INPUT
+        return EXIT_IO
+
+
+def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
+    """Scan once; normalize everything to a single `line` column (the
+    pipe world's record model, §1.1). Typed formats are serialized
+    tab-KV AFTER projection so the parquet scan stays pruned."""
+    if spec.input_format == "text":
+        return read_text(spark, spec.inputs)
+    if spec.input_format == "keyvalue":
+        kv = read_key_value_text(spark, spec.inputs, spec.separator, spec.num_key_fields)
+        from ..functions.kv import join_key_val
+
+        return kv.select(join_key_val("key", "value", spec.separator).alias("line"))
+    # typed table -> lines bridge
+    dfs = [
+        read_table(spark, p, spec.input_format, **spec.input_options) for p in spec.inputs
+    ]
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other)
+    return table_to_lines(df, spec.separator)
+
+
+def _apply_mapper(branch: Branch, lines: DataFrame, spec: JobSpec, opts: PipeOptions) -> DataFrame:
+    """mapper -> DataFrame[key, value]."""
+    if branch.mapper is None:
+        return with_key_val(lines, "line", spec.separator, spec.num_key_fields)
+    if callable(branch.mapper):
+        out = branch.mapper(lines)
+        if set(out.columns) == {"key", "value"}:
+            return out
+        if len(out.columns) == 1:
+            return with_key_val(
+                out.withColumnRenamed(out.columns[0], "line"),
+                "line",
+                spec.separator,
+                spec.num_key_fields,
+            )
+        raise ValueError(
+            f"native mapper for branch {branch.dir_key!r} must return "
+            f"(key, value) or a single line column, got {out.columns}"
+        )
+    return pipe_map(lines, branch.mapper, spec.separator, spec.num_key_fields, opts=opts)
+
+
+def _apply_reducer(branch: Branch, kv: DataFrame, spec: JobSpec, opts: PipeOptions) -> DataFrame:
+    """reducer -> DataFrame[key, value] (or kv unchanged when map-only)."""
+    if branch.is_map_only:
+        return kv
+    if branch.reducer == AGGREGATE:
+        return aggregate_reduce(kv)
+    if callable(branch.reducer):
+        return branch.reducer(kv)
+    return pipe_reduce(
+        kv,
+        branch.reducer,
+        num_partitions=branch.num_reduce_tasks,
+        separator=spec.separator,
+        num_key_fields=spec.num_key_fields,
+        opts=opts,
+    )
+
+
+def plan_branches(spark: SparkSession, spec: JobSpec) -> dict[str, DataFrame]:
+    """Build (but do not run) every branch's DataFrame — the plan IR is
+    the DataFrame itself, inspectable with .explain() (replaces the
+    reference's listJobConfProperties debugging surface, §3.2)."""
+    lines = _load_input(spark, spec)
+    if spec.share_mode == "persist":
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    out: dict[str, DataFrame] = {}
+    for branch in spec.branches:
+        opts = PipeOptions(
+            env={**spec.cmd_env, **branch.env},
+            non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+        )
+        kv = _apply_mapper(branch, lines, spec, opts)
+        out[branch.dir_key] = _apply_reducer(branch, kv, spec, opts)
+    return out
+
+
+def _materialize_phase1(spark: SparkSession, spec: JobSpec, mode: str) -> dict[str, DataFrame]:
+    """Reference phase 1: run every branch's MAPPER over the single
+    scan and write out/mapoutput/<dirKey>/ in one concurrent wave; the
+    reduce phase then reads those files (restartability at 100 TB —
+    the cache can't hold the input, but HDFS can)."""
+    lines = _load_input(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
+    inter: dict[str, DataFrame] = {}
+
+    def write_map_output(branch: Branch) -> None:
+        opts = PipeOptions(
+            env={**spec.cmd_env, **branch.env},
+            non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+        )
+        kv = _apply_mapper(branch, lines, spec, opts)
+        # intermediate normalized to key\tvalue (MultiPipeMapRed.java:462)
+        write_kv_text(kv, f"{spec.output}/mapoutput/{branch.dir_key}", "\t", mode=mode)
+
+    with ThreadPoolExecutor(max_workers=min(len(spec.branches), 8)) as pool:
+        list(pool.map(write_map_output, spec.branches))
+    lines.unpersist()
+    for branch in spec.branches:
+        inter[branch.dir_key] = read_key_value_text(
+            spark, f"{spec.output}/mapoutput/{branch.dir_key}", "\t", spec.num_key_fields
+        )
+    return inter
+
+
+def run_job(
+    spark: SparkSession,
+    spec: JobSpec,
+    progress_interval: float = 10.0,
+) -> JobResult:
+    """Execute the fan-out: all branch writes run concurrently (the
+    reference submits all N reduce jobs then polls,
+    MultiStreamJobRunner.java:48-83); a progress reporter logs
+    completed/running branch keys (O3)."""
+    t0 = time.monotonic()
+    if spec.files:
+        ship_files(spark, spec.files)
+    mode = "overwrite" if spec.overwrite else "error"
+
+    if spec.share_mode == "materialize":
+        inter = _materialize_phase1(spark, spec, mode)
+        plans = {}
+        for branch in spec.branches:
+            opts = PipeOptions(
+                env={**spec.cmd_env, **branch.env},
+                non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+            )
+            plans[branch.dir_key] = _apply_reducer(branch, inter[branch.dir_key], spec, opts)
+        shared = None
+    else:
+        lines = _load_input(spark, spec)
+        shared = None
+        if spec.share_mode == "persist":
+            shared = lines.persist(StorageLevel.MEMORY_AND_DISK)
+            lines = shared
+        plans = {}
+        for branch in spec.branches:
+            opts = PipeOptions(
+                env={**spec.cmd_env, **branch.env},
+                non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+            )
+            kv = _apply_mapper(branch, lines, spec, opts)
+            plans[branch.dir_key] = _apply_reducer(branch, kv, spec, opts)
+
+    done: dict[str, BranchResult] = {}
+    done_lock = threading.Lock()
+
+    def run_branch(branch: Branch) -> BranchResult:
+        # FAIR pools isolate branch scheduling (one branch's long stage
+        # doesn't starve siblings; reference runs N independent jobs)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", branch.dir_key)
+        path = f"{spec.output}/{branch.dir_key}"
+        bt0 = time.monotonic()
+        try:
+            write_kv_text(plans[branch.dir_key], path, spec.separator, branch.num_reduce_tasks, mode)
+            res = BranchResult(branch.dir_key, True, path, seconds=time.monotonic() - bt0)
+        except Exception as e:  # failure isolation: siblings keep going
+            res = BranchResult(branch.dir_key, False, path, error=str(e)[:500], seconds=time.monotonic() - bt0)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        with done_lock:
+            done[branch.dir_key] = res
+        return res
+
+    stop_reporting = threading.Event()
+
+    def report() -> None:  # O3 progress poller
+        while not stop_reporting.wait(progress_interval):
+            with done_lock:
+                completed = sorted(done)
+            running = sorted(set(b.dir_key for b in spec.branches) - set(completed))
+            print(
+                f"[runner] completed {len(completed)}/{len(spec.branches)} "
+                f"done={completed} running={running}"
+            )
+
+    reporter = threading.Thread(target=report, daemon=True)
+    reporter.start()
+    try:
+        with ThreadPoolExecutor(max_workers=min(len(spec.branches), 8)) as pool:
+            results = list(pool.map(run_branch, spec.branches))
+    finally:
+        stop_reporting.set()
+        reporter.join()
+        if shared is not None:
+            shared.unpersist()
+
+    result = JobResult(results=results, seconds=time.monotonic() - t0)
+    for r in results:  # final verdict (reportSuccessful, O3/O4)
+        status = "SUCCEEDED" if r.success else f"FAILED: {r.error}"
+        print(f"[runner] branch {r.dir_key}: {status} ({r.seconds:.1f}s) -> {r.output_path}")
+    return result

@@ -1,0 +1,147 @@
+"""Sources and sinks (SURVEY §2.1, S1-S11).
+
+The reference's world is line-oriented text on HDFS with a
+``<out>/mapoutput/<dirKey>/`` intermediate and ``<out>/<dirKey>/``
+final layout (MultiStreamJobRunner.java:48-73, PartitionByKeyField.java).
+This module reproduces that surface on Spark and adds the typed-table
+bridge (parquet/csv/json -> tab-separated lines) the correctness
+harness uses.
+
+Scale notes: text scans split by spark.sql.files.maxPartitionBytes —
+at 100 TB that is the parallelism lever. Globs and multi-path are
+native to the DataFrame reader (S2). Output partitioning: one file per
+partition, so sinks honor a ``num_files`` (G3 — reducer count ==
+output file count in the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.kv import join_key_val, to_lines, with_key_val
+
+# ---------------------------------------------------------------- sources
+
+
+def read_text(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S1/S2: line = record; multiple paths + globs native. Column is
+    normalized to ``line`` (reference drops the byte-offset key —
+    ignoreKey, MultiPipeMapper.java:94-97,152-157)."""
+    p = [paths] if isinstance(paths, str) else list(paths)
+    return spark.read.text(p).withColumnRenamed("value", "line")
+
+
+def read_key_value_text(
+    spark: SparkSession,
+    paths: str | list[str],
+    separator: str = "\t",
+    num_key_fields: int = 1,
+) -> DataFrame:
+    """S3: KeyValueTextInputFormat — split each line at the first
+    separator(s) into (key, value)."""
+    return with_key_val(read_text(spark, paths), "line", separator, num_key_fields)
+
+
+def read_sequence_as_text(spark: SparkSession, path: str) -> DataFrame:
+    """S4: SequenceFileAsTextInputFormat — binary seq-file scan,
+    stringified to (key, value). Uses the RDD sequenceFile reader (the
+    one legacy-format hatch); modern data should be parquet."""
+    rdd = spark.sparkContext.sequenceFile(path).map(lambda kv: (str(kv[0]), str(kv[1])))
+    return spark.createDataFrame(rdd, "key string, value string")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    **options,
+) -> DataFrame:
+    """S5: custom format by name — DataSourceV2 does the reflective
+    load the reference did with ``-inputformat <class>``
+    (MapStreamJob.java:730-738)."""
+    return spark.read.format(fmt).options(**options).load(path)
+
+
+def table_to_lines(df: DataFrame, separator: str = "\t") -> DataFrame:
+    """The typed->text bridge (S4/M4): serialize any table to lines so
+    pipe branches can consume it. Column pruning happens BEFORE this
+    (select the columns you need first — the projection is pushed to
+    the parquet scan)."""
+    return to_lines(df, separator)
+
+
+def read_custom_framing(
+    spark: SparkSession,
+    paths: str | list[str],
+    line_sep: str,
+) -> DataFrame:
+    """S6: custom record framing (the reference's -inputreader
+    StreamXmlRecordReader niche) — records delimited by an arbitrary
+    separator instead of newline."""
+    p = [paths] if isinstance(paths, str) else list(paths)
+    return spark.read.option("lineSep", line_sep).text(p).withColumnRenamed("value", "line")
+
+
+# ------------------------------------------------------------------ sinks
+
+
+def write_kv_text(
+    df_kv: DataFrame,
+    path: str,
+    separator: str = "\t",
+    num_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """S8: final text sink — ``key SEP value`` lines (TextOutputFormat).
+    ``mode='error'`` preserves the reference's output-exists failure
+    (exit code 4, O4)."""
+    lines = df_kv.select(join_key_val("key", "value", separator).alias("line"))
+    write_lines(lines, path, num_files=num_files, mode=mode)
+
+
+def write_lines(
+    df_lines: DataFrame,
+    path: str,
+    num_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    if num_files is not None:
+        df_lines = df_lines.coalesce(num_files)
+    df_lines.write.mode(mode).text(path)
+
+
+def write_demux(
+    df: DataFrame,
+    out: str,
+    dir_key_col: str = "dir_key",
+    line_col: str = "line",
+    mode: str = "error",
+) -> None:
+    """S7: demultiplexing sink — route each record to a subdirectory
+    named by its key and DROP the routing key from file contents
+    (PartitionByKeyField.java:8-16). ``partitionBy`` writes
+    ``out/<dir_key_col>=<v>/``; to match the reference's bare
+    ``out/<v>/`` layout use materialize_intermediate in plans.runner,
+    which writes per-branch paths. This variant is the single-job
+    single-shuffle form for huge N."""
+    df.select(dir_key_col, line_col).write.mode(mode).partitionBy(dir_key_col).text(out)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> None:
+    """S9: custom output format by name."""
+    df.write.format(fmt).options(**options).mode(mode).save(path)
+
+
+def ship_files(spark: SparkSession, files: list[str]) -> None:
+    """S10: ``-file`` / ``-cacheFile`` shipping — scripts land in every
+    task's working dir via SparkFiles (resolution in operators.pipe
+    uses SparkFiles.getRootDirectory())."""
+    for f in files:
+        spark.sparkContext.addFile(f)

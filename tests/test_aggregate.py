@@ -1,0 +1,71 @@
+"""The aggregate reducer family (§2.5) vs hand-computed goldens."""
+
+from pyspark.sql import Row
+
+from hadoop_multiple_streaming_spark.operators.aggregate import (
+    aggregate_reduce,
+    parse_agg_key,
+    value_histogram,
+)
+
+
+def kv_df(spark, pairs):
+    return spark.createDataFrame([Row(key=k, value=v) for k, v in pairs])
+
+
+def test_parse_agg_key(spark):
+    df = kv_df(spark, [("LongValueSum:a", "1"), ("noprefix", "2"), ("T:k:with:colons", "3")])
+    rows = {(r.agg_type, r.key) for r in parse_agg_key(df).collect()}
+    # no-colon lines dropped; only FIRST colon splits
+    assert rows == {("LongValueSum", "a"), ("T", "k:with:colons")}
+
+
+def test_long_value_sum(spark):
+    df = kv_df(spark, [("LongValueSum:a", "5"), ("LongValueSum:a", "7"), ("LongValueSum:b", "1")])
+    got = {r.key: r.value for r in aggregate_reduce(df).collect()}
+    assert got == {"a": "12", "b": "1"}
+
+
+def test_all_scalar_types_mixed(spark):
+    pairs = [
+        ("LongValueSum:s", "1"),
+        ("LongValueSum:s", "2"),
+        ("DoubleValueSum:d", "1.5"),
+        ("DoubleValueSum:d", "2.25"),
+        ("LongValueMax:m", "3"),
+        ("LongValueMax:m", "9"),
+        ("LongValueMin:m", "3"),
+        ("LongValueMin:m", "9"),
+        ("StringValueMax:t", "apple"),
+        ("StringValueMax:t", "zebra"),
+        ("StringValueMin:t", "apple"),
+        ("StringValueMin:t", "zebra"),
+        ("UniqValueCount:u", "x"),
+        ("UniqValueCount:u", "x"),
+        ("UniqValueCount:u", "y"),
+    ]
+    got = {(r.key, r.value) for r in aggregate_reduce(kv_df(spark, pairs)).collect()}
+    # same real key under different types yields one row per (type,key)
+    assert ("s", "3") in got
+    assert ("d", "3.75") in got
+    assert ("m", "9") in got and ("m", "3") in got
+    assert ("t", "zebra") in got and ("t", "apple") in got
+    assert ("u", "2") in got
+
+
+def test_value_histogram(spark):
+    # key h: values x,x,x,y -> freqs {x:3, y:1}
+    pairs = [("ValueHistogram:h", v) for v in ["x", "x", "x", "y"]]
+    row = value_histogram(parse_agg_key(kv_df(spark, pairs))).collect()[0]
+    assert row.key == "h"
+    assert row.distinct_values == 2
+    assert row.min_count == 1 and row.max_count == 3
+    assert row.median_count == 2.0 and row.avg_count == 2.0
+    assert abs(row.stddev_count - 1.0) < 1e-9  # population stddev of [3,1]
+
+
+def test_histogram_report_line(spark):
+    pairs = [("ValueHistogram:h", v) for v in ["x", "x", "y"]]
+    got = {r.key: r.value for r in aggregate_reduce(kv_df(spark, pairs)).collect()}
+    fields = got["h"].split("\t")
+    assert len(fields) == 6 and fields[0] == "2"

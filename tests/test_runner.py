@@ -1,0 +1,204 @@
+"""Fan-out orchestration tests (F1, O1-O4): N branches over one input,
+failure isolation, output layout out/<dirKey>/, materialize mode,
+native-callable branches, CLI."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.cli import main as cli_main
+from hadoop_multiple_streaming_spark.plans.model import Branch, JobSpec
+from hadoop_multiple_streaming_spark.plans.runner import (
+    EXIT_OK,
+    EXIT_OUTPUT_EXISTS,
+    plan_branches,
+    run_job,
+)
+
+WC_MAP = "wc_map_test.py"
+WC_RED = "wc_red_test.py"
+
+
+@pytest.fixture(scope="module")
+def textdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fanout_input")
+    (d / "part-0.txt").write_text("the quick fox\nthe lazy dog\n")
+    (d / "part-1.txt").write_text("the fox\n\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def scripts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scripts")
+    mapper = d / WC_MAP
+    mapper.write_text(
+        "#!/usr/bin/env python3\nimport sys\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        print(w + '\\t1')\n"
+    )
+    reducer = d / WC_RED
+    reducer.write_text(
+        "#!/usr/bin/env python3\nimport sys\n"
+        "cur, tot = None, 0\n"
+        "for line in sys.stdin:\n"
+        "    k, v = line.rstrip('\\n').split('\\t', 1)\n"
+        "    if k != cur:\n"
+        "        if cur is not None: print(cur + '\\t' + str(tot))\n"
+        "        cur, tot = k, 0\n"
+        "    tot += int(v)\n"
+        "if cur is not None: print(cur + '\\t' + str(tot))\n"
+    )
+    return str(d)
+
+
+def read_out(path):
+    import glob
+
+    rows = []
+    for f in glob.glob(os.path.join(path, "part-*")):
+        with open(f) as fh:
+            rows.extend(line.rstrip("\n") for line in fh)
+    return sorted(rows)
+
+
+EXPECTED_WC = sorted(["the\t3", "quick\t1", "fox\t2", "lazy\t1", "dog\t1"])
+
+
+def test_single_branch_wordcount(spark, textdir, scripts, tmp_path):
+    out = str(tmp_path / "out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch(
+                "WC",
+                mapper=f"{sys.executable} {scripts}/{WC_MAP}",
+                reducer=f"{sys.executable} {scripts}/{WC_RED}",
+                num_reduce_tasks=2,
+            )
+        ],
+    )
+    res = run_job(spark, spec)
+    assert res.succeeded and res.exit_code == EXIT_OK
+    assert read_out(f"{out}/WC") == EXPECTED_WC
+
+
+def test_multi_branch_fanout_shared_scan(spark, textdir, scripts, tmp_path):
+    # F1: 3 branches, one input; layouts out/<dirKey>/ each
+    out = str(tmp_path / "out")
+
+    def native_upper(lines):
+        return lines.select(F.upper("line").alias("line"))
+
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch(
+                "WC",
+                mapper=f"{sys.executable} {scripts}/{WC_MAP}",
+                reducer=f"{sys.executable} {scripts}/{WC_RED}",
+            ),
+            Branch("CAT", mapper=None, reducer=None),  # identity map-only (S11)
+            Branch("UP", mapper=native_upper, reducer=None),  # native branch (F3)
+        ],
+    )
+    res = run_job(spark, spec)
+    assert res.succeeded
+    assert read_out(f"{out}/WC") == EXPECTED_WC
+    # map-only identity: lines round-trip (empty value padded Hadoop-style)
+    cat = read_out(f"{out}/CAT")
+    assert "the quick fox\t" in cat and len(cat) == 4
+    up = read_out(f"{out}/UP")
+    assert "THE QUICK FOX\t" in up
+
+
+def test_failure_isolation(spark, textdir, scripts, tmp_path):
+    # one branch fails; siblings still succeed (MultiStreamJobRunner.java:109-124)
+    out = str(tmp_path / "out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch("GOOD", mapper=None, reducer=None),
+            Branch("BAD", mapper="/no/such/binary-xyz", reducer=None),
+        ],
+    )
+    res = run_job(spark, spec)
+    assert not res.succeeded
+    by_key = {r.dir_key: r for r in res.results}
+    assert by_key["GOOD"].success
+    assert not by_key["BAD"].success
+    assert read_out(f"{out}/GOOD")
+
+
+def test_output_exists_exit_code(spark, textdir, tmp_path):
+    out = str(tmp_path / "out")
+    spec = JobSpec(inputs=[textdir], output=out, branches=[Branch("CAT")])
+    assert run_job(spark, spec).succeeded
+    res2 = run_job(spark, spec)  # same output -> errorifexists (O4 code 4)
+    assert not res2.succeeded and res2.exit_code == EXIT_OUTPUT_EXISTS
+
+
+def test_materialize_mode_writes_intermediate(spark, textdir, scripts, tmp_path):
+    out = str(tmp_path / "out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch(
+                "WC",
+                mapper=f"{sys.executable} {scripts}/{WC_MAP}",
+                reducer=f"{sys.executable} {scripts}/{WC_RED}",
+            ),
+        ],
+        share_mode="materialize",
+    )
+    res = run_job(spark, spec)
+    assert res.succeeded
+    assert read_out(f"{out}/WC") == EXPECTED_WC
+    # reference phase-1 layout: out/mapoutput/<dirKey>/ (S7)
+    inter = read_out(f"{out}/mapoutput/WC")
+    assert "the\t1" in inter and len(inter) == 8  # 8 words in the input
+
+
+def test_branch_parse():
+    b = Branch.parse("WC|python map.py|python red.py")
+    assert (b.dir_key, b.mapper, b.reducer) == ("WC", "python map.py", "python red.py")
+    b = Branch.parse("K1/cat/wc")  # reference's '/' fallback
+    assert (b.dir_key, b.mapper, b.reducer) == ("K1", "cat", "wc")
+    b = Branch.parse("ONLY|cat|NONE")
+    assert b.is_map_only
+    with pytest.raises(ValueError):
+        Branch.parse("|cat|wc")
+
+
+def test_plan_branches_is_inspectable(spark, textdir):
+    spec = JobSpec(inputs=[textdir], output="/tmp/unused", branches=[Branch("CAT")])
+    plans = plan_branches(spark, spec)
+    assert set(plans) == {"CAT"}
+    assert "key" in plans["CAT"].columns  # a real DataFrame plan
+    plans["CAT"].explain()  # must not throw
+
+
+def test_cli_end_to_end(spark, textdir, scripts, tmp_path):
+    out = str(tmp_path / "cli_out")
+    rc = cli_main(
+        [
+            "-input",
+            textdir,
+            "-output",
+            out,
+            "-mapred",
+            f"WC|{sys.executable} {scripts}/{WC_MAP}|{sys.executable} {scripts}/{WC_RED}",
+            "-mapred",
+            "CAT|cat|NONE",
+            "-master",
+            "local[4]",
+        ]
+    )
+    assert rc == EXIT_OK
+    assert read_out(f"{out}/WC") == EXPECTED_WC
