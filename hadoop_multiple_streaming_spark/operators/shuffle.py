@@ -1,0 +1,83 @@
+"""Shuffle / grouping / sort surface (SURVEY §2.4, G1-G5).
+
+The reference inherits Hadoop's shuffle: hash-partition by key, sort by
+key within partition, reducer sees contiguous sorted groups (G1), with
+pluggable key-field partitioning (`-partitioner KeyFieldBasedPartitioner`
++ mapred.text.key.partitioner.options, G2) and key-field sorting
+(KeyFieldBasedComparator, G5) — both operating on '\\t'-separated
+subfields of the key (MapStreamJob.java:863-871, RedStreamJob.java:799-807).
+
+Spark-native: both are expressions over derived subfield columns, so
+the shuffle stays a single Exchange and the sort a single
+sortWithinPartitions — no extra pass.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_field(key: Column | str, index: int, separator: str = "\t") -> Column:
+    """1-based subfield of a composite key (KeyFieldBasedPartitioner's
+    -k semantics restricted to whole fields, the overwhelmingly common
+    use)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.split_part(col, F.lit(separator), F.lit(index))
+
+
+def partition_sort(
+    df_kv: DataFrame,
+    num_partitions: int,
+    partition_fields: list[int] | None = None,
+    sort_fields: list[tuple[int, bool]] | None = None,
+    separator: str = "\t",
+) -> DataFrame:
+    """G1+G2+G5 in one Exchange+Sort: hash-partition on the chosen key
+    subfields (default: whole key), then sort within partitions on the
+    chosen subfields (default: whole key ascending).
+
+    sort_fields: [(field_index, ascending), ...]
+
+    This reproduces Hadoop secondary sort: partition on field 1, sort
+    on fields 1+2 => reducer sees each key's values ordered by field 2.
+    """
+    part_cols = (
+        [key_field("key", i, separator) for i in partition_fields]
+        if partition_fields
+        else [F.col("key")]
+    )
+    if sort_fields:
+        sort_cols = [
+            key_field("key", i, separator).asc() if asc else key_field("key", i, separator).desc()
+            for i, asc in sort_fields
+        ]
+    else:
+        sort_cols = [F.col("key").asc()]
+    return df_kv.repartition(num_partitions, *part_cols).sortWithinPartitions(*sort_cols)
+
+
+def group_sorted(
+    df_kv: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Plain G1 (the Hadoop shuffle contract) for native reducers:
+    every row of a key lands in one partition, keys sorted within it."""
+    n = num_partitions or df_kv.sparkSession.sparkContext.defaultParallelism
+    return partition_sort(df_kv, n)
+
+
+def parse_key_field_options(options: str) -> list[tuple[int, bool]]:
+    """Parse the ``-k pos1[,pos2][opts]`` subset of
+    mapred.text.key.comparator.options, e.g. "-k1,1 -k2,2nr" ->
+    [(1, True), (2, False)]. 'r' reverses; 'n' (numeric) is accepted —
+    callers cast the derived column when numeric sorting matters."""
+    fields: list[tuple[int, bool]] = []
+    for m in re.finditer(r"-k\s*(\d+)(?:\.\d+)?(?:,\d+(?:\.\d+)?)?([a-z]*)", options):
+        idx = int(m.group(1))
+        fields.append((idx, "r" not in m.group(2)))
+    if not fields:
+        raise ValueError(f"no -k fields in {options!r}")
+    return fields

@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines (north-star extension;
+not in the reference — its users would run these as mapper scripts,
+P1; here they are native columnar expressions).
+
+All functions are pure pyspark.sql.functions expressions — JVM-side,
+whole-stage-codegen, no Python in the hot path — and every heuristic is
+deliberately expressible in ANSI SQL so the DuckDB oracle can verify it
+exactly.
+
+Tokenization contract (shared by everything here and the oracles):
+words = text split on single spaces, empties dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small deterministic English stopword list (shared with oracle SQL)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are",
+]
+
+#: BPE-ish token regex: word pieces OR single non-space punctuation
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Sub-word-ish token count: alpha runs + digit runs + punctuation
+    singles (a cheap proxy for BPE token budgeting)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    w = words(text)
+    stops = F.size(F.filter(w, lambda x: x.isin(EN_STOPWORDS)))
+    return F.when(F.size(w) > 0, stops / F.size(w)).otherwise(F.lit(0.0))
+
+
+def unique_word_ratio(text: Column | str) -> Column:
+    w = words(text)
+    return F.when(F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-heuristic language ID: English-stopword density. The
+    honest contract at this container's dependency budget: 'en' when
+    the text is stopword-dense English-like, else 'unknown'. Real
+    deployments swap in a fastText/CLD3 pandas UDF — the column
+    contract (string label) stays the same."""
+    ratio = stopword_ratio(text)
+    return F.when(ratio >= F.lit(0.05), F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length band + lexical diversity +
+    not-too-much-punctuation + sane mean word length. Weights are
+    fixed so the score is reproducible (and oracle-checkable)."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = token_count_whitespace(col)
+    len_component = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = unique_word_ratio(col)
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    wordlen_component = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        len_component * 0.3
+        + diversity * 0.3
+        + punct_penalty * 0.2
+        + wordlen_component * 0.2
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: word-level polynomial
+    rolling hash, each word valued by its own char-level rolling hash.
+    Pure integer arithmetic (mod 2^31-1) so any engine reproduces it
+    bit-for-bit — the cross-engine-stable alternative to murmur."""
+    w = words(text)
+    word_val = lambda x: F.aggregate(  # noqa: E731
+        F.split(x, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647).cast("long"),
+    )
+    return F.aggregate(
+        w,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 1000003 + word_val(x)) % F.lit(2147483647).cast("long"),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document profile (single projection, no shuffle)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_whitespace(t).alias("n_tokens"),
+        token_count_bpe(t).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(unique_word_ratio(t), 4).alias("unique_ratio"),
+        F.round(mean_word_length(t), 4).alias("mean_word_len"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
