@@ -1,0 +1,97 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully executed via the noop sink (all columns computed,
+nothing collected to the driver). Use sf0.01/sf0.001 locally while
+iterating:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# headline set: one per operator family (relational scan/agg, joins,
+# window, pipe subprocess, aggregate family, fan-out, dedup, text,
+# similarity). Keep in sync with workloads as families are added.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "events_hourly_rollup",
+    "part_supplier_topn",
+    "pipe_wordcount",
+    "agg_long_sum",
+    "agg_value_histogram",
+    "fanout_two_branches",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from hadoop_multiple_streaming_spark import workloads
+    from hadoop_multiple_streaming_spark.session import get_spark
+
+    workloads.load_all()
+    spark = get_spark(
+        app_name="hms-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in workloads.QUERIES]
+    # warm the JVM/codegen path once with the cheapest query so the
+    # first timed query doesn't pay session startup costs
+    try:
+        workloads.QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            df = workloads.QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:
+            print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

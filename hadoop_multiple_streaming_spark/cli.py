@@ -82,6 +82,9 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         for b in branches:
             if b.num_reduce_tasks is None:
                 b.num_reduce_tasks = args.numReduceTasks
+    # the reference's stream.* JobConf keys route to engine knobs, not
+    # Spark conf (O6: -D passthrough, MapStreamJob.java:325-332)
+    engine = EngineConfig.from_conf(conf)
     spec = JobSpec(
         inputs=args.inputs,
         output=args.output,
@@ -92,6 +95,8 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         cmd_env=cmd_env,
         files=args.files,
         share_mode=args.shareMode,
+        non_zero_exit_is_failure=engine.non_zero_exit_is_failure,
+        min_records_before_skip=engine.min_records_before_skip,
         overwrite=args.overwrite,
     )
     return spec, conf, args.master

@@ -11,10 +11,17 @@ Supported (same menu as hadoop mapred.lib.aggregate):
   LongValueSum DoubleValueSum LongValueMax LongValueMin
   StringValueMax StringValueMin UniqValueCount ValueHistogram
 
+Malformed descriptors fail loudly (Hadoop's ValueAggregator path throws
+on an unknown aggregator type rather than dropping records): a key
+without an ``AggType:`` prefix or with an unrecognized type raises at
+execution time via ``raise_error`` unless ``strict=False``.
+
 Scale notes: one shuffle for all scalar aggregators (single
 groupBy with conditional aggregates); ValueHistogram adds its own
-two-level aggregation (distinct-value counts then moments). For
-billion-key UniqValueCount use ``approx=True`` (HLL sketch,
+two-level aggregation (distinct-value counts then moments) and
+collects the per-key count list for the exact median — for
+billion-distinct-value keys switch the median to percentile_approx.
+For billion-key UniqValueCount use ``approx=True`` (HLL sketch,
 approx_count_distinct) — exact distinct at 100 TB is a full shuffle of
 (key, value) pairs.
 """
@@ -34,19 +41,42 @@ SCALAR_TYPES = [
     "UniqValueCount",
 ]
 HISTOGRAM = "ValueHistogram"
+KNOWN_TYPES = [*SCALAR_TYPES, HISTOGRAM]
 
 
-def parse_agg_key(df_kv: DataFrame) -> DataFrame:
+def parse_agg_key(df_kv: DataFrame, strict: bool = True) -> DataFrame:
     """Split ``AggType:key`` (first ':' only, matching the Hadoop
-    ValueAggregatorDescriptor TYPE_SEPARATOR contract)."""
-    return (
-        df_kv.where(F.instr("key", ":") >= 1)  # lines without a type prefix are invalid
-        .select(
-            F.split_part("key", F.lit(":"), F.lit(1)).alias("agg_type"),
-            F.expr("substring(key, instr(key, ':') + 1)").alias("key"),
-            "value",
+    ValueAggregatorDescriptor TYPE_SEPARATOR contract).
+
+    strict=True (default) raises on a key with no type prefix or an
+    unknown aggregator type — a typo like ``LongValuesum:`` must not
+    silently produce empty output. strict=False filters them out.
+    """
+    has_sep = F.instr("key", ":") >= 1
+    if strict:
+        guarded = F.when(has_sep, F.col("key")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("aggregate: malformed descriptor (missing 'AggType:' prefix): "),
+                    F.col("key"),
+                )
+            )
         )
+        df = df_kv.select(guarded.alias("key"), "value")
+    else:
+        df = df_kv.where(has_sep)
+    parsed = df.select(
+        F.split_part("key", F.lit(":"), F.lit(1)).alias("agg_type"),
+        F.expr("substring(key, instr(key, ':') + 1)").alias("key"),
+        "value",
     )
+    if strict:
+        t = F.col("agg_type")
+        checked = F.when(t.isin(KNOWN_TYPES), t).otherwise(
+            F.raise_error(F.concat(F.lit("aggregate: unknown aggregator type: "), t))
+        )
+        parsed = parsed.select(checked.alias("agg_type"), "key", "value")
+    return parsed
 
 
 def aggregate_scalars(parsed: DataFrame, approx: bool = False) -> DataFrame:
@@ -88,7 +118,13 @@ def aggregate_scalars(parsed: DataFrame, approx: bool = False) -> DataFrame:
 def value_histogram(parsed: DataFrame) -> DataFrame:
     """ValueHistogram: per key, statistics over the FREQUENCIES of the
     distinct values (hadoop ValueHistogram report: unique-count, min,
-    median, max, average, stddev of the per-value counts)."""
+    median, max, average, stddev of the per-value counts).
+
+    Hadoop parity: the median is the sorted element at index n/2 (a
+    long, NOT interpolated), min/median/max are longs; avg/stddev are
+    computed from exact integer sums so the doubles are deterministic
+    across engines.
+    """
     freqs = (
         parsed.where(F.col("agg_type") == HISTOGRAM)
         .groupBy("agg_type", "key", "value")
@@ -97,17 +133,25 @@ def value_histogram(parsed: DataFrame) -> DataFrame:
     return freqs.groupBy("agg_type", "key").agg(
         F.count(F.lit(1)).alias("distinct_values"),
         F.min("cnt").alias("min_count"),
-        F.expr("percentile(cnt, 0.5)").alias("median_count"),
+        # sorted element at index n/2, 0-based -> element_at is 1-based
+        F.expr(
+            "element_at(sort_array(collect_list(cnt)), cast(count(1) div 2 as int) + 1)"
+        ).alias("median_count"),
         F.max("cnt").alias("max_count"),
-        F.avg("cnt").alias("avg_count"),
-        # population stddev like hadoop's ValueHistogram
-        F.coalesce(F.stddev_pop("cnt"), F.lit(0.0)).alias("stddev_count"),
+        F.expr("cast(sum(cnt) as double) / count(1)").alias("avg_count"),
+        # population stddev from exact integer sums: deterministic IEEE
+        # op sequence (sum_sq/n - mean*mean under one sqrt)
+        F.expr(
+            "sqrt(cast(sum(cnt * cnt) as double) / count(1) "
+            "- (cast(sum(cnt) as double) / count(1)) * (cast(sum(cnt) as double) / count(1)))"
+        ).alias("stddev_count"),
     )
 
 
 def histogram_report_lines(hist: DataFrame) -> DataFrame:
     """Serialize value_histogram output to the reference's tab-joined
-    report string (parity/pipe mode)."""
+    report string (parity/pipe mode): counts as longs, moments as
+    doubles."""
     value = F.concat_ws(
         "\t",
         F.col("distinct_values").cast("string"),
@@ -120,14 +164,14 @@ def histogram_report_lines(hist: DataFrame) -> DataFrame:
     return hist.select("agg_type", "key", value.alias("value"))
 
 
-def aggregate_reduce(df_kv: DataFrame, approx: bool = False) -> DataFrame:
+def aggregate_reduce(df_kv: DataFrame, approx: bool = False, strict: bool = True) -> DataFrame:
     """Full ``-reducer aggregate`` semantics: (key, value) lines where
     key = ``AggType:realkey`` -> aggregated (key, value) strings.
 
     Output key is the real key (the reducer strips the type prefix),
     matching the reference's final output layout (S8).
     """
-    parsed = parse_agg_key(df_kv)
+    parsed = parse_agg_key(df_kv, strict=strict)
     scalars = aggregate_scalars(parsed, approx=approx)
     hist = histogram_report_lines(value_histogram(parsed))
     return scalars.unionByName(hist).select("key", "value")

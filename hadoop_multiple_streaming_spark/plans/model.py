@@ -77,6 +77,10 @@ class JobSpec:
     branches: list[Branch]
     input_format: str = "text"  # text | keyvalue | parquet | csv | json
     input_options: dict[str, str] = field(default_factory=dict)
+    #: for typed inputs: project to these columns BEFORE serializing to
+    #: lines, so the pruning reaches the parquet scan (a scan that reads
+    #: all columns for a 2-column pipe feed is wrong at 100 TB)
+    input_columns: list[str] | None = None
     #: serialize typed inputs to lines with this separator before piping
     separator: str = "\t"
     num_key_fields: int = 1
@@ -88,6 +92,10 @@ class JobSpec:
     #: (input already fast/columnar and branches prune differently).
     share_mode: str = "persist"
     non_zero_exit_is_failure: bool = True
+    #: P8: skip records on subprocess write failure once this many were
+    #: written (stream.minRecWrittenToEnableSkip_,
+    #: MultiPipeMapRed.java:232-241); default = skipping disabled.
+    min_records_before_skip: int = 2**63 - 1
     overwrite: bool = False
 
     def __post_init__(self) -> None:

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.kv import with_key_val
 from ..operators.aggregate import aggregate_reduce
-from ..operators.pipe import PipeOptions, pipe_lines, pipe_map, pipe_reduce
+from ..operators.pipe import PipeOptions, make_counters, pipe_lines, pipe_map, pipe_reduce
 from ..sources.io import read_key_value_text, read_table, read_text, ship_files, table_to_lines, write_kv_text
 from .model import AGGREGATE, Branch, JobSpec
 
@@ -65,6 +65,8 @@ class BranchResult:
 class JobResult:
     results: list[BranchResult] = field(default_factory=list)
     seconds: float = 0.0
+    #: P7/O5: totals from the subprocess stderr counter protocol
+    counters: dict[str, int] = field(default_factory=dict)
 
     @property
     def succeeded(self) -> bool:
@@ -100,10 +102,22 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
     df = dfs[0]
     for other in dfs[1:]:
         df = df.unionByName(other)
+    if spec.input_columns:
+        df = df.select(*spec.input_columns)  # pruning reaches the scan
     return table_to_lines(df, spec.separator)
 
 
-def _apply_mapper(branch: Branch, lines: DataFrame, spec: JobSpec, opts: PipeOptions) -> DataFrame:
+def _pipe_options(spec: JobSpec, branch: Branch) -> PipeOptions:
+    return PipeOptions(
+        env={**spec.cmd_env, **branch.env},
+        non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+        min_records_before_skip=spec.min_records_before_skip,
+    )
+
+
+def _apply_mapper(
+    branch: Branch, lines: DataFrame, spec: JobSpec, opts: PipeOptions, counters=None
+) -> DataFrame:
     """mapper -> DataFrame[key, value]."""
     if branch.mapper is None:
         return with_key_val(lines, "line", spec.separator, spec.num_key_fields)
@@ -122,10 +136,14 @@ def _apply_mapper(branch: Branch, lines: DataFrame, spec: JobSpec, opts: PipeOpt
             f"native mapper for branch {branch.dir_key!r} must return "
             f"(key, value) or a single line column, got {out.columns}"
         )
-    return pipe_map(lines, branch.mapper, spec.separator, spec.num_key_fields, opts=opts)
+    return pipe_map(
+        lines, branch.mapper, spec.separator, spec.num_key_fields, opts=opts, counters=counters
+    )
 
 
-def _apply_reducer(branch: Branch, kv: DataFrame, spec: JobSpec, opts: PipeOptions) -> DataFrame:
+def _apply_reducer(
+    branch: Branch, kv: DataFrame, spec: JobSpec, opts: PipeOptions, counters=None
+) -> DataFrame:
     """reducer -> DataFrame[key, value] (or kv unchanged when map-only)."""
     if branch.is_map_only:
         return kv
@@ -140,6 +158,7 @@ def _apply_reducer(branch: Branch, kv: DataFrame, spec: JobSpec, opts: PipeOptio
         separator=spec.separator,
         num_key_fields=spec.num_key_fields,
         opts=opts,
+        counters=counters,
     )
 
 
@@ -152,38 +171,43 @@ def plan_branches(spark: SparkSession, spec: JobSpec) -> dict[str, DataFrame]:
         lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     out: dict[str, DataFrame] = {}
     for branch in spec.branches:
-        opts = PipeOptions(
-            env={**spec.cmd_env, **branch.env},
-            non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
-        )
+        opts = _pipe_options(spec, branch)
         kv = _apply_mapper(branch, lines, spec, opts)
         out[branch.dir_key] = _apply_reducer(branch, kv, spec, opts)
     return out
 
 
-def _materialize_phase1(spark: SparkSession, spec: JobSpec, mode: str) -> dict[str, DataFrame]:
+def _materialize_phase1(
+    spark: SparkSession, spec: JobSpec, mode: str, counters=None
+) -> dict[str, DataFrame]:
     """Reference phase 1: run every branch's MAPPER over the single
     scan and write out/mapoutput/<dirKey>/ in one concurrent wave; the
     reduce phase then reads those files (restartability at 100 TB —
-    the cache can't hold the input, but HDFS can)."""
+    the cache can't hold the input, but HDFS can).
+
+    The intermediate round-trips with ONE consistent framing: written
+    and re-read with spec.separator and spec.num_key_fields. (The
+    reference normalizes its intermediate to tab at
+    MultiPipeMapRed.java:462 but also re-splits it with the job's own
+    separator config in phase 2 — writing with the job separator keeps
+    both sides of our round-trip agreeing for any separator.)"""
     lines = _load_input(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
     inter: dict[str, DataFrame] = {}
 
     def write_map_output(branch: Branch) -> None:
-        opts = PipeOptions(
-            env={**spec.cmd_env, **branch.env},
-            non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
-        )
-        kv = _apply_mapper(branch, lines, spec, opts)
-        # intermediate normalized to key\tvalue (MultiPipeMapRed.java:462)
-        write_kv_text(kv, f"{spec.output}/mapoutput/{branch.dir_key}", "\t", mode=mode)
+        opts = _pipe_options(spec, branch)
+        kv = _apply_mapper(branch, lines, spec, opts, counters)
+        write_kv_text(kv, f"{spec.output}/mapoutput/{branch.dir_key}", spec.separator, mode=mode)
 
     with ThreadPoolExecutor(max_workers=min(len(spec.branches), 8)) as pool:
         list(pool.map(write_map_output, spec.branches))
     lines.unpersist()
     for branch in spec.branches:
         inter[branch.dir_key] = read_key_value_text(
-            spark, f"{spec.output}/mapoutput/{branch.dir_key}", "\t", spec.num_key_fields
+            spark,
+            f"{spec.output}/mapoutput/{branch.dir_key}",
+            spec.separator,
+            spec.num_key_fields,
         )
     return inter
 
@@ -201,16 +225,20 @@ def run_job(
     if spec.files:
         ship_files(spark, spec.files)
     mode = "overwrite" if spec.overwrite else "error"
+    # P7: one counters accumulator for the whole job — subprocess
+    # stderr `reporter:counter:...` lines land here (totals printed in
+    # the final branch summary). Task retries/speculation can
+    # over-count relative to Hadoop, which discards failed attempts.
+    counters = make_counters(spark)
 
     if spec.share_mode == "materialize":
-        inter = _materialize_phase1(spark, spec, mode)
+        inter = _materialize_phase1(spark, spec, mode, counters)
         plans = {}
         for branch in spec.branches:
-            opts = PipeOptions(
-                env={**spec.cmd_env, **branch.env},
-                non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
+            opts = _pipe_options(spec, branch)
+            plans[branch.dir_key] = _apply_reducer(
+                branch, inter[branch.dir_key], spec, opts, counters
             )
-            plans[branch.dir_key] = _apply_reducer(branch, inter[branch.dir_key], spec, opts)
         shared = None
     else:
         lines = _load_input(spark, spec)
@@ -220,12 +248,9 @@ def run_job(
             lines = shared
         plans = {}
         for branch in spec.branches:
-            opts = PipeOptions(
-                env={**spec.cmd_env, **branch.env},
-                non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
-            )
-            kv = _apply_mapper(branch, lines, spec, opts)
-            plans[branch.dir_key] = _apply_reducer(branch, kv, spec, opts)
+            opts = _pipe_options(spec, branch)
+            kv = _apply_mapper(branch, lines, spec, opts, counters)
+            plans[branch.dir_key] = _apply_reducer(branch, kv, spec, opts, counters)
 
     done: dict[str, BranchResult] = {}
     done_lock = threading.Lock()
@@ -274,4 +299,8 @@ def run_job(
     for r in results:  # final verdict (reportSuccessful, O3/O4)
         status = "SUCCEEDED" if r.success else f"FAILED: {r.error}"
         print(f"[runner] branch {r.dir_key}: {status} ({r.seconds:.1f}s) -> {r.output_path}")
+    totals = dict(counters.value) if counters.value else {}
+    result.counters = totals
+    for name in sorted(totals):  # O5: counter totals in the summary
+        print(f"[runner] counter {name} = {totals[name]}")
     return result

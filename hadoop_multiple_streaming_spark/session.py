@@ -36,6 +36,23 @@ class EngineConfig:
     field_separator: str = "\t"
     num_key_fields: int = 1
     cmd_env: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def from_conf(cls, conf: dict[str, str]) -> "EngineConfig":
+        """Map the reference's ``-D stream.*`` keys onto engine knobs
+        (consumed by cli.parse_job -> JobSpec -> PipeOptions)."""
+        cfg = cls()
+        nz = conf.pop("stream.non.zero.exit.is.failure", None)
+        if nz is not None:
+            cfg.non_zero_exit_is_failure = nz.strip().lower() != "false"
+        skip = conf.pop("stream.minrecwrittentoenableskip", None)
+        if skip is not None:
+            cfg.min_records_before_skip = int(skip)
+        cfg.field_separator = conf.pop("stream.map.output.field.separator", cfg.field_separator)
+        nkf = conf.pop("stream.num.map.output.key.fields", None)
+        if nkf is not None:
+            cfg.num_key_fields = int(nkf)
+        return cfg
     # scan sharing strategy for fan-out: "persist" (cache in executors,
     # right for inputs that fit cluster memory+disk) or "materialize"
     # (phase-1-style write of branch inputs, right at 100 TB where the

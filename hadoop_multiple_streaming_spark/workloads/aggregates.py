@@ -1,0 +1,149 @@
+"""Queries exercising the ``-reducer aggregate`` family (SURVEY §2.5)
+through the real operator path: descriptor lines ``AggType:key \\t
+value`` -> operators.aggregate.aggregate_reduce -> (key, value) strings.
+
+Oracle caveat: every oracle serializes the aggregate to VARCHAR exactly
+like the operator does; doubles are only used where the data is
+integral-valued (sums stay exact, so the string render matches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.kv import to_lines, with_key_val
+from ..operators.aggregate import aggregate_reduce, parse_agg_key, value_histogram
+from . import register
+from .tables import load
+
+
+def _kv(df: DataFrame, agg_type: str, key_col, value_col) -> DataFrame:
+    return df.select(
+        F.concat(F.lit(agg_type + ":"), key_col.cast("string")).alias("key"),
+        value_col.cast("string").alias("value"),
+    )
+
+
+@register(
+    "agg_long_sum",
+    oracle="""
+    SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_long_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongValueSum — routed through the FULL text path (typed table ->
+    tab lines -> splitKeyVal -> aggregate) to pin the line semantics,
+    exactly how a reference user feeds `-reducer aggregate`."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("LongValueSum:"), "l_returnflag").alias("k"),
+        F.col("l_linenumber").cast("string").alias("v"),
+    )
+    lines = to_lines(li, "\t")
+    kv = with_key_val(lines, "line", "\t", 1)
+    return aggregate_reduce(kv)
+
+
+@register(
+    "agg_long_max_min",
+    oracle="""
+    SELECT l_returnflag AS key, CAST(MAX(l_partkey) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_linestatus AS key, CAST(MIN(l_partkey) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_long_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongValueMax + LongValueMin multiplexed in ONE aggregate job —
+    both types share the single groupBy(agg_type, key) shuffle
+    (conditional aggregation), the Spark translation of Hadoop
+    aggregating every descriptor in one reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    kv = _kv(li, "LongValueMax", F.col("l_returnflag"), F.col("l_partkey")).unionByName(
+        _kv(li, "LongValueMin", F.col("l_linestatus"), F.col("l_partkey"))
+    )
+    return aggregate_reduce(kv)
+
+
+@register(
+    "agg_double_sum",
+    oracle="""
+    SELECT l_returnflag AS key, CAST(SUM(l_quantity) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_double_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoubleValueSum over integral-valued doubles (quantities) — the
+    sum is exact at any aggregation order so the string render is
+    engine-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    return aggregate_reduce(_kv(li, "DoubleValueSum", F.col("l_returnflag"), F.col("l_quantity")))
+
+
+@register(
+    "agg_string_max_min",
+    oracle="""
+    SELECT o_orderstatus AS key, MAX(o_orderpriority) AS value
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT concat('min_', o_orderstatus) AS key, MIN(o_orderpriority) AS value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_string_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringValueMax/StringValueMin (lexicographic)."""
+    o = load(spark, sf_dir, "orders")
+    kv = _kv(o, "StringValueMax", F.col("o_orderstatus"), F.col("o_orderpriority")).unionByName(
+        _kv(
+            o,
+            "StringValueMin",
+            F.concat(F.lit("min_"), "o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return aggregate_reduce(kv)
+
+
+@register(
+    "agg_uniq_count",
+    oracle="""
+    SELECT l_returnflag AS key, CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_uniq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount (exact). At 100 TB switch approx=True for the HLL
+    sketch — same query shape, no extra shuffle of distinct values."""
+    li = load(spark, sf_dir, "lineitem")
+    return aggregate_reduce(_kv(li, "UniqValueCount", F.col("l_returnflag"), F.col("l_suppkey")))
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+    WITH freqs AS (
+        SELECT event_type AS key, user_id AS value, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT key,
+           COUNT(*) AS distinct_values,
+           MIN(cnt) AS min_count,
+           (array_agg(cnt ORDER BY cnt))[CAST(COUNT(*)//2 AS INT) + 1] AS median_count,
+           MAX(cnt) AS max_count,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_count,
+           sqrt(CAST(SUM(cnt*cnt) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))) AS stddev_count
+    FROM freqs GROUP BY key
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram, typed output: per-key stats over the frequencies
+    of distinct values (Hadoop report semantics: non-interpolated
+    median at sorted index n/2, counts as longs, moments from exact
+    integer sums)."""
+    ev = load(spark, sf_dir, "events")
+    kv = _kv(ev, "ValueHistogram", F.col("event_type"), F.col("user_id"))
+    hist = value_histogram(parse_agg_key(kv))
+    return hist.drop("agg_type")

@@ -1,0 +1,247 @@
+"""Relational headline queries (TPC-H-style) — the native DataFrame
+surface the reference's users get for free when switching to Spark
+(SURVEY §2.6: joins/windows/set-ops are extension surface, expressed
+declaratively so Catalyst plans them: broadcast joins for dims,
+partial aggregation, predicate pushdown into the parquet scans).
+
+Exactness: money math goes through DECIMAL (exact, then one cast to
+double at the end); dates serialize to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .tables import load
+
+# decimal helpers — tight precisions so both engines stay exact without
+# hitting the 38-digit cap (Spark and DuckDB both cap at 38)
+_PRICE = "cast(l_extendedprice as decimal(14,2))"
+_DISC1 = "(cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(4,2)))"
+_TAX1 = "(cast(1.00 as decimal(3,2)) + cast(l_tax as decimal(4,2)))"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE)                          AS sum_qty,
+           CAST(SUM({_PRICE}) AS DOUBLE)                            AS sum_base_price,
+           CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE)                 AS sum_disc_price,
+           CAST(SUM({_PRICE} * {_DISC1} * {_TAX1}) AS DOUBLE)       AS sum_charge,
+           CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)               AS avg_qty,
+           CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*)                 AS avg_price,
+           CAST(SUM(cast(l_discount as decimal(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate. Filter + 7-column
+    projection push into the parquet scan; Catalyst does
+    partial+final hash aggregation (map-side combine, reference G4)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.expr(f"cast(sum({_PRICE}) as double)").alias("sum_base_price"),
+            F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("sum_disc_price"),
+            F.expr(f"cast(sum({_PRICE} * {_DISC1} * {_TAX1}) as double)").alias("sum_charge"),
+            F.expr("cast(sum(l_quantity) as double) / count(*)").alias("avg_qty"),
+            F.expr(f"cast(sum({_PRICE}) as double) / count(*)").alias("avg_price"),
+            F.expr(
+                "cast(sum(cast(l_discount as decimal(4,2))) as double) / count(*)"
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')        AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer filtered to one segment is small -> broadcast both join
+    sides' build relations; ties broken by l_orderkey so the LIMIT is
+    deterministic."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join (fact lineitem x 5 dims), all dims
+    broadcast so the only shuffle is the final groupBy(n_name)."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    joined = (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == dims.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue")
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(cast(value as decimal(14,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the events stream table — the batch
+    twin of the Structured Streaming windowed agg (streaming/fanout).
+    One shuffle; count-distinct planned as partial aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("cast(sum(cast(value as decimal(14,2))) as double)").alias("sum_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+    )
+
+
+@register(
+    "first_event_per_user",
+    oracle="""
+    SELECT user_id, event_type AS first_event,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (reference G5's secondary-sort use case
+    expressed natively): per-key ordered pick with deterministic
+    event_id tie-break."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_event"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "part_supplier_topn",
+    oracle="""
+    SELECT p_brand, s_name, cnt, total_qty FROM (
+        SELECT p_brand, s_name,
+               COUNT(*) AS cnt,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY CAST(SUM(l_quantity) AS DOUBLE) DESC, s_name
+               ) AS rn
+        FROM lineitem, part, supplier
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        GROUP BY p_brand, s_name
+    ) t WHERE rn <= 3
+    """,
+)
+def part_supplier_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped top-N per key (window over aggregate): the
+    'top suppliers per brand' pattern. Both dims broadcast; one shuffle
+    for the agg, window rides the same partitioning."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("total_qty"), F.asc("s_name"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "s_name", "cnt", "total_qty")
+    )

@@ -13,11 +13,32 @@ def kv_df(spark, pairs):
     return spark.createDataFrame([Row(key=k, value=v) for k, v in pairs])
 
 
-def test_parse_agg_key(spark):
-    df = kv_df(spark, [("LongValueSum:a", "1"), ("noprefix", "2"), ("T:k:with:colons", "3")])
-    rows = {(r.agg_type, r.key) for r in parse_agg_key(df).collect()}
+def test_parse_agg_key_strict_raises_on_missing_prefix(spark):
+    # Hadoop's ValueAggregator path fails loudly on malformed
+    # descriptors — a bare key must raise, not silently drop
+    import pytest
+
+    df = kv_df(spark, [("LongValueSum:a", "1"), ("noprefix", "2")])
+    with pytest.raises(Exception, match="missing 'AggType:' prefix"):
+        parse_agg_key(df).collect()
+
+
+def test_parse_agg_key_strict_raises_on_unknown_type(spark):
+    import pytest
+
+    df = kv_df(spark, [("LongValuesum:a", "1")])  # typo'd type
+    with pytest.raises(Exception, match="unknown aggregator type"):
+        parse_agg_key(df).collect()
+
+
+def test_parse_agg_key_lenient_drops(spark):
+    df = kv_df(
+        spark,
+        [("LongValueSum:a", "1"), ("noprefix", "2"), ("ValueHistogram:k:with:colons", "3")],
+    )
+    rows = {(r.agg_type, r.key) for r in parse_agg_key(df, strict=False).collect()}
     # no-colon lines dropped; only FIRST colon splits
-    assert rows == {("LongValueSum", "a"), ("T", "k:with:colons")}
+    assert rows == {("LongValueSum", "a"), ("ValueHistogram", "k:with:colons")}
 
 
 def test_long_value_sum(spark):
@@ -60,7 +81,9 @@ def test_value_histogram(spark):
     assert row.key == "h"
     assert row.distinct_values == 2
     assert row.min_count == 1 and row.max_count == 3
-    assert row.median_count == 2.0 and row.avg_count == 2.0
+    # Hadoop parity: median = sorted element at index n/2 (a long, not
+    # interpolated): sorted counts [1,3], index 1 -> 3
+    assert row.median_count == 3 and row.avg_count == 2.0
     assert abs(row.stddev_count - 1.0) < 1e-9  # population stddev of [3,1]
 
 

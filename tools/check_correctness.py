@@ -1,0 +1,127 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet tables, compare row count + schema + order-insensitive
+value hash. Run this BEFORE committing any new query.
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, stringified frame (mimics an
+    order-insensitive value hash)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: _render(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _render(v) -> str:
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "<null>"
+    if isinstance(v, float):
+        return repr(v)  # shortest roundtrip — bit-exact comparison
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(_render(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.floating):
+            return repr(float(v))
+        if isinstance(v, np.integer):
+            return str(int(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    payload = canon(df).to_csv(index=False).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, REPO)
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+
+    from hadoop_multiple_streaming_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows (no oracle) [{dt:.1f}s]")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} != {len(want)}")
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(want.columns)}")
+        if not problems:
+            gh, wh = value_hash(got), value_hash(want)
+            if gh != wh:
+                problems.append(f"value hash {gh} != {wh}")
+                a, b = canon(got), canon(want)
+                diff = a.compare(b) if a.shape == b.shape else None
+                if diff is not None and not diff.empty:
+                    print(diff.head(5))
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)} [{dt:.1f}s]")
+        else:
+            print(f"OK    {name}: {len(got)} rows [{dt:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
