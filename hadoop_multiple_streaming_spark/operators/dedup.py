@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — all DataFrame-native (no Python UDFs; every expression is
+Catalyst/codegen-friendly).
+
+Cross-engine determinism (so a SQL oracle can replay the math):
+  * all hashing is md5 (identical hex everywhere);
+  * MinHash uses per-seed lexicographic-min of md5(shingle + '#' + seed)
+    instead of modular hash families — same power, portable;
+  * SimHash bits come from md5 hex nibbles; bit sums are exact integer
+    arithmetic;
+  * embedding math quantizes floats to integers (round(x * 1e6)) so
+    dot products and norms are EXACT (integer-valued doubles < 2^53
+    stay exact under any summation order).
+
+Scale notes (100 TB):
+  * exact dedup = one hash-shuffle on the content hash (map-side
+    partial combine applies); dedupe by min-id keeps a deterministic
+    representative.
+  * MinHash: cost = |shingles| x num_hashes md5 calls + one shuffle per
+    groupBy(id, seed); band buckets join is the scale path — candidate
+    pairs only, never the full O(n^2) pair space.
+  * n-gram Jaccard self-join explodes on hot shingles — use it to
+    VERIFY LSH candidates at scale, not to generate pairs from scratch.
+  * SimHash per-doc cost is O(tokens x bits) integer ops but needs no
+    pair join at all until the hamming comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct key_cols content, keeping the
+    smallest id as the deterministic representative (dropDuplicates
+    keeps an arbitrary row — unusable for reproducible pipelines)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+    Tokenization = split on single space (documents are single-spaced);
+    docs with fewer than n tokens produce no shingles."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, seed, mh): per-seed MinHash = lexicographic min of
+    md5(shingle + '#' + seed). One shuffle (groupBy id, seed); the
+    md5 work is embarrassingly parallel map-side."""
+    return (
+        shingles.select(
+            "id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws("#", "shingle", "seed"))).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Band the signature (band = seed div rows_per_band), hash each
+    band's row-minhashes to a bucket key, and emit distinct id pairs
+    sharing any bucket. This is the LSH scale path: the join is on
+    (band, bucket) — O(candidates), never O(n^2)."""
+    buckets = (
+        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(seed, mh))), "
+                    "x -> x.mh), ',')"
+                )
+            ).alias("bucket")
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets: |A ∩ B| / |A ∪ B| >= threshold.
+    With ``candidates`` (e.g. from lsh_candidate_pairs) the intersect
+    join is restricted to candidate pairs — the 100 TB mode. Without,
+    it self-joins on shingle (only sane at small scale / after LSH)."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    counts = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        counts.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash: 64-bit fingerprint per document as a '0'/'1' string.
+    bit_j = sign of sum over tokens of freq * (2*b_j(md5(token)) - 1),
+    where b_j extracts bit j from the md5 hex nibble j//4. All-integer
+    arithmetic: exact and engine-independent. Per-doc cost is
+    O(distinct tokens x bits) with no joins — the cheapest near-dup
+    sketch at 100 TB (pairing is hamming distance on fingerprints)."""
+    freqs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    contrib = F.expr(
+        f"transform(sequence(0, {bits - 1}), j -> freq * (2 * ("
+        "shiftright(instr('0123456789abcdef', substr(md5(tok), "
+        "cast(j div 4 as int) + 1, 1)) - 1, 3 - cast(j % 4 as int)) % 2"
+        ") - 1))"
+    )
+    return (
+        freqs.select("id", contrib.alias("contrib"))
+        .groupBy("id")
+        .agg(
+            F.expr(
+                f"array_join(transform(aggregate(collect_list(contrib), "
+                f"array_repeat(0L, {bits}), (acc, x) -> zip_with(acc, x, (p, q) -> p + q)), "
+                "s -> case when s > 0 then '1' else '0' end), '')"
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs of fingerprints within a hamming radius. Small-scale form
+    (pairwise); at scale, block on bit-bands first (pigeonhole: any
+    pair within hamming d shares at least one of d+1 equal-width
+    bands) — same banding machinery as lsh_candidate_pairs."""
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.expr(
+        "size(filter(zip_with(split(a.simhash, ''), split(b.simhash, ''), "
+        "(x, y) -> x <> y), v -> v))"
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- embedding near-duplicates
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, qv, n2[, keep_cols...]): integer-quantized vector
+    (round(x * scale)) and its exact squared norm. All downstream
+    dots/norms are exact integer-valued doubles — deterministic across
+    engines and summation orders (values stay < 2^53)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+        ).alias("qv"),
+        *(keep_cols or []),
+    ).withColumn("n2", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+
+
+def _dot(qa: str, qb: str) -> Column:
+    return F.expr(f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+
+
+def embedding_cosine_pairs(quantized: DataFrame, threshold: float) -> DataFrame:
+    """All pairs with cosine >= threshold (exact quantized cosine).
+    Pairwise form for modest n; the scale path buckets vectors first
+    (see similarity.ivf_topk / LSH) and verifies with this cosine."""
+    a, b = quantized.alias("a"), quantized.alias("b")
+    cos = (_dot("a.qv", "b.qv").cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
+    ))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k as the exact baseline, and an IVF-style
+bucket-pruned variant as the scale path.
+
+Math rides the quantized-integer cosine from operators.dedup
+(exact, engine-independent). Everything is DataFrame expressions —
+the dot product is a zip_with/aggregate fold inside codegen, not a
+Python UDF.
+
+Scale notes (100 TB of vectors):
+  * brute force is O(|queries| x |corpus|); right only when queries
+    are few — broadcast the QUERIES (small side), stream the corpus,
+    per-partition top-k partial aggregation before the final top-k
+    (Spark's window/orderBy does this via partial sort + AQE).
+  * IVF: corpus pre-partitioned by a coarse quantizer (here the
+    `label` column stands in for the centroid assignment; in a real
+    pipeline compute it with KMeans once and bucket/partition the
+    table by it). A query probes only its bucket(s) — the classic
+    inverted-file pruning; at 1000 executors this is a partition-
+    pruned scan instead of a full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force top-k: for every query vector, the k corpus
+    vectors with highest cosine. Inputs are quantized frames from
+    dedup.quantize_embeddings (id, qv, n2). Ties broken by corpus id
+    so results are fully deterministic."""
+    q = queries.select(
+        F.col("id").alias("query_id"), F.col("qv").alias("q_qv"), F.col("n2").alias("q_n2")
+    )
+    joined = corpus.join(F.broadcast(q), F.col("query_id") != F.col("id") if exclude_self else F.lit(True))
+    cos = _dot("q_qv", "qv").cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = joined.select(
+        "query_id", F.col("id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bucket_col: str = "bucket",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-pruned top-k: candidates restricted to the query's coarse
+    bucket (nprobe=1). Inputs carry (id, qv, n2, bucket). The join key
+    is the bucket — a co-partitioned/broadcastable join instead of the
+    all-pairs product."""
+    q = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"),
+        F.col(bucket_col).alias("q_bucket"),
+    )
+    joined = corpus.join(
+        F.broadcast(q),
+        (F.col("q_bucket") == F.col(bucket_col)) & (F.col("query_id") != F.col("id")),
+    )
+    cos = _dot("q_qv", "qv").cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = joined.select(
+        "query_id", F.col("id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,1 +1,146 @@
-"""Filled in below (round 2)."""
+"""Dedup workload queries over the documents/embeddings tables —
+exact, MinHash+LSH, n-gram Jaccard, SimHash, and embedding-cosine
+near-dup, each verified bit-for-bit by a DuckDB oracle that replays
+the same md5/integer math (operators.dedup determinism contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quantize_embeddings,
+    simhash_fingerprints,
+    word_shingles,
+)
+from . import register
+from .tables import load
+
+# shared oracle CTE: distinct word 3-gram shingles per doc
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) u(i))
+"""
+
+# shared oracle CTE: integer-quantized embeddings + exact squared norms
+_QUANT_CTE = """
+q AS (SELECT vec_id AS id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+n AS (SELECT id, label, qv, list_inner_product(qv, qv) AS n2 FROM q)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash with deterministic min-id
+    representative — one hash shuffle, map-side combined."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_hash"), "doc_id"
+    )
+    return exact_dedup(docs, ["content_hash"], "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, seed, MIN(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS mh
+            FROM sh, UNNEST(range(0, 16)) s(seed) GROUP BY id, seed),
+    buckets AS (SELECT id, seed // 2 AS band,
+                       md5(array_to_string(array_agg(mh ORDER BY seed), ',')) AS bucket
+                FROM sig GROUP BY id, seed // 2)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs —
+    the O(candidates) scale path for near-dup detection."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    return lsh_candidate_pairs(sig, rows_per_band=2)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.id = id_a
+    JOIN sizes nb ON nb.id = id_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.8 (the verify stage after
+    LSH candidate generation; run standalone here to pin the math)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH freqs AS (
+        SELECT doc_id AS id, tok, COUNT(*) AS freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY 1, 2
+    ),
+    bits AS (
+        SELECT id, j,
+               SUM(freq * (2 * (((strpos('0123456789abcdef',
+                                         substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                                 >> CAST(3 - j % 4 AS INT)) & 1) - 1)) AS s
+        FROM freqs, UNNEST(range(0, 64)) t(j)
+        GROUP BY 1, 2
+    )
+    SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM bits GROUP BY id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (integer-exact bit votes from md5
+    nibbles); pairing is hamming distance on these — no join needed to
+    produce the sketch itself."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "text", "doc_id", bits=64)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_QUANT_CTE}
+    SELECT a.id AS id_a, b.id AS id_b,
+           list_inner_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+    FROM n a JOIN n b ON a.id < b.id
+    WHERE list_inner_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact quantized cosine >= 0.45
+    (pairwise verify form; LSH/IVF bucket first at scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    return embedding_cosine_pairs(q, threshold=0.45)

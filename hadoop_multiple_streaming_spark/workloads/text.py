@@ -1,1 +1,142 @@
-"""Filled in below (round 2)."""
+"""Text-analysis workload queries over the documents table: token
+counting, quality scoring, language ID, fingerprinting — each
+oracle-verified (functions.textanalysis keeps the math SQL-replicable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textanalysis import (
+    LANG_MARKERS,
+    STOPWORDS,
+    content_fingerprint,
+    langid,
+    min_shingle_fingerprint,
+    quality_features,
+    regex_token_count,
+    ws_token_count,
+)
+from . import register
+from .tables import load
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_re_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex (BPE-ish pre-tokenizer) token counts."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("n_ws_tokens"),
+        regex_token_count("text").alias("n_re_tokens"),
+    )
+
+
+def _stop_list_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_chars_text,
+               len({_TOKS}) AS n_words,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 CAST(list_aggregate(list_transform({_TOKS}, t -> strlen(t)), 'sum') AS DOUBLE)
+                 / len({_TOKS})
+               ELSE 0.0 END AS avg_word_len,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 CAST(len(list_filter({_TOKS}, t -> list_contains({{stops}}, t))) AS DOUBLE)
+                 / len({_TOKS})
+               ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN strlen(text) > 0 THEN
+                 CAST(strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / CAST(strlen(text) AS BIGINT)
+               ELSE 0.0 END AS nonalnum_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_chars_text, n_words, avg_word_len, stopword_ratio, nonalnum_ratio,
+           least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+             * (1.0 - stopword_ratio / 2.0) * (1.0 - nonalnum_ratio) AS quality_score
+    FROM feat
+    """.replace("{stops}", _stop_list_sql()),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score (length credit x stopword
+    discount x punctuation discount), all from exact integer sums."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_text",
+        "n_words",
+        "avg_word_len",
+        "stopword_ratio",
+        "nonalnum_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        arr = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"CAST(len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH scores AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, lang, {', '.join(f'score_{lang}' for lang in langs)},
+           {case} AS predicted_lang
+    FROM scores
+    """
+
+
+@register("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax of per-language marker
+    hits, alphabetical tie-break)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return langid(docs, "text").drop("text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+           list_aggregate(
+               list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))),
+               'min') AS shingle_min_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact md5 of normalized text + rolling
+    min-shingle fingerprint (1-hash MinHash, edit-robust)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_fingerprint("text").alias("content_md5"),
+        min_shingle_fingerprint("text", n=3).alias("shingle_min_fp"),
+    )

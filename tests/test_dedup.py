@@ -1,0 +1,101 @@
+"""Unit tests for the dedup operator family (operators.dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quantize_embeddings,
+    simhash_fingerprints,
+    simhash_near_pairs,
+    word_shingles,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_min_id_representative(spark):
+    df = spark.createDataFrame(
+        [(5, "x"), (2, "x"), (9, "y")], "doc_id long, text string"
+    )
+    got = {r.text: (r.keep_id, r.dup_cnt) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert got == {"x": (2, 2), "y": (9, 1)}
+
+
+def test_word_shingles(spark):
+    df = docs_df(spark, [(1, "a b c d"), (2, "a b")])
+    got = {(r.id, r.shingle) for r in word_shingles(df, "text", "doc_id", n=3).collect()}
+    # doc 1: two 3-gram shingles; doc 2 too short -> none
+    assert got == {(1, "a b c"), (1, "b c d")}
+
+
+def test_minhash_lsh_pairs_identical_docs(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words in this other document here now"),
+        ],
+    )
+    sh = word_shingles(df, "text", "doc_id")
+    sig = minhash_signatures(sh, num_hashes=8)
+    # identical shingle sets -> identical signatures for every seed
+    sigs = {(r.id, r.seed): r.mh for r in sig.collect()}
+    for seed in range(8):
+        assert sigs[(1, seed)] == sigs[(2, seed)]
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, rows_per_band=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 shingles {ab c, b c d}; doc2 shares exactly one of two
+    df = docs_df(spark, [(1, "a b c d"), (2, "b c d e")])
+    got = ngram_jaccard_pairs(word_shingles(df, "text", "doc_id"), threshold=0.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc1 {a b c, b c d}, doc2 {b c d, c d e}: inter 1, union 3
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert abs(r.jaccard - 1 / 3) < 1e-12
+
+
+def test_simhash_identity_and_pairs(spark):
+    df = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    fps = simhash_fingerprints(df, "text", "doc_id")
+    got = {r.id: r.simhash for r in fps.collect()}
+    assert got[1] == got[2] and len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+    assert got[1] != got[3]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(fps, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.6, 0.8, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_cosine_pairs(q, 0.75).collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert abs(got[(1, 2)] - 1.0) < 1e-12
+    assert abs(got[(3, 4)] - 0.8) < 1e-9  # cos((1,0),(0.6,0.8)) pairs via (3,4)=0.8

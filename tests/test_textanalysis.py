@@ -1,0 +1,67 @@
+"""Unit tests for text analysis (functions.textanalysis)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.functions.textanalysis import (
+    content_fingerprint,
+    langid,
+    min_shingle_fingerprint,
+    quality_features,
+    regex_token_count,
+    ws_token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "foo bar2  baz-qux")], "id long, text string")
+    r = df.select(
+        ws_token_count("text").alias("ws"), regex_token_count("text").alias("re")
+    ).collect()[0]
+    assert r.ws == 3  # double space produces an empty token, filtered
+    assert r.re == 4  # foo, bar2, baz, qux
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "id long, text string")
+    r = quality_features(df, "text").collect()[0]
+    assert r.n_words == 6
+    assert abs(r.stopword_ratio - 3 / 6) < 1e-12  # the, on, the
+    assert r.nonalnum_ratio == 0.0
+    assert abs(r.avg_word_len - 17 / 6) < 1e-12
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_langid_marker_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walk to the park"),
+            (2, "der Hund und die Katze sind nicht da und das ist gut"),
+            (3, "xyzzy plugh"),  # no markers anywhere -> tie -> 'de'
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.predicted_lang for r in langid(df, "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "de"  # alphabetical tie-break is deterministic
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello world extra words here")],
+        "id long, text string",
+    )
+    got = {
+        r.id: (r.fp, r.sfp)
+        for r in df.select(
+            "id",
+            content_fingerprint("text").alias("fp"),
+            min_shingle_fingerprint("text", n=3).alias("sfp"),
+        ).collect()
+    }
+    # case/whitespace-normalized content hash matches
+    assert got[1][0] == got[2][0]
+    # doc 3 contains 'hello world extra' shingles; short docs hash their whole text
+    assert got[3][1] is not None and len(got[3][1]) == 32
