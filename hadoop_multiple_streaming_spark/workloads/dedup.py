@@ -71,7 +71,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 hashes) + LSH (8 bands x 2 rows) candidate pairs —
     the O(candidates) scale path for near-dup detection."""
-    docs = load(spark, sf_dir, "documents")
+    # repartition: the docs table is one small parquet file (one scan
+    # partition); the md5-heavy shingling must spread across cores —
+    # at 100 TB the scan itself yields enough partitions
+    docs = load(spark, sf_dir, "documents").repartition(32)
     sh = word_shingles(docs, "text", "doc_id", n=3)
     sig = minhash_signatures(sh, num_hashes=16)
     return lsh_candidate_pairs(sig, rows_per_band=2)
@@ -95,7 +98,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.8 (the verify stage after
     LSH candidate generation; run standalone here to pin the math)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(32)
     sh = word_shingles(docs, "text", "doc_id", n=3)
     return ngram_jaccard_pairs(sh, threshold=0.8)
 
@@ -124,7 +127,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (integer-exact bit votes from md5
     nibbles); pairing is hamming distance on these — no join needed to
     produce the sketch itself."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").repartition(32)
     return simhash_fingerprints(docs, "text", "doc_id", bits=64)
 
 

@@ -40,7 +40,14 @@ def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     text -> pipe mapper (word\\t1) -> repartition+sortWithinPartitions
     by key -> pipe reducer (streaming sum over the sorted partition) —
     reference P1+G1+P2 in one query (README.md:8-11's WC branch)."""
-    docs = load(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    # repartition: pipe parallelism == partition count (one subprocess
+    # per partition; the docs parquet is a single small file -> one
+    # partition -> one subprocess without this)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("text").alias("line"))
+        .repartition(16)
+    )
     kv = pipe_map(docs, _script("wc_map.py"))
     out = pipe_reduce(kv, _script("wc_red.py"), num_partitions=8)
     return out.select("key", F.col("value").cast("long").alias("cnt"))

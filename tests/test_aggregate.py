@@ -13,22 +13,22 @@ def kv_df(spark, pairs):
     return spark.createDataFrame([Row(key=k, value=v) for k, v in pairs])
 
 
-def test_parse_agg_key_strict_raises_on_missing_prefix(spark):
+def test_aggregate_strict_raises_on_missing_prefix(spark):
     # Hadoop's ValueAggregator path fails loudly on malformed
-    # descriptors — a bare key must raise, not silently drop
+    # descriptors — a bare key must fail the job, not silently drop
     import pytest
 
     df = kv_df(spark, [("LongValueSum:a", "1"), ("noprefix", "2")])
     with pytest.raises(Exception, match="missing 'AggType:' prefix"):
-        parse_agg_key(df).collect()
+        aggregate_reduce(df).collect()
 
 
-def test_parse_agg_key_strict_raises_on_unknown_type(spark):
+def test_aggregate_strict_raises_on_unknown_type(spark):
     import pytest
 
     df = kv_df(spark, [("LongValuesum:a", "1")])  # typo'd type
     with pytest.raises(Exception, match="unknown aggregator type"):
-        parse_agg_key(df).collect()
+        aggregate_reduce(df).collect()
 
 
 def test_parse_agg_key_lenient_drops(spark):

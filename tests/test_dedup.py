@@ -47,10 +47,10 @@ def test_minhash_lsh_pairs_identical_docs(spark):
     )
     sh = word_shingles(df, "text", "doc_id")
     sig = minhash_signatures(sh, num_hashes=8)
-    # identical shingle sets -> identical signatures for every seed
-    sigs = {(r.id, r.seed): r.mh for r in sig.collect()}
-    for seed in range(8):
-        assert sigs[(1, seed)] == sigs[(2, seed)]
+    # identical shingle sets -> identical signature arrays
+    sigs = {r.id: r.sig for r in sig.collect()}
+    assert sigs[1] == sigs[2] and len(sigs[1]) == 8
+    assert all(len(h) == 32 for h in sigs[1])  # real md5s, no 'g' left
     pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, rows_per_band=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
