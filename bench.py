@@ -28,7 +28,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "events_hourly_rollup",
+    "events_sessionize",
     "part_supplier_topn",
     "pipe_wordcount",
     "agg_long_sum",

@@ -205,6 +205,133 @@ def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE} * cast(l_discount as decimal(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no grouping — the
+    predicate-pushdown showcase (all four filters reach the parquet
+    scan; doubles compare exactly because the data is 2-decimal)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                f"cast(sum({_PRICE} * cast(l_discount as decimal(4,2))) as double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "customer_order_counts",
+    oracle="""
+    SELECT order_cnt, COUNT(*) AS n_customers FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t GROUP BY order_cnt
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + double aggregation (customers by
+    how many orders they placed, zeros included via the left join)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) // 1000000
+                         - lag(epoch_us(ts) // 1000000) OVER w <= 1800
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap): lag +
+    cumulative-sum windows, both riding ONE hash partitioning on
+    user_id (no extra shuffle between the two window functions)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") <= 1800,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
+    "secondary_sort_events",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
+               AS ordered_events
+    FROM events GROUP BY user_id
+    """,
+)
+def secondary_sort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-sort surface (reference G5: KeyFieldBasedComparator):
+    per key, the value stream in a caller-chosen order — here as an
+    ordered aggregation (sort_array over structs, one shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), "
+            "x -> x.event_type), ',')"
+        ).alias("ordered_events")
+    )
+
+
+@register(
     "part_supplier_topn",
     oracle="""
     SELECT p_brand, s_name, cnt, total_qty FROM (

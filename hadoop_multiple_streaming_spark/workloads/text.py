@@ -118,6 +118,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid(docs, "text").drop("text")
 
 
+@register("text_profile")  # rows-only: rolling-hash fold isn't ANSI-SQL
+def text_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document profile (operators.text.text_profile):
+    token counts, ratios, language guess, quality, polynomial rolling-
+    hash fingerprint — a single projection, no shuffle. No oracle: the
+    sequential hash fold has no ANSI-SQL equivalent (the driver records
+    the weaker rows-only check)."""
+    from ..operators.text import text_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return text_profile(docs, "text", "doc_id")
+
+
 @register(
     "text_fingerprint",
     oracle="""

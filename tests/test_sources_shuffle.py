@@ -1,0 +1,112 @@
+"""Tests for sources/sinks (S4/S6/S7) and the shuffle surface
+(G1/G2/G5), plus the materialize-mode separator regression."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.operators.shuffle import (
+    group_sorted,
+    parse_key_field_options,
+    partition_sort,
+)
+from hadoop_multiple_streaming_spark.plans.model import Branch, JobSpec
+from hadoop_multiple_streaming_spark.plans.runner import run_job
+from hadoop_multiple_streaming_spark.sources.io import (
+    read_custom_framing,
+    read_sequence_as_text,
+    write_demux,
+)
+
+
+def test_sequence_file_as_text(spark, tmp_path):
+    # S4: write a real Hadoop SequenceFile via the RDD API, read it
+    # back stringified
+    path = str(tmp_path / "seq")
+    spark.sparkContext.parallelize([("k1", "v1"), ("k2", "v2")], 2).saveAsSequenceFile(path)
+    got = {(r.key, r.value) for r in read_sequence_as_text(spark, path).collect()}
+    assert got == {("k1", "v1"), ("k2", "v2")}
+
+
+def test_custom_framing(spark, tmp_path):
+    # S6: records separated by a custom delimiter instead of newline
+    p = tmp_path / "framed.txt"
+    p.write_text("rec1|rec2|rec3")
+    got = sorted(r.line for r in read_custom_framing(spark, str(p), "|").collect())
+    assert got == ["rec1", "rec2", "rec3"]
+
+
+def test_write_demux_layout(spark, tmp_path):
+    # S7: route records to subdirectories by key, key dropped from
+    # contents (PartitionByKeyField semantics)
+    df = spark.createDataFrame(
+        [("A", "one"), ("B", "two"), ("A", "three")], "dir_key string, line string"
+    )
+    out = str(tmp_path / "demux")
+    write_demux(df, out)
+    a = sorted(r.value for r in spark.read.text(out + "/dir_key=A").collect())
+    b = sorted(r.value for r in spark.read.text(out + "/dir_key=B").collect())
+    assert a == ["one", "three"] and b == ["two"]
+
+
+def test_partition_sort_secondary_sort(spark):
+    # G5: partition on key field 1, sort by fields 1 asc + 2 desc —
+    # each partition holds whole key-groups in order
+    rows = [(f"{k}\t{i}", "v") for k in ["a", "b"] for i in [1, 3, 2]]
+    df = spark.createDataFrame(rows, "key string, value string")
+    arranged = partition_sort(
+        df, 2, partition_fields=[1], sort_fields=[(1, True), (2, False)], separator="\t"
+    )
+    parts = arranged.rdd.glom().collect()
+    for part in parts:
+        keys = [r.key for r in part]
+        by_first = {}
+        for key in keys:
+            by_first.setdefault(key.split("\t")[0], []).append(key.split("\t")[1])
+        for first, seconds in by_first.items():
+            assert seconds == sorted(seconds, reverse=True), (first, seconds)
+    # every key-group lives in exactly one partition
+    first_fields = [{k.split("\t")[0] for k in (r.key for r in part)} for part in parts]
+    all_firsts = [f for s in first_fields for f in s]
+    assert len(all_firsts) == len(set(all_firsts))
+
+
+def test_group_sorted_contract(spark):
+    df = spark.createDataFrame(
+        [(k, str(i)) for i, k in enumerate("bacbac")], "key string, value string"
+    )
+    parts = group_sorted(df, 3).rdd.glom().collect()
+    for part in parts:
+        keys = [r.key for r in part]
+        assert keys == sorted(keys)
+
+
+def test_parse_key_field_options():
+    assert parse_key_field_options("-k1,1 -k2,2nr") == [(1, True), (2, False)]
+    assert parse_key_field_options("-k3") == [(3, True)]
+    with pytest.raises(ValueError):
+        parse_key_field_options("bogus")
+
+
+def test_materialize_mode_custom_separator(spark, tmp_path):
+    # regression: materialize mode used to write the intermediate with
+    # a hardcoded tab but read it back expecting the job separator,
+    # corrupting every non-tab job ('a,b,v1' came back as 'a,b\tv1,')
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "data.txt").write_text("a,b,v1\na,b,v2\nc,d,v3\n")
+    spec = JobSpec(
+        inputs=[str(indir)],
+        output=str(tmp_path / "out"),
+        branches=[Branch("CAT", mapper=None, reducer="cat")],
+        separator=",",
+        num_key_fields=2,
+        share_mode="materialize",
+    )
+    result = run_job(spark, spec)
+    assert result.succeeded
+    lines = sorted(
+        r.value for r in spark.read.text(str(tmp_path / "out" / "CAT")).collect()
+    )
+    assert lines == ["a,b,v1", "a,b,v2", "c,d,v3"]
