@@ -332,6 +332,95 @@ def secondary_sort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract fields from a JSON string
+    column (get_json_object stays JVM-side; no Python parsing)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.get_json_object("props", "$.k")).alias("n_with_k"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH early AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+         late AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late) t
+    UNION ALL
+    SELECT 'early_only' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late) t
+    UNION ALL
+    SELECT 'late_only' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early) t
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (INTERSECT / EXCEPT): customer cohorts
+    by order-date era. The reference has no set ops at all (§2.6);
+    Spark plans them as hash semi/anti joins."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    early = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    late = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    both = early.intersect(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    early_only = early.exceptAll(late).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("early_only").alias("cohort"), "n"
+    )
+    late_only = late.exceptAll(early).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("late_only").alias("cohort"), "n"
+    )
+    return both.unionByName(early_only).unionByName(late_only)
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (ROLLUP): per (flag, status), per flag,
+    and grand total in one pass — Catalyst plans it as a single Expand
+    + hash aggregation (SURVEY §2.5: free once DataFrame-based)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
     "part_supplier_topn",
     oracle="""
     SELECT p_brand, s_name, cnt, total_qty FROM (
