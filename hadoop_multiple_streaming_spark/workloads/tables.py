@@ -30,6 +30,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lowers TIMESTAMP_NS into micros-based functions)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the rebuilt ts is a TZ-aware timestamp; date_format/date_trunc
+        # on it follow the session timezone, so pin UTC here — the
+        # driver's session may not have been built by our factory
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
