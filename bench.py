@@ -61,14 +61,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in workloads.QUERIES]
-    # warm the JVM/codegen path once with the cheapest query so the
-    # first timed query doesn't pay session startup costs
-    try:
-        workloads.QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode(
-            "overwrite"
-        ).format("noop").save()
-    except Exception:
-        pass
+    # warm pass: run every query once untimed so the timed pass
+    # measures steady-state execution, not Janino codegen compilation
+    # (the generated-code cache is keyed by the physical plan, which
+    # AQE specializes per scale factor — so warm at the SAME sf_dir)
+    for name in names:
+        try:
+            workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in names:

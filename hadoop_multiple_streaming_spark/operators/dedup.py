@@ -109,9 +109,16 @@ def minhash_seed_rows(signatures: DataFrame) -> DataFrame:
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     """Band the signature array (band b = elements [b*r, (b+1)*r)),
     hash each band to a bucket key, and emit distinct id pairs sharing
-    any bucket. This is the LSH scale path: the join is on
-    (band, bucket) — O(candidates), never O(n^2). Bands come straight
-    off the signature array (no second aggregation)."""
+    any bucket. This is the LSH scale path — O(candidates), never the
+    O(n^2) pair space.
+
+    Planned as groupBy(band, bucket) + in-bucket pair expansion rather
+    than a bucket self-join: a self-join would compute the whole
+    shingle->signature pipeline TWICE (Spark does not reuse the common
+    subplan across join sides; measured ~2x). Skew note: a bucket of m
+    near-identical docs expands to m(m-1)/2 pairs in one task — at
+    100 TB cap pathological buckets (e.g. `size(ids) <= K` guard) or
+    salt them before expansion."""
     buckets = signatures.select(
         "id",
         F.expr(
@@ -119,15 +126,19 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
             f"b -> md5(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ','))))"
         ).alias("band", "bucket"),
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.groupBy("band", "bucket")
+        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
         .distinct()
     )
 
@@ -143,14 +154,21 @@ def ngram_jaccard_pairs(
     join is restricted to candidate pairs — the 100 TB mode. Without,
     it self-joins on shingle (only sane at small scale / after LSH)."""
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingles.alias("a"), shingles.alias("b")
+    # co-occurrence via groupBy(shingle) + in-group pair expansion (one
+    # computation of the shingle pipeline instead of a self-join's two)
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+        shingles.groupBy("shingle")
+        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
     )
     if candidates is not None:
         inter = inter.join(candidates, ["id_a", "id_b"])
