@@ -22,4 +22,20 @@ appear only inside the pipe operator where exact line-in/line-out
 subprocess semantics are required.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .plans.model import AGGREGATE, NONE, Branch, JobSpec  # noqa: E402,F401
+from .plans.runner import JobResult, plan_branches, run_job  # noqa: E402,F401
+from .session import EngineConfig, get_spark  # noqa: E402,F401
+
+__all__ = [
+    "AGGREGATE",
+    "NONE",
+    "Branch",
+    "EngineConfig",
+    "JobResult",
+    "JobSpec",
+    "get_spark",
+    "plan_branches",
+    "run_job",
+]

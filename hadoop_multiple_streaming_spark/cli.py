@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-separator", default="\t")
     p.add_argument("-numKeyFields", type=int, default=1)
     p.add_argument("-shareMode", default="persist", choices=["persist", "materialize", "none"])
+    p.add_argument(
+        "-minPartitions",
+        type=int,
+        default=None,
+        help="parallelism floor for the scan (pipe subprocess count == partition count)",
+    )
     p.add_argument("-overwrite", action="store_true")
     p.add_argument("-master", default=None)
     return p
@@ -95,6 +101,7 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         cmd_env=cmd_env,
         files=args.files,
         share_mode=args.shareMode,
+        min_input_partitions=args.minPartitions,
         non_zero_exit_is_failure=engine.non_zero_exit_is_failure,
         min_records_before_skip=engine.min_records_before_skip,
         overwrite=args.overwrite,

@@ -81,6 +81,12 @@ class JobSpec:
     #: lines, so the pruning reaches the parquet scan (a scan that reads
     #: all columns for a 2-column pipe feed is wrong at 100 TB)
     input_columns: list[str] | None = None
+    #: parallelism floor for the scan: pipe subprocess count == partition
+    #: count, so a small single-file input would otherwise run every
+    #: branch through ONE subprocess (the reference's parallelism came
+    #: from HDFS splits; at 100 TB the scan yields plenty — this knob is
+    #: for small/medium inputs with expensive mappers)
+    min_input_partitions: int | None = None
     #: serialize typed inputs to lines with this separator before piping
     separator: str = "\t"
     num_key_fields: int = 1

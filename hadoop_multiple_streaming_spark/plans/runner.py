@@ -89,12 +89,14 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
     pipe world's record model, §1.1). Typed formats are serialized
     tab-KV AFTER projection so the parquet scan stays pruned."""
     if spec.input_format == "text":
-        return read_text(spark, spec.inputs)
+        return _with_min_partitions(read_text(spark, spec.inputs), spec)
     if spec.input_format == "keyvalue":
         kv = read_key_value_text(spark, spec.inputs, spec.separator, spec.num_key_fields)
         from ..functions.kv import join_key_val
 
-        return kv.select(join_key_val("key", "value", spec.separator).alias("line"))
+        return _with_min_partitions(
+            kv.select(join_key_val("key", "value", spec.separator).alias("line")), spec
+        )
     # typed table -> lines bridge
     dfs = [
         read_table(spark, p, spec.input_format, **spec.input_options) for p in spec.inputs
@@ -104,7 +106,16 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
         df = df.unionByName(other)
     if spec.input_columns:
         df = df.select(*spec.input_columns)  # pruning reaches the scan
-    return table_to_lines(df, spec.separator)
+    return _with_min_partitions(table_to_lines(df, spec.separator), spec)
+
+
+def _with_min_partitions(lines: DataFrame, spec: JobSpec) -> DataFrame:
+    """Enforce the scan-parallelism floor (pipe subprocess count ==
+    partition count; see JobSpec.min_input_partitions)."""
+    n = spec.min_input_partitions
+    if n and lines.rdd.getNumPartitions() < n:
+        return lines.repartition(n)
+    return lines
 
 
 def _pipe_options(spec: JobSpec, branch: Branch) -> PipeOptions:
