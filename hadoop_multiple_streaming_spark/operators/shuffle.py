@@ -69,6 +69,43 @@ def group_sorted(
     return partition_sort(df_kv, n)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: list[Column],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage aggregation for SKEWED keys: stage 1 aggregates on
+    (key, salt) — splitting a hot key across salt_buckets reducers —
+    stage 2 merges the partials on the key alone (tiny input).
+
+    ``aggs`` must be decomposable aggregates (sum/count/min/max style)
+    expressed over the ORIGINAL columns; they are applied in stage 1
+    and re-merged in stage 2 by summing/min-ing the partials — pass
+    merge-compatible aliases via ``.alias``. For algebraic aggregates
+    like avg, pass sum+count and divide afterwards.
+
+    At 100 TB this is the manual fallback when AQE skew handling can't
+    apply (e.g. single-key hot aggregation rather than skewed join).
+    """
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() % F.lit(salt_buckets)).cast("int")
+    )
+    stage1 = salted.groupBy(*key_cols, "_salt").agg(*aggs)
+    agg_names = [c for c in stage1.columns if c not in {*key_cols, "_salt"}]
+    # merge partials: sums/counts add; min/max idempotent under min/max.
+    # We re-merge by summing unless the alias says otherwise.
+    merged = [
+        (
+            F.min(name) if name.startswith("min_")
+            else F.max(name) if name.startswith("max_")
+            else F.sum(name)
+        ).alias(name)
+        for name in agg_names
+    ]
+    return stage1.groupBy(*key_cols).agg(*merged)
+
+
 def parse_key_field_options(options: str) -> list[tuple[int, bool]]:
     """Parse the ``-k pos1[,pos2][opts]`` subset of
     mapred.text.key.comparator.options, e.g. "-k1,1 -k2,2nr" ->

@@ -1,0 +1,86 @@
+"""Property-based tests: the splitKeyVal/join line-semantics contract
+checked against a plain-Python reference implementation over
+hypothesis-generated lines (SURVEY §5's property-testing leg).
+
+Strategy: generate a batch of adversarial lines per property, evaluate
+the Column expressions over ONE DataFrame, compare row-by-row with the
+reference — one Spark job per property, not per example."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from hadoop_multiple_streaming_spark.functions.kv import join_key_val, split_key_val
+
+# printable-ish text including separators and unicode, no newlines
+# (a line is by definition newline-free)
+line_text = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+
+
+def ref_split(line: str, sep: str, k: int) -> tuple[str, str]:
+    """Reference splitKeyVal (MultiPipeMapRed.java:403-425): key = the
+    first k separator-delimited fields; if the line has fewer than k
+    separators, the whole line is the key and the value is empty."""
+    parts = line.split(sep)
+    if len(parts) > k:
+        return sep.join(parts[:k]), sep.join(parts[k:])
+    return line, ""
+
+
+def run_split(spark, lines: list[str], sep: str, k: int) -> list[tuple[str, str]]:
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    key, value = split_key_val("line", sep, k)
+    out = df.select("line", key.alias("k"), value.alias("v")).collect()
+    by_line = {}
+    for r in out:
+        by_line.setdefault(r.line, (r.k, r.v))
+    return [by_line[l] for l in lines]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(line_text, min_size=1, max_size=40))
+def test_split_matches_reference_tab_k1(spark, lines):
+    got = run_split(spark, lines, "\t", 1)
+    assert got == [ref_split(l, "\t", 1) for l in lines]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(line_text, min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=4),
+)
+def test_split_matches_reference_multi_field(spark, lines, k):
+    got = run_split(spark, lines, "\t", k)
+    assert got == [ref_split(l, "\t", k) for l in lines]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(line_text, min_size=1, max_size=25), st.sampled_from([",", "|", "::"]))
+def test_split_matches_reference_custom_sep(spark, lines, sep):
+    got = run_split(spark, lines, sep, 1)
+    assert got == [ref_split(l, sep, 1) for l in lines]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef é中", max_size=10),
+            st.text(alphabet="xyz\t 0123", max_size=10),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_join_then_split_roundtrip(spark, pairs):
+    # keys must not contain the separator for the roundtrip to hold
+    # (same constraint as Hadoop's text framing)
+    df = spark.createDataFrame(pairs, "key string, value string")
+    line = join_key_val("key", "value", "\t")
+    k2, v2 = split_key_val(line, "\t", 1)
+    out = df.select("key", "value", k2.alias("k"), v2.alias("v")).collect()
+    for r in out:
+        assert (r.k, r.v) == (r.key, r.value)
