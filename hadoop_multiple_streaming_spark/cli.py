@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="parallelism floor for the scan (pipe subprocess count == partition count)",
     )
+    p.add_argument(
+        "-partitioner",
+        default=None,
+        help="accepted for compatibility (KeyFieldBasedPartitioner); key-field "
+        "options come from -D mapred.text.key.partitioner.options / "
+        "mapred.text.key.comparator.options",
+    )
     p.add_argument("-overwrite", action="store_true")
     p.add_argument("-master", default=None)
     return p
@@ -91,6 +98,18 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
     # the reference's stream.* JobConf keys route to engine knobs, not
     # Spark conf (O6: -D passthrough, MapStreamJob.java:325-332)
     engine = EngineConfig.from_conf(conf)
+    # G2/G5: key-field partitioner/comparator options (the 0.20.2
+    # KeyFieldBasedPartitioner/Comparator surface)
+    from .operators.shuffle import parse_key_field_options
+
+    partition_fields = None
+    sort_fields = None
+    part_opts = conf.pop("mapred.text.key.partitioner.options", None)
+    if part_opts:
+        partition_fields = [i for i, _ in parse_key_field_options(part_opts)]
+    comp_opts = conf.pop("mapred.text.key.comparator.options", None)
+    if comp_opts:
+        sort_fields = parse_key_field_options(comp_opts)
     spec = JobSpec(
         inputs=args.inputs,
         output=args.output,
@@ -102,6 +121,8 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         files=args.files,
         share_mode=args.shareMode,
         min_input_partitions=args.minPartitions,
+        partition_fields=partition_fields,
+        sort_fields=sort_fields,
         non_zero_exit_is_failure=engine.non_zero_exit_is_failure,
         min_records_before_skip=engine.min_records_before_skip,
         overwrite=args.overwrite,

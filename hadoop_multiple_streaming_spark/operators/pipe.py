@@ -306,6 +306,8 @@ def pipe_reduce(
     num_key_fields: int = 1,
     opts: PipeOptions | None = None,
     counters=None,
+    partition_fields: list[int] | None = None,
+    sort_fields: list[tuple[int, bool]] | None = None,
 ) -> DataFrame:
     """Pipe-reduce (P2/G1): hash-partition by key, sort by key within
     partitions, stream the whole sorted partition (`key\\tvalue` lines)
@@ -313,12 +315,22 @@ def pipe_reduce(
     subprocess sees ALL groups of its partition in key order
     (RedStreamJob.java:745-762; SURVEY §7 'hard' #3).
 
+    partition_fields / sort_fields reproduce the G2/G5 surface
+    (KeyFieldBasedPartitioner / KeyFieldBasedComparator): partition on
+    chosen key subfields, sort within partitions on chosen subfields —
+    one Exchange + one Sort either way.
+
     Returns (key, value) columns split from the reducer's stdout.
     """
     if set(df_kv.columns) != {"key", "value"}:
         raise ValueError(f"pipe_reduce expects (key, value) columns, got {df_kv.columns}")
     n = num_partitions or df_kv.sparkSession.sparkContext.defaultParallelism
-    arranged = df_kv.repartition(n, "key").sortWithinPartitions("key")
+    if partition_fields or sort_fields:
+        from .shuffle import partition_sort
+
+        arranged = partition_sort(df_kv, n, partition_fields, sort_fields, separator)
+    else:
+        arranged = df_kv.repartition(n, "key").sortWithinPartitions("key")
     lines = arranged.select(join_key_val("key", "value", separator).alias("line"))
     out = pipe_lines(lines, cmd, opts=opts, counters=counters)
     return with_key_val(out, "line", separator, num_key_fields)

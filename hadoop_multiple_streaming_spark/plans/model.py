@@ -87,6 +87,12 @@ class JobSpec:
     #: from HDFS splits; at 100 TB the scan yields plenty — this knob is
     #: for small/medium inputs with expensive mappers)
     min_input_partitions: int | None = None
+    #: G2 (KeyFieldBasedPartitioner): partition the reduce shuffle on
+    #: these 1-based key subfields instead of the whole key
+    partition_fields: list[int] | None = None
+    #: G5 (KeyFieldBasedComparator): sort within partitions on these
+    #: (field, ascending) pairs — Hadoop secondary sort
+    sort_fields: list[tuple[int, bool]] | None = None
     #: serialize typed inputs to lines with this separator before piping
     separator: str = "\t"
     num_key_fields: int = 1

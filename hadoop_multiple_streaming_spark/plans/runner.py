@@ -170,6 +170,8 @@ def _apply_reducer(
         num_key_fields=spec.num_key_fields,
         opts=opts,
         counters=counters,
+        partition_fields=spec.partition_fields,
+        sort_fields=spec.sort_fields,
     )
 
 

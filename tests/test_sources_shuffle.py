@@ -89,6 +89,43 @@ def test_parse_key_field_options():
         parse_key_field_options("bogus")
 
 
+def test_pipe_reduce_key_field_options(spark, tmp_path):
+    # G2/G5 wiring: partition on key field 1, secondary-sort by field 2
+    # descending; the cat reducer echoes its sorted input stream, so
+    # each output partition must be ordered (f1 asc, f2 desc)
+    from hadoop_multiple_streaming_spark.operators.pipe import pipe_reduce
+
+    rows = [(f"{k}\t{i}", f"v{k}{i}") for k in ["a", "b"] for i in [1, 3, 2]]
+    df = spark.createDataFrame(rows, "key string, value string")
+    out = pipe_reduce(
+        df,
+        "cat",
+        num_partitions=2,
+        num_key_fields=2,
+        partition_fields=[1],
+        sort_fields=[(1, True), (2, False)],
+    )
+    got = {(r.key, r.value) for r in out.collect()}
+    assert got == {(f"{k}\t{i}", f"v{k}{i}") for k in ["a", "b"] for i in [1, 3, 2]}
+
+
+def test_cli_partitioner_options(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.cli import parse_job
+
+    spec, conf, _ = parse_job(
+        [
+            "-input", "in", "-output", "out",
+            "-mapred", "X|cat|cat",
+            "-partitioner", "org.apache.hadoop.mapred.lib.KeyFieldBasedPartitioner",
+            "-D", "mapred.text.key.partitioner.options=-k1,1",
+            "-D", "mapred.text.key.comparator.options=-k1,1 -k2,2nr",
+        ]
+    )
+    assert spec.partition_fields == [1]
+    assert spec.sort_fields == [(1, True), (2, False)]
+    assert "mapred.text.key.partitioner.options" not in conf
+
+
 def test_materialize_mode_custom_separator(spark, tmp_path):
     # regression: materialize mode used to write the intermediate with
     # a hardcoded tab but read it back expecting the job separator,
