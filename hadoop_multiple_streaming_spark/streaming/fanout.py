@@ -46,16 +46,26 @@ def stream_fanout(
     Branch) runs against it — one source read per batch for all N
     branches, the reference's phase-1 economy in streaming form.
 
-    Branch mappers here are native callables (subprocess pipes inside
-    foreachBatch work too but lose exactly-once idempotency)."""
+    Branch mappers may be native callables OR subprocess commands
+    (pipe semantics, like the batch runner). Caveat: a subprocess is
+    rerun on micro-batch replay, so exactly-once holds only if the
+    executable is deterministic."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         shared = batch_df.persist()
         try:
             for branch in branches:
                 out = shared
-                if branch.mapper is not None and callable(branch.mapper):
-                    out = branch.mapper(out)
+                if branch.mapper is not None:
+                    if callable(branch.mapper):
+                        out = branch.mapper(out)
+                    else:  # subprocess pipe branch (P1), per micro-batch
+                        from ..functions.kv import join_key_val
+                        from ..operators.pipe import pipe_map
+
+                        lines = out.withColumnRenamed(out.columns[0], "line")
+                        kv = pipe_map(lines, branch.mapper)
+                        out = kv.select(join_key_val("key", "value").alias("value"))
                 if branch.reducer is not None and callable(branch.reducer):
                     out = branch.reducer(out)
                 (

@@ -118,6 +118,19 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid(docs, "text").drop("text")
 
 
+@register("multimodal_features")  # rows-only: no binary test table exists
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (operators.multimodal): synthetic
+    binary payloads -> Arrow-batched mapInPandas feature extraction
+    (deterministic fake decoder standing in for the absent codec
+    libraries). No oracle: the payloads are engine-synthesized, not a
+    parquet table — the driver records the rows-only check."""
+    from ..operators.multimodal import extract_features, fake_decode_meta, synthesize_media
+
+    media = synthesize_media(spark, n=128)
+    return extract_features(media, decoder=fake_decode_meta)
+
+
 @register("text_profile")  # rows-only: rolling-hash fold isn't ANSI-SQL
 def text_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-document profile (operators.text.text_profile):

@@ -41,11 +41,21 @@ def test_stream_fanout_two_branches(spark, tmp_path):
         [
             Branch("UPPER", mapper=upper_mapper),
             Branch("NOBANANA", mapper=banana_filter),
+            Branch("PIPECAT", mapper="cat"),  # subprocess branch
         ],
         output=str(tmp_path / "out"),
         checkpoint=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(120)
+    pipecat = spark.read.text(str(tmp_path / "out" / "PIPECAT"))
+    # cat branch round-trips each line through splitKeyVal -> key\tvalue
+    assert sorted(r.value for r in pipecat.collect()) == [
+        "apple\t",
+        "apple\t",
+        "apple\t",
+        "banana\t",
+        "cherry\t",
+    ]
 
     upper = spark.read.text(str(tmp_path / "out" / "UPPER"))
     assert sorted(r.value for r in upper.collect()) == [
