@@ -1,0 +1,81 @@
+"""Deterministic sampling/splitting for training-data pipelines:
+stable train/val/test assignment and stratified sampling keyed on a
+content/id hash — reproducible across runs, engines, and cluster
+sizes (no RNG, no partition-dependent seeds, unlike df.sample or
+randomSplit).
+
+Mechanism: md5 of the key column -> first 6 hex nibbles -> integer in
+[0, 16^6) -> proportional thresholds. Pure Column expressions; the
+same arithmetic is expressible in ANSI SQL for oracle verification.
+
+Scale notes: assignment is a stateless map — no shuffle, no
+coordination; adding data never reassigns existing rows (the property
+that makes hash-splits the standard for 100 TB corpus curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of hex nibbles used for the bucket value (16^6 buckets)
+_NIBBLES = 6
+SPACE = 16**_NIBBLES
+
+
+def hash_value(col: Column | str) -> Column:
+    """Integer in [0, 16^6) from the md5 of the (stringified) column —
+    nibble-by-nibble arithmetic so any engine reproduces it exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    parts = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+        * F.lit(16 ** (_NIBBLES - 1 - i))
+        for i in range(_NIBBLES)
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return total.cast("long")
+
+
+def assign_split(col: Column | str, weights: dict[str, float]) -> Column:
+    """Stable split label from proportional weights, e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}``. Split boundaries are
+    cumulative in the given dict order; weights must sum to ~1."""
+    total_w = sum(weights.values())
+    if not 0.999 <= total_w <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total_w}")
+    v = hash_value(col)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        threshold = int(cum * SPACE)
+        cond = v < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Stable ``fraction`` sample: keeps exactly the rows whose hash
+    falls under the threshold — same rows every run, no RNG."""
+    return df.where(hash_value(key_col) < F.lit(int(fraction * SPACE)))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum stable sampling (e.g. downsample one language):
+    rows in strata absent from ``fractions`` are kept."""
+    v = hash_value(key_col)
+    keep = F.lit(True)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(stratum_col) == stratum) & (v >= F.lit(int(frac * SPACE)))
+        expr = cond if expr is None else expr | cond
+    return df.where(~expr) if expr is not None else df

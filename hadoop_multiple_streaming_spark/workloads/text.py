@@ -118,6 +118,49 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid(docs, "text").drop("text")
 
 
+def _split_oracle() -> str:
+    from ..functions.sampling import SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    t_train = int(0.8 * SPACE)
+    t_val = int((0.8 + 0.1) * SPACE)
+    return f"""
+    WITH hashed AS (
+        SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    valued AS (SELECT lang, {nibbles} AS v FROM hashed)
+    SELECT CASE WHEN v < {t_train} THEN 'train'
+                WHEN v < {t_val} THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS cnt
+    FROM valued GROUP BY 1, 2
+    """
+
+
+@register("dataset_split", oracle=_split_oracle())
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment keyed on the
+    doc id hash (functions.sampling): stable across runs/engines/
+    cluster sizes, and adding data never reassigns existing rows —
+    unlike randomSplit. Counted per (split, lang)."""
+    from ..functions.sampling import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            assign_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+                "split"
+            ),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register("multimodal_features")  # rows-only: no binary test table exists
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (operators.multimodal): synthetic
