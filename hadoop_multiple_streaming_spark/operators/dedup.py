@@ -80,10 +80,12 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     array map-side, then ONE groupBy(id) folding an elementwise min
     (zip_with least). vs. the naive explode-by-seed: same md5 count
     but the shuffle carries |shingles| rows instead of
-    |shingles| x num_hashes (measured ~3x at sf0.1)."""
+    |shingles| x num_hashes (measured ~3x at sf0.1). Hashes are
+    truncated to 16 hex chars (64 bits — still a uniform family,
+    collision-safe for minhashing) to halve the shuffled payload."""
     hashes = F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
-        "s -> md5(concat(shingle, '#', cast(s as string))))"
+        "s -> substring(md5(concat(shingle, '#', cast(s as string))), 1, 16))"
     )
     # 'g' sorts after every hex digit, so it's an identity for least()
     init = f"array_repeat('g', {num_hashes})"

@@ -58,7 +58,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sig AS (SELECT id, seed, MIN(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS mh
+    sig AS (SELECT id, seed,
+                   MIN(substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 16)) AS mh
             FROM sh, UNNEST(range(0, 16)) s(seed) GROUP BY id, seed),
     buckets AS (SELECT id, seed // 2 AS band,
                        md5(array_to_string(array_agg(mh ORDER BY seed), ',')) AS bucket

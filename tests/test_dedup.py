@@ -50,7 +50,7 @@ def test_minhash_lsh_pairs_identical_docs(spark):
     # identical shingle sets -> identical signature arrays
     sigs = {r.id: r.sig for r in sig.collect()}
     assert sigs[1] == sigs[2] and len(sigs[1]) == 8
-    assert all(len(h) == 32 for h in sigs[1])  # real md5s, no 'g' left
+    assert all(len(h) == 16 for h in sigs[1])  # truncated md5s, no 'g' left
     pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, rows_per_band=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
