@@ -1,0 +1,214 @@
+"""Second tranche of TPC-H-shaped queries: nation-pair volume (Q7),
+returned-item reporting (Q10), promo revenue share (Q14), small-
+quantity revenue via scalar-aggregate join (Q17), large orders with
+HAVING (Q18), and an anti-join cohort (Q22 shape) — completing the
+join/subquery patterns a reference user's analyst would expect."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .relational import _DISC1, _PRICE
+from .tables import load
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS revenue
+    FROM lineitem, orders, customer, supplier, nation sn, nation cn
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+      AND sn.n_nationkey < 3 AND cn.n_nationkey < 3
+      AND sn.n_nationkey <> cn.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume per year. The nation
+    dim appears TWICE (supplier side and customer side) — both
+    broadcast; one shuffle for the final rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("sn_key") < 3)
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cn_key") < 3)
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("sn_key") != F.col("cn_key"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"))
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS revenue,
+           c_mktsegment
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue
+    (selective fact filter pushed to the scan, deterministic top-k)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_mktsegment")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN {_PRICE} * {_DISC1} ELSE CAST(0.00 AS DECIMAL(3,2)) END)
+                        AS DOUBLE)
+                 / CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share). Both sums stay exact decimals; the one double division at
+    the end is deterministic."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.expr(
+            f"100.0 * cast(sum(case when p_type = 'PROMO' then {_PRICE} * {_DISC1} "
+            f"else cast(0.00 as decimal(3,2)) end) as double) "
+            f"/ cast(sum({_PRICE} * {_DISC1}) as double)"
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS cnt
+    FROM lineitem,
+         (SELECT l_partkey AS pk,
+                 0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) t
+    WHERE l_partkey = pk AND l_quantity < qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average joined back against the fact
+    (the scalar-correlated-subquery pattern, planned as agg + join).
+    avg is an exact-integer-sum division so the 0.2x threshold is
+    engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * (F.sum("l_quantity").cast("double") / F.count(F.lit(1)))).alias(
+            "qty_limit"
+        )
+    )
+    joined = li.join(F.broadcast(limits), li.l_partkey == limits.pk).where(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return joined.agg(
+        F.expr(f"cast(sum({_PRICE}) as double) / 7.0").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(l_quantity) > 250
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group + HAVING over a join (large-volume
+    orders). The integral-quantity sum makes the HAVING threshold
+    exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_dormant
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (TPC-H Q22 shape): customers with no recent
+    orders, counted per segment — planned as a broadcast anti join."""
+    cust = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    dormant = cust.join(
+        F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_dormant"))
