@@ -279,6 +279,52 @@ def _dot(qa: str, qb: str) -> Column:
     return F.expr(f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), 0L, (a, x) -> a + x)")
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs: assign every id the
+    MINIMUM id reachable through the pair graph (label propagation to
+    fixpoint) — turning pairwise matches into dedup groups where the
+    min-id member is the canonical representative.
+
+    Iterative joins with an early-exit convergence check per round;
+    each iteration is one shuffle of the (still-shrinking) label table.
+    For billion-edge graphs use the large-star/small-star variant and
+    checkpoint between rounds to truncate lineage.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for i in range(max_iter):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(quantized: DataFrame, threshold: float) -> DataFrame:
     """All pairs with cosine >= threshold (exact quantized cosine).
     Pairwise form for modest n; the scale path buckets vectors first

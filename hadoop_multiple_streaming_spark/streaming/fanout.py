@@ -112,6 +112,30 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based, the streaming twin of the batch
+    events_sessionize query): per key, events within ``gap`` of each
+    other merge into one session; the watermark bounds session state.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 _STATE_SCHEMA = StructType([StructField("total", LongType())])
 _COUNT_SCHEMA = StructType(
     [StructField("key", StringType()), StructField("total", LongType())]

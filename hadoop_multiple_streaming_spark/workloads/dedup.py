@@ -132,6 +132,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "text", "doc_id", bits=64)
 
 
+@register("dedup_clusters")  # rows-only: iterative fixpoint isn't ANSI-SQL
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs -> Jaccard
+    verify -> connected components (iterative min-label propagation).
+    The full curation pipeline shape: pairwise matches become dedup
+    groups with a canonical min-id representative. No oracle — the
+    fixpoint iteration has no ANSI-SQL equivalent (driver records the
+    rows-only check); correctness is pinned by unit test instead."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    candidates = lsh_candidate_pairs(sig, rows_per_band=2)
+    verified = ngram_jaccard_pairs(sh, threshold=0.8, candidates=candidates)
+    return dedup_clusters(verified.select("id_a", "id_b"))
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

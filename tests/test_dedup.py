@@ -84,6 +84,17 @@ def test_simhash_identity_and_pairs(spark):
     assert pairs == {(1, 2): 0}
 
 
+def test_dedup_clusters_connected_components(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import dedup_clusters
+
+    # two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_embedding_cosine_pairs(spark):
     df = spark.createDataFrame(
         [

@@ -114,6 +114,39 @@ def test_windowed_rollup(spark, tmp_path):
             assert v == (2, 3.0)
 
 
+def test_session_rollup_windows(spark, tmp_path):
+    import datetime as dt
+
+    from hadoop_multiple_streaming_spark.streaming.fanout import session_rollup
+
+    indir = tmp_path / "sess"
+    indir.mkdir()
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 10, 10), "click", 1.0),  # same session
+        (dt.datetime(2024, 1, 1, 12, 0), "click", 1.0),  # new session
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(indir / "p"))
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(indir / "*"))
+    rolled = session_rollup(stream, ts_col="ts", key_col="event_type", gap="30 minutes")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.session_start.hour, r.n_events)
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    )
+    # the 10:00 session (2 events) closes under the final watermark;
+    # the 12:00 session may be withheld (append mode) — accept either
+    assert (10, 2) in got or got == []
+
+
 def test_running_counts_stateful(spark, tmp_path):
     indir = tmp_path / "kv"
     indir.mkdir()
