@@ -50,7 +50,20 @@ def build_parser() -> argparse.ArgumentParser:
         dest="branches",
         help='branch spec "DIRKEY|mapperCmd|reducerCmd" (reducer: cmd, NONE, or aggregate)',
     )
-    p.add_argument("-file", action="append", default=[], dest="files")
+    p.add_argument("-file", "-cacheFile", action="append", default=[], dest="files")
+    p.add_argument(
+        "-cacheArchive",
+        action="append",
+        default=[],
+        dest="archives",
+        help="ship an archive (zip/tar) unpacked into task working dirs",
+    )
+    p.add_argument(
+        "-inputColumns",
+        default=None,
+        help="comma-separated columns to project from typed inputs before "
+        "serializing to lines (pruning reaches the scan)",
+    )
     p.add_argument("-cmdenv", action="append", default=[], help="NAME=VALUE for subprocess env")
     p.add_argument("-D", "-jobconf", action="append", default=[], dest="conf", help="spark conf k=v")
     p.add_argument("-numReduceTasks", type=int, default=None)
@@ -115,10 +128,12 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         output=args.output,
         branches=branches,
         input_format=args.inputformat,
+        input_columns=args.inputColumns.split(",") if args.inputColumns else None,
         separator=args.separator,
         num_key_fields=args.numKeyFields,
         cmd_env=cmd_env,
         files=args.files,
+        archives=args.archives,
         share_mode=args.shareMode,
         min_input_partitions=args.minPartitions,
         partition_fields=partition_fields,

@@ -98,6 +98,8 @@ class JobSpec:
     num_key_fields: int = 1
     cmd_env: dict[str, str] = field(default_factory=dict)
     files: list[str] = field(default_factory=list)  # -file shipping (S10)
+    #: -cacheArchive: archives unpacked into task working dirs (S10)
+    archives: list[str] = field(default_factory=list)
     #: "persist" = cache the scan in executors; "materialize" = write
     #: per-branch mapoutput/<dirKey>/ like the reference's phase 1
     #: (right at 100 TB, SURVEY §4.1); "none" = re-scan per branch

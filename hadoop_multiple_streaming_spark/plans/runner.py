@@ -235,8 +235,8 @@ def run_job(
     MultiStreamJobRunner.java:48-83); a progress reporter logs
     completed/running branch keys (O3)."""
     t0 = time.monotonic()
-    if spec.files:
-        ship_files(spark, spec.files)
+    if spec.files or spec.archives:
+        ship_files(spark, spec.files, spec.archives)
     mode = "overwrite" if spec.overwrite else "error"
     # P7: one counters accumulator for the whole job — subprocess
     # stderr `reporter:counter:...` lines land here (totals printed in

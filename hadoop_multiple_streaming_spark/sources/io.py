@@ -139,9 +139,14 @@ def write_table(
     df.write.format(fmt).options(**options).mode(mode).save(path)
 
 
-def ship_files(spark: SparkSession, files: list[str]) -> None:
-    """S10: ``-file`` / ``-cacheFile`` shipping — scripts land in every
-    task's working dir via SparkFiles (resolution in operators.pipe
-    uses SparkFiles.getRootDirectory())."""
+def ship_files(
+    spark: SparkSession, files: list[str], archives: list[str] | None = None
+) -> None:
+    """S10: ``-file`` / ``-cacheFile`` / ``-cacheArchive`` shipping —
+    scripts land in every task's working dir via SparkFiles (resolution
+    in operators.pipe uses SparkFiles.getRootDirectory()); archives are
+    unpacked by Spark (sc.addArchive)."""
     for f in files:
         spark.sparkContext.addFile(f)
+    for a in archives or []:
+        spark.sparkContext.addArchive(a)

@@ -126,6 +126,47 @@ def test_cli_partitioner_options(spark, tmp_path):
     assert "mapred.text.key.partitioner.options" not in conf
 
 
+def test_cli_parquet_input_with_column_pruning(spark, tmp_path):
+    # S5 + pruned typed->lines bridge through the real CLI
+    from hadoop_multiple_streaming_spark.cli import main as cli_main
+
+    src = tmp_path / "tbl"
+    spark.createDataFrame(
+        [("en", "hello world", 99), ("fr", "bonjour", 98)],
+        "lang string, text string, extra int",
+    ).write.parquet(str(src))
+    rc = cli_main(
+        [
+            "-input", str(src),
+            "-output", str(tmp_path / "out"),
+            "-mapred", "LC|cat|NONE",
+            "-inputformat", "parquet",
+            "-inputColumns", "lang,text",
+            "-minPartitions", "2",
+        ]
+    )
+    assert rc == 0
+    lines = sorted(
+        r.value for r in spark.read.text(str(tmp_path / "out" / "LC")).collect()
+    )
+    # extra column pruned away; lang\ttext round-tripped through cat
+    assert lines == ["en\thello world", "fr\tbonjour"]
+
+
+def test_cli_bad_input_exit_code(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.cli import main as cli_main
+    from hadoop_multiple_streaming_spark.plans.runner import EXIT_BAD_INPUT
+
+    rc = cli_main(
+        [
+            "-input", str(tmp_path / "does_not_exist"),
+            "-output", str(tmp_path / "out2"),
+            "-mapred", "X|cat|NONE",
+        ]
+    )
+    assert rc == EXIT_BAD_INPUT
+
+
 def test_materialize_mode_custom_separator(spark, tmp_path):
     # regression: materialize mode used to write the intermediate with
     # a hardcoded tab but read it back expecting the job separator,
