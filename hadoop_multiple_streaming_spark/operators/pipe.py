@@ -334,3 +334,62 @@ def pipe_reduce(
     lines = arranged.select(join_key_val("key", "value", separator).alias("line"))
     out = pipe_lines(lines, cmd, opts=opts, counters=counters)
     return with_key_val(out, "line", separator, num_key_fields)
+
+
+def grouped_pipe_reduce(
+    df_kv: DataFrame,
+    cmd: str | list[str],
+    separator: str = "\t",
+    num_key_fields: int = 1,
+    opts: PipeOptions | None = None,
+) -> DataFrame:
+    """Per-GROUP pipe reduce (the applyInPandas flavor of P2): one
+    subprocess invocation per key group, fed only that group's sorted
+    lines — full isolation between keys, unlike Hadoop's
+    whole-partition streaming (pipe_reduce). Use when a reducer keeps
+    state it must not leak across keys, at the cost of one process
+    spawn per key.
+
+    Grouped-map pandas path (Arrow batches both ways); the subprocess
+    contract is identical to pipe_reduce: `key SEP value` lines on
+    stdin (value-sorted within the group), stdout lines re-split by
+    splitKeyVal.
+    """
+    opts = opts or PipeOptions()
+    argv = split_args(cmd) if isinstance(cmd, str) else list(cmd)
+    ensure_package_shipped(df_kv.sparkSession)
+
+    def run_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["key", "value"], kind="mergesort")
+        payload = "".join(
+            f"{k}{separator}{v}\n" for k, v in zip(pdf["key"], pdf["value"])
+        )
+        proc = subprocess.run(
+            _resolve_executable(argv),
+            input=payload.encode("utf-8"),
+            capture_output=True,
+        )
+        if proc.returncode != 0 and opts.non_zero_exit_is_failure:
+            raise IOError(
+                f"grouped pipe {argv!r} exited {proc.returncode}: "
+                f"{proc.stderr.decode('utf-8', 'replace')[:500]}"
+            )
+        keys, values = [], []
+        for line in proc.stdout.decode("utf-8", "replace").splitlines():
+            k, sep_found, v = line.partition(separator)
+            if num_key_fields > 1:
+                parts = line.split(separator)
+                if len(parts) > num_key_fields:
+                    k = separator.join(parts[:num_key_fields])
+                    v = separator.join(parts[num_key_fields:])
+                else:
+                    k, v = line, ""
+            elif not sep_found:
+                k, v = line, ""
+            keys.append(k)
+            values.append(v)
+        return pd.DataFrame({"key": keys, "value": values})
+
+    return df_kv.groupBy("key").applyInPandas(run_group, schema="key string, value string")

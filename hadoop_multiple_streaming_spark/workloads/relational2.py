@@ -186,6 +186,31 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (Spark `percentile` == DuckDB
+    quantile_cont: same linear interpolation, verified bit-identical
+    at sf0.01 and sf0.1). At 100 TB switch to percentile_approx — the
+    exact form buffers each group's values."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "anti_join_dormant_customers",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_dormant

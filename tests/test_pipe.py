@@ -111,6 +111,31 @@ def test_reducer_sees_sorted_keys_per_partition(spark):
     assert sum(int(r.value) for r in out.collect()) == 100
 
 
+def test_grouped_pipe_reduce_per_key_isolation(spark):
+    # each key group goes through its OWN subprocess; a stateful
+    # reducer (line numbering via cat -n semantics) restarts per key
+    import sys as _sys
+
+    from hadoop_multiple_streaming_spark.operators.pipe import grouped_pipe_reduce
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "z")], "key string, value string"
+    )
+    numberer = [
+        _sys.executable,
+        "-c",
+        (
+            "import sys\n"
+            "for i, line in enumerate(sys.stdin, 1):\n"
+            "    k, _, v = line.rstrip('\\n').partition('\\t')\n"
+            "    print(f'{k}\\t{i}:{v}')\n"
+        ),
+    ]
+    got = {(r.key, r.value) for r in grouped_pipe_reduce(df, numberer).collect()}
+    # numbering restarts at 1 for key b — per-group process isolation
+    assert got == {("a", "1:x"), ("a", "2:y"), ("b", "1:z")}
+
+
 def test_nonzero_exit_fails(spark):
     bad = py("import sys; sys.stdin.read(); sys.exit(3)")
     with pytest.raises(Exception, match="exited with code 3"):
