@@ -48,6 +48,7 @@ def load_all() -> None:
     from . import dedup  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational2  # noqa: F401
+    from . import relational3  # noqa: F401
     from . import similarity  # noqa: F401
     from . import streaming_compat  # noqa: F401
     from . import text  # noqa: F401

@@ -1,0 +1,499 @@
+"""Third tranche of TPC-H-shaped queries — completes the sweep of
+plan shapes the benchmark suite exercises (SURVEY §2.6 extension
+surface): correlated min-per-group (Q2), EXISTS semi-join (Q4),
+market-share conditional ratio (Q8), profit rollup (Q9), global-
+fraction HAVING (Q11), dual conditional counts (Q12), max-over-
+aggregate view join (Q15), grouped distinct-count with exclusion
+anti-join (Q16), disjunctive multi-range predicates (Q19), nested
+semi-join chain (Q20), and the exists/not-exists "only failer"
+correlation (Q21).
+
+The driver test tables have no partsupp table and no
+shipmode/commitdate/receiptdate columns, so each query keeps the
+TPC-H plan SHAPE (what Catalyst has to get right) while sourcing the
+part-supplier relation from lineitem and the status predicates from
+returnflag/linestatus/orderpriority.
+
+Exactness: money through DECIMAL, raw-double comparisons only on
+unaggregated values (MIN/MAX of stored 2-decimal doubles are exact),
+ratios computed as one division of two exactly-summed doubles with an
+identical expression tree in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import register
+from .tables import load
+
+_PRICE = "cast(l_extendedprice as decimal(14,2))"
+_DISC1 = "(cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(4,2)))"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+               MIN(l_extendedprice) AS cost
+        FROM lineitem, part, supplier, nation, region
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10
+        GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+    )
+    SELECT p_partkey, p_brand, s_name, s_acctbal, cost
+    FROM cand
+    WHERE cost = (SELECT MIN(cost) FROM cand c2
+                  WHERE c2.p_partkey = cand.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated
+    scalar subquery). The correlation is planned as a window MIN over
+    the per-(part, supplier) aggregate — it rides the aggregation's
+    hash partitioning on p_partkey, so the subquery costs no extra
+    shuffle (vs. the naive self-join of cand to its own GROUP BY).
+    Cost is MIN of a stored 2-decimal double: no arithmetic, so the
+    cross-engine comparison is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supp_eu = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    cand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_eu), li.l_suppkey == supp_eu.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "cost")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join.
+    The semi join keeps only the orderkey column of the probe side and
+    never duplicates orders rows (EXISTS semantics for multi-match
+    lineitems come free with the join type)."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN {_PRICE} * {_DISC1} END) AS DOUBLE)
+             / CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS mkt_share
+    FROM lineitem, orders, customer, supplier, part,
+         nation n1, nation n2, region
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+      AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      AND s_nationkey = n2.n_nationkey
+      AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional aggregate
+    ratio over a two-role dimension (nation joined twice: customer's
+    market nation and supplier's nation). All dims broadcast; the only
+    shuffle is the final groupBy(year). The share is ONE division of
+    two decimal-exact sums, so the double is bit-identical across
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust_am = (
+        cust.join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supp.join(
+        F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey")
+    ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_am), orders.o_custkey == cust_am.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    vol = f"{_PRICE} * {_DISC1}"
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.expr(
+                f"cast(sum(case when supp_nation = 'NATION_3' then {vol} end) as double)"
+                f" / cast(sum({vol}) as double)"
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS profit
+    FROM lineitem, orders, supplier, part, nation
+    WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+      AND p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-filtered fact scan. (No partsupp table, so profit omits the
+    supplycost term; the plan shape — fact scan x 4 broadcast dims,
+    two-column rollup — is what's under test.)"""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    nation = load(spark, sf_dir, "nation")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM({_PRICE}) AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM per_part
+    WHERE part_value > (SELECT CAST(SUM({_PRICE}) AS DOUBLE) * 0.0006
+                        FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a GLOBAL scalar
+    aggregate (HAVING value > fraction * total). The scalar subquery
+    is a broadcast of one row; the threshold double is the same
+    sum-through-decimal seen by the per-part branch so the comparison
+    is consistent. One scan feeds both branches at sf-test sizes;
+    at 100 TB the two aggregations share the shuffled intermediate via
+    Spark's ReusedExchange when AQE notices the common subplan."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.expr(f"cast(sum({_PRICE}) as double)").alias("part_value")
+    )
+    total = li.agg(
+        (F.expr(f"cast(sum({_PRICE}) as double)") * F.lit(0.0006)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + dual conditional counts (CASE inside
+    SUM). The orders side carries only (orderkey, priority) into the
+    broadcast; the date filter pushes into the lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar MAX + equality join
+    back. The MAX is an unpartitioned window over the per-supplier
+    aggregate (100 suppliers — tiny; at real scale Spark plans this as
+    a single-partition window over the already-aggregated relation,
+    NOT a re-scan of the fact table, which is the point of the view).
+    Exact: revenue sums through decimal; the MAX compares those exact
+    doubles."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return top.join(
+        F.broadcast(supp), top.supplier_no == supp.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_type <> 'STANDARD' AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: grouped distinct-count with a NOT IN exclusion
+    subquery. The exclusion is a broadcast anti join (the subquery is
+    tiny and provably non-null, so NOT IN == anti join); the distinct
+    count shuffles (brand, size, suppkey) once."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") != "STANDARD") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_PRICE} * {_DISC1}) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd multi-column range branches across
+    both join sides. Catalyst extracts the common per-side conjuncts
+    (p_size lower bound, brand IN set) and pushes them below the join,
+    leaving the full disjunction as the post-join filter."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & q.between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & q.between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(b1 | b2 | b3)
+        .agg(
+            F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'PROMO')
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 500
+      )
+    """,
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries -> a semi-join chain
+    (part filter semi-joins into lineitem, the HAVING aggregate
+    semi-joins into supplier). l_quantity is integral-valued so the
+    HAVING sum is exact."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 500)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_sole_failing_supplier",
+    oracle="""
+    WITH order_stats AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_fail
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l, orders o, order_stats st
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_orderkey = st.l_orderkey
+          AND o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+          AND st.n_supps > 1 AND st.n_fail = 1
+    ) fails, supplier
+    WHERE fails.l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the exists/not-exists double correlation
+    ("supplier who kept the order waiting while every OTHER supplier
+    delivered"), planned without self-joining the fact twice: ONE
+    aggregation computes per-order supplier counts and failing-supplier
+    counts, and the exists (>1 supplier) / not-exists (no OTHER failer)
+    conditions become predicates on that aggregate — two shuffles of
+    the fact total, vs. three fact-sized semi/anti joins in the naive
+    translation."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    sole = stats.where((F.col("n_supps") > 1) & (F.col("n_fail") == 1)).select(
+        "l_orderkey"
+    )
+    fails = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(sole, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        fails.join(F.broadcast(supp), fails.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
