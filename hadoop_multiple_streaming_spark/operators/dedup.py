@@ -47,11 +47,17 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-    Tokenization = split on single space (documents are single-spaced);
-    docs with fewer than n tokens produce no shingles.
+    """Word n-gram shingles per document: (id, shingle). Tokenization =
+    split on single space (documents are single-spaced); docs with
+    fewer than n tokens produce no shingles.
+
+    distinct=True dedups shingles per doc (REQUIRED for Jaccard — it's
+    set math). Pass distinct=False for consumers invariant to
+    duplicates (MinHash: the per-seed MIN doesn't change) — it skips a
+    full |shingles|-row shuffle, the single biggest stage of the LSH
+    pipeline at sf0.1.
 
     The token array is materialized in its own projection first — a
     lambda that re-splits the text per shingle index would be
@@ -66,38 +72,71 @@ def word_shingles(
             f"i -> array_join(slice(_toks, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toks.select("id", F.explode(shingles).alias("shingle")).distinct()
+    out = toks.select("id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # -------------------------------------------------------------- minhash
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, sig): MinHash signature ARRAY — element s = lexicographic
-    min over the doc's shingles of md5(shingle + '#' + s).
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, family: str = "md5"
+) -> DataFrame:
+    """(id, sig): MinHash signature ARRAY.
 
-    Planned as: per shingle, compute all num_hashes md5s into one
-    array map-side, then ONE groupBy(id) folding an elementwise min
-    (zip_with least). vs. the naive explode-by-seed: same md5 count
-    but the shuffle carries |shingles| rows instead of
-    |shingles| x num_hashes (measured ~3x at sf0.1). Hashes are
-    truncated to 16 hex chars (64 bits — still a uniform family,
-    collision-safe for minhashing) to halve the shuffled payload."""
-    hashes = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), "
-        "s -> substring(md5(concat(shingle, '#', cast(s as string))), 1, 16))"
-    )
-    # 'g' sorts after every hex digit, so it's an identity for least()
-    init = f"array_repeat('g', {num_hashes})"
-    return (
-        shingles.select("id", hashes.alias("hs"))
-        .groupBy("id")
-        .agg(
+    family="md5" (default): one full md5 per seed — element s =
+    lexicographic min over the doc's shingles of
+    md5(shingle + '#' + s), truncated to 16 hex chars (64 bits,
+    collision-free at any realistic corpus size).
+
+    family="split": each md5 digest split into FOUR 32-bit hashes
+    (128 bits / 32), costing ceil(num_hashes/4) md5 calls per shingle.
+    Measured SLOWER than family="md5" at sf0.1 (1.3s vs 0.9s warm for
+    the signature stage): the conv(hex, 16, 10) string->long parse
+    costs more than the md5 calls it saves, and signatures are <20% of
+    the pipeline anyway. Kept as the fallback for md5-rate-limited
+    environments. (A Kirsch-Mitzenmacher h1+s*h2 family was also
+    tried and rejected: its correlated slots inflate LSH candidate
+    pairs ~6x — every slot's argmin shingle is biased toward small
+    (h1, h2).)
+
+    Both are planned as: materialize the per-shingle digest array in
+    its own projection (a lambda calling md5 inline would recompute it
+    per array element), build the per-shingle hash array map-side,
+    then ONE groupBy(id) folding an elementwise min (zip_with least) —
+    the shuffle carries |shingles| rows, not
+    |shingles| x num_hashes (measured ~3x at sf0.1)."""
+    if family == "split":
+        n_md5 = (num_hashes + 3) // 4
+        base = shingles.select(
+            "id",
             F.expr(
-                f"aggregate(collect_list(hs), {init}, "
-                "(acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))"
-            ).alias("sig")
+                f"transform(sequence(0, {n_md5 - 1}), "
+                "k -> md5(concat(shingle, '#', cast(k as string))))"
+            ).alias("ms"),
         )
+        hashes = F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), s -> cast(conv(substr("
+            "element_at(ms, cast(s div 4 as int) + 1), (s % 4) * 8 + 1, 8), "
+            "16, 10) as bigint))"
+        )
+        init = f"array_repeat(9223372036854775807L, {num_hashes})"
+        rows = base.select("id", hashes.alias("hs"))
+    elif family == "md5":
+        hashes = F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            "s -> substring(md5(concat(shingle, '#', cast(s as string))), 1, 16))"
+        )
+        # 'g' sorts after every hex digit, so it's an identity for least()
+        init = f"array_repeat('g', {num_hashes})"
+        rows = shingles.select("id", hashes.alias("hs"))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown minhash family {family!r}")
+    return rows.groupBy("id").agg(
+        F.expr(
+            f"aggregate(collect_list(hs), {init}, "
+            "(acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))"
+        ).alias("sig")
     )
 
 
@@ -125,7 +164,9 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
         "id",
         F.expr(
             f"posexplode(transform(sequence(0, size(sig) div {rows_per_band} - 1), "
-            f"b -> md5(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ','))))"
+            f"b -> md5(array_join(transform("
+            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"v -> cast(v as string)), ','))))"
         ).alias("band", "bucket"),
     )
     return (

@@ -62,7 +62,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    MIN(substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 16)) AS mh
             FROM sh, UNNEST(range(0, 16)) s(seed) GROUP BY id, seed),
     buckets AS (SELECT id, seed // 2 AS band,
-                       md5(array_to_string(array_agg(mh ORDER BY seed), ',')) AS bucket
+                       md5(array_to_string(array_agg(CAST(mh AS VARCHAR) ORDER BY seed),
+                                           ',')) AS bucket
                 FROM sig GROUP BY id, seed // 2)
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM buckets a JOIN buckets b
@@ -76,7 +77,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition); the md5-heavy shingling must spread across cores —
     # at 100 TB the scan itself yields enough partitions
     docs = load(spark, sf_dir, "documents").repartition(32)
-    sh = word_shingles(docs, "text", "doc_id", n=3)
+    # distinct=False: MinHash's per-seed MIN is invariant to duplicate
+    # shingles, so the dedup shuffle (the pipeline's biggest stage) is
+    # skipped; the oracle's DISTINCT sh CTE yields the same minima.
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     sig = minhash_signatures(sh, num_hashes=16)
     return lsh_candidate_pairs(sig, rows_per_band=2)
 

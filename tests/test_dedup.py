@@ -51,6 +51,13 @@ def test_minhash_lsh_pairs_identical_docs(spark):
     sigs = {r.id: r.sig for r in sig.collect()}
     assert sigs[1] == sigs[2] and len(sigs[1]) == 8
     assert all(len(h) == 16 for h in sigs[1])  # truncated md5s, no 'g' left
+    # split family (32-bit slots as longs): same semantics, long slots
+    split_sigs = {
+        r.id: r.sig
+        for r in minhash_signatures(sh, num_hashes=8, family="split").collect()
+    }
+    assert split_sigs[1] == split_sigs[2] and len(split_sigs[1]) == 8
+    assert all(isinstance(h, int) and 0 <= h < 2**32 for h in split_sigs[1])
     pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, rows_per_band=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
