@@ -195,14 +195,25 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over shingle sets: |A ∩ B| / |A ∪ B| >= threshold.
     With ``candidates`` (e.g. from lsh_candidate_pairs) the intersect
     join is restricted to candidate pairs — the 100 TB mode. Without,
-    it self-joins on shingle (only sane at small scale / after LSH)."""
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # co-occurrence via groupBy(shingle) + in-group pair expansion (one
-    # computation of the shingle pipeline instead of a self-join's two)
+    it self-joins on shingle (only sane at small scale / after LSH).
+
+    Physical plan: ONE groupBy(shingle) intermediate feeds both the
+    pair intersection counts AND the per-doc set sizes (sizes =
+    re-explode of the grouped id lists — each (id, shingle) appears
+    once, so the explode count IS the distinct-shingle count). The two
+    branches share the hashpartitioning(shingle) Exchange, so Spark's
+    ReuseExchange computes the shingle pipeline ONCE (a separate
+    shingles.groupBy(id) sizes branch re-ran the whole text pipeline:
+    measured ~25% of query time at sf0.1)."""
+    grouped = shingles.groupBy("shingle").agg(
+        F.expr("array_sort(collect_list(id))").alias("ids")
+    )
+    sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # co-occurrence via in-group pair expansion (no bucket self-join)
     inter = (
-        shingles.groupBy("shingle")
-        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
-        .where(F.size("ids") >= 2)
+        grouped.where(F.size("ids") >= 2)
         .select(
             F.explode(
                 F.expr(
