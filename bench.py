@@ -32,6 +32,10 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "part_supplier_topn",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_sole_failing_supplier",
+    "price_percentiles",
     "pipe_wordcount",
     "agg_long_sum",
     "agg_value_histogram",

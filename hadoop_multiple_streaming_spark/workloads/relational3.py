@@ -54,9 +54,14 @@ _DISC1 = "(cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(4,2)))"
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier (correlated
     scalar subquery). The correlation is planned as a window MIN over
-    the per-(part, supplier) aggregate — it rides the aggregation's
-    hash partitioning on p_partkey, so the subquery costs no extra
-    shuffle (vs. the naive self-join of cand to its own GROUP BY).
+    the per-(part, supplier) aggregate. The explicit
+    repartition(p_partkey) BEFORE the groupBy makes ONE exchange serve
+    both operators: partitioning on a subset of the group keys
+    satisfies the aggregation's clustered distribution (partial
+    combine still runs below the exchange), and the window's
+    partitionBy(p_partkey) is then already satisfied — where the
+    default plan shuffles twice (once on all five group keys, again
+    on p_partkey).
     Cost is MIN of a stored 2-decimal double: no arithmetic, so the
     cross-engine comparison is exact."""
     li = load(spark, sf_dir, "lineitem")
@@ -72,6 +77,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp_eu), li.l_suppkey == supp_eu.s_suppkey)
+        .repartition(F.col("p_partkey"))
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
@@ -470,27 +476,34 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and the exists (>1 supplier) / not-exists (no OTHER failer)
     conditions become predicates on that aggregate — two shuffles of
     the fact total, vs. three fact-sized semi/anti joins in the naive
-    translation."""
+    translation.
+
+    Physical detail: BOTH distinct counts and the failing-pair set
+    derive from one level-1 groupBy(orderkey, suppkey) aggregate
+    (failed = any R row). A direct double countDistinct would make
+    Catalyst Expand every input row x3 (one replica per distinct
+    aggregate); deriving counts from level-1 keeps one scan, and the
+    two consumers share the level-1 Exchange (AQE stage reuse)."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supp = load(spark, sf_dir, "supplier")
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fail"),
+    level1 = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("failed")
+    )
+    stats = level1.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.count_if("failed").alias("n_fail"),
     )
     sole = stats.where((F.col("n_supps") > 1) & (F.col("n_fail") == 1)).select(
         "l_orderkey"
     )
     fails = (
-        li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_semi")
+        level1.where("failed")
+        .join(F.broadcast(orders), level1.l_orderkey == orders.o_orderkey, "left_semi")
         .join(sole, "l_orderkey", "left_semi")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         fails.join(F.broadcast(supp), fails.l_suppkey == supp.s_suppkey)

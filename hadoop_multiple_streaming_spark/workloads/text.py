@@ -209,3 +209,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint("text").alias("content_md5"),
         min_shingle_fingerprint("text", n=3).alias("shingle_min_fp"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+    scored AS (
+        SELECT doc_id, term, tf,
+               CAST(tf AS DOUBLE) / dfc AS score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY CAST(tf AS DOUBLE) / dfc DESC, term)
+                   AS rn
+        FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF/DF weighting (term frequency over
+    corpus document frequency — a log-free tf-idf variant whose score
+    is ONE exact IEEE division of two small integers, so it compares
+    bit-for-bit across engines; ln(idf) would diverge by libm ulps).
+
+    Plan: token explode -> groupBy(doc, term) [shuffle 1] ->
+    document frequencies derived FROM tf (vocabulary-sized, broadcast
+    back) [shuffle 2 on term] -> per-doc window top-3 [shuffle 3 on
+    doc_id]. At 100 TB the vocabulary side stays small (natural-
+    language vocab grows sublinearly) — the broadcast holds."""
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("dfc")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ngrams AS (SELECT array_to_string(t[i:i+1], ' ') AS bigram
+               FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) u(i)),
+    counts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM ngrams GROUP BY bigram)
+    SELECT bigram, cnt FROM counts
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams (the n-gram census every
+    pretraining-data audit runs). One shuffle (groupBy bigram with
+    map-side combine) + a global top-k (TakeOrderedAndProject — never
+    a full sort at scale); ties broken by the bigram string."""
+    from ..operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    grams = word_shingles(docs, "text", "doc_id", n=2, distinct=False)
+    return (
+        grams.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )

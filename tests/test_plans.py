@@ -87,3 +87,60 @@ def test_sql_view_pushdown(spark):
     assert any(
         "l_quantity" in l for l in plan.splitlines() if "PushedFilters" in l
     )
+
+
+def test_q8_two_role_dims_all_broadcast(spark):
+    # fact scan + 5 broadcast dims (part, orders, customer-region, supplier-
+    # nation with nation joined in two roles); the only Exchange left is
+    # the final groupBy(year)
+    plan = plan_of(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_type(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # the date range reaches the orders scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+
+
+def test_q16_anti_join_and_distinct_count(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_common_conjuncts_pushed(spark):
+    # Catalyst extracts brand/size bounds from the OR branches and
+    # pushes them below the join into the part scan
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l or "p_size" in l for l in pushed)
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_window_rides_aggregation_shuffle(spark):
+    # the per-part MIN window must NOT add an Exchange beyond the
+    # groupBy(p_partkey, ...) aggregation shuffle it rides
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    # one shuffle (repartition on p_partkey) serving agg AND window —
+    # no second hashpartitioning
+    shuffles = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_minhash_no_distinct_shuffle(spark):
+    # dedup_minhash_lsh must keep exactly 3 shuffles: groupBy(id) for
+    # signatures, groupBy(band,bucket), distinct pairs — NOT a 4th for
+    # distinct shingles (MinHash is duplicate-invariant)
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    n_shuffle = sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+    # repartition(32) adds a RoundRobin exchange (scan-parallelism
+    # floor); the 3 hash shuffles are sig/bucket/distinct
+    assert n_shuffle <= 3, f"unexpected extra shuffle ({n_shuffle} hash shuffles)"
