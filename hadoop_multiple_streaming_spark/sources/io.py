@@ -16,6 +16,8 @@ output file count in the reference).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,10 +135,52 @@ def write_table(
     path: str,
     fmt: str = "parquet",
     mode: str = "error",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
     **options,
 ) -> None:
-    """S9: custom output format by name."""
-    df.write.format(fmt).options(**options).mode(mode).save(path)
+    """S9: custom output format by name, with the two layout knobs a
+    100 TB pipeline needs:
+
+    * ``partition_by`` — hive-style directory partitioning; reads with
+      a filter on these columns prune whole directories before any
+      file IO (PartitionFilters in the scan plan, not PushedFilters).
+      Partition by low-cardinality columns only (a date, a language, a
+      shard) — one directory per value.
+    * ``max_records_per_file`` — caps file size so a skewed partition
+      doesn't produce one giant file; pair with a pre-write
+      repartition(partition cols) so each directory is written by few
+      tasks (many tasks x many partitions = the small-files problem).
+    """
+    w = df.write.format(fmt).options(**options).mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    fmt: str = "parquet",
+) -> None:
+    """Compaction pass for the small-files problem: rewrite a table
+    directory into ``target_partitions`` files (size target_partitions
+    ~= total_bytes / 128 MB). Streaming sinks and per-branch fan-out
+    writes accrete small files; scheduled compaction keeps scan
+    parallelism aligned with data size instead of file count. Writes
+    to a temp sibling then swaps, so readers never see a half-written
+    table."""
+    import shutil
+    import tempfile
+
+    df = spark.read.format(fmt).load(path)
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    df.repartition(target_partitions).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def ship_files(

@@ -166,3 +166,35 @@ def running_counts(stream_df: DataFrame, key_col: str = "key") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key within
+    the watermark horizon (the streaming twin of exact_dedup). State =
+    one entry per distinct key seen within the watermark — bounded, vs
+    dropDuplicates without a watermark whose state grows forever. At
+    100 TB/day ingest, size the watermark to the real duplicate window
+    (e.g. upstream retry horizon), not to "safe" multiples of it."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_enrich_join(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (slowly-changing) dimension snapshot — Spark re-resolves the
+    static side per batch, so an overwritten dim table is picked up
+    without restarting the query. The static side follows normal
+    broadcast rules: keep dims broadcast-sized or pre-bucket both
+    sides."""
+    return stream_df.join(dim_df, on, how)

@@ -188,3 +188,50 @@ def test_materialize_mode_custom_separator(spark, tmp_path):
         r.value for r in spark.read.text(str(tmp_path / "out" / "CAT")).collect()
     )
     assert lines == ["a,b,v1", "a,b,v2", "c,d,v3"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.sources.io import write_table
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], f"doc{i}") for i in range(30)],
+        "id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs_by_lang")
+    write_table(df.repartition("lang"), out, partition_by=["lang"])
+    # hive layout: one directory per lang value
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=de",
+        "lang=en",
+        "lang=fr",
+    ]
+    back = spark.read.parquet(out).where("lang = 'en'")
+    assert back.count() == 10
+    # the filter prunes DIRECTORIES (PartitionFilters), before file IO
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert any("lang" in l for l in plan.splitlines() if "PartitionFilters" in l)
+
+
+def test_compact_table_roundtrip(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.sources.io import compact_table
+
+    out = str(tmp_path / "fragmented")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(16).write.parquet(out)  # 16 small files
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 16
+    compact_table(spark, out, target_partitions=2)
+    assert len(glob.glob(f"{out}/*.parquet")) == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000

@@ -168,3 +168,65 @@ def test_running_counts_stateful(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.key: r.total for r in spark.sql("SELECT * FROM counts_test").collect()}
     assert got == {"x": 2, "y": 1}
+
+
+def test_streaming_dedup_first_arrival_kept(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.streaming.fanout import streaming_dedup
+
+    indir = tmp_path / "dedup_in"
+    indir.mkdir()
+    (indir / "batch.csv").write_text(
+        "k1,2024-01-01 10:00:00,first\n"
+        "k1,2024-01-01 10:05:00,dup-later\n"
+        "k2,2024-01-01 10:01:00,only\n"
+        "k1,2024-01-01 10:02:00,dup-mid\n"
+    )
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).csv(str(indir))
+    deduped = streaming_dedup(stream, ["key"], ts_col="ts", watermark="1 hour")
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.key: r.payload for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"k1", "k2"}
+    # within one micro-batch the first-by-arrival-order row wins
+    assert rows["k2"] == "only"
+
+
+def test_stream_enrich_join_picks_up_dim(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.streaming.fanout import stream_enrich_join
+
+    indir = tmp_path / "enrich_in"
+    indir.mkdir()
+    (indir / "events.csv").write_text("u1,click\nu2,view\nu3,click\n")
+    dim = spark.createDataFrame(
+        [("u1", "pro"), ("u2", "free")], "user_id string, tier string"
+    )
+    schema = StructType(
+        [StructField("user_id", StringType()), StructField("action", StringType())]
+    )
+    stream = spark.readStream.schema(schema).csv(str(indir))
+    enriched = stream_enrich_join(stream, dim, on="user_id")
+    out = str(tmp_path / "enrich_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.tier) for r in spark.read.parquet(out).collect()}
+    assert got == {("u1", "pro"), ("u2", "free"), ("u3", None)}
