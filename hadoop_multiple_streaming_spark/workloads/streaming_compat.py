@@ -123,3 +123,30 @@ def fanout_two_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+@register(
+    "pipe_grouped_reduce",
+    oracle="""
+    SELECT lang AS key,
+           CAST(COUNT(*) AS VARCHAR) || ',' ||
+           MIN(CAST(doc_id AS VARCHAR)) || ',' ||
+           MAX(CAST(doc_id AS VARCHAR)) AS value
+    FROM (SELECT lang, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id
+          FROM documents) t
+    GROUP BY lang
+    """,
+)
+def pipe_grouped_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2's per-group isolation flavor (grouped_pipe_reduce /
+    applyInPandas): one subprocess invocation per key, fed only that
+    key's value-sorted lines — a stateful reducer (count + first/last
+    value) restarts per key by construction. doc_ids are zero-padded
+    so the subprocess's string sort order == the oracle's MIN/MAX."""
+    from ..operators.pipe import grouped_pipe_reduce
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("key"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("value"),
+    )
+    return grouped_pipe_reduce(docs, _script("group_stats.py"))
