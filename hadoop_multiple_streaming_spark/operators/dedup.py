@@ -304,6 +304,54 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def simhash_banded_pairs(
+    fps: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """The 100 TB form of simhash_near_pairs: block on equal-width
+    bit-bands (pigeonhole — any pair within hamming d < bands shares
+    at least one identical band), expand pairs in-bucket, then verify
+    the exact hamming distance only on candidates. O(candidates), no
+    pairwise self-join; same grouped-expansion machinery as
+    lsh_candidate_pairs (a bucket self-join would compute the
+    fingerprint pipeline twice)."""
+    width = 64 // bands
+    buckets = fps.select(
+        "id",
+        "simhash",
+        F.expr(
+            f"posexplode(transform(sequence(0, {bands - 1}), "
+            f"b -> substring(simhash, b * {width} + 1, {width})))"
+        ).alias("band", "bucket"),
+    )
+    pairs = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.expr("array_sort(collect_list(struct(id, simhash)))").alias("ms"))
+        .where(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), y -> struct(x, y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x.id").alias("id_a"),
+            F.col("p.x.simhash").alias("sh_a"),
+            F.col("p.y.id").alias("id_b"),
+            F.col("p.y.simhash").alias("sh_b"),
+        )
+        .distinct()  # same pair can share several bands
+    )
+    ham = F.expr(
+        "size(filter(zip_with(split(sh_a, ''), split(sh_b, ''), "
+        "(x, y) -> x <> y), v -> v))"
+    )
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
 # ------------------------------------------- embedding near-duplicates
 
 

@@ -170,3 +170,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb, "embedding", "vec_id")
     return embedding_cosine_pairs(q, threshold=0.45)
+
+
+# shared oracle CTE: 64-bit simhash fingerprints (same math as
+# dedup_simhash's oracle)
+_SIMHASH_CTE = """
+freqs AS (
+    SELECT doc_id AS id, tok, COUNT(*) AS freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY 1, 2
+),
+bits AS (
+    SELECT id, j,
+           SUM(freq * (2 * (((strpos('0123456789abcdef',
+                                     substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+                             >> CAST(3 - j % 4 AS INT)) & 1) - 1)) AS s
+    FROM freqs, UNNEST(range(0, 64)) t(j)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS simhash
+    FROM bits GROUP BY id
+)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (SELECT id, b, substr(simhash, CAST(b * 16 + 1 AS INT), 16) AS bucket
+              FROM fp, UNNEST(range(0, 4)) t(b)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN substr(fa.simhash, CAST(i AS INT), 1)
+                              <> substr(fb.simhash, CAST(i AS INT), 1)
+                         THEN 1 ELSE 0 END) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.id = c.id_a
+    JOIN fp fb ON fb.id = c.id_b,
+    UNNEST(range(1, 65)) t(i)
+    GROUP BY c.id_a, c.id_b
+    HAVING hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at scale: band the 64-bit fingerprint
+    into 4x16-bit blocks (pigeonhole guarantees hamming<=3 pairs share
+    a band), expand candidates in-bucket, verify exact hamming — the
+    full sketch-to-pairs path, O(candidates) end to end."""
+    from ..operators.dedup import simhash_banded_pairs
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    fps = simhash_fingerprints(docs, "text", "doc_id", bits=64)
+    return simhash_banded_pairs(fps, max_hamming=3, bands=4)
