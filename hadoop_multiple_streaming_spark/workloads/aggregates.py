@@ -147,3 +147,41 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = _kv(ev, "ValueHistogram", F.col("event_type"), F.col("user_id"))
     hist = value_histogram(parse_agg_key(kv))
     return hist.drop("agg_type")
+
+
+@register(
+    "agg_salted_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (salted): the events table has
+    few event_type values (pathological key skew for a plain groupBy
+    at scale — each key lands on ONE reducer). Stage 1 aggregates on
+    (key, salt), spreading each hot key over 32 reducers; stage 2
+    merges partials on the tiny (key, salt)-level output. Results are
+    identical to the plain groupBy — the oracle IS the plain form."""
+    from ..operators.shuffle import salted_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            F.expr("sum(cast(value as decimal(14,2)))").alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("user_id").alias("max_user"),
+        ],
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )

@@ -68,3 +68,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantize_embeddings(emb, "embedding", "vec_id", keep_cols=["label"])
     out = ivf_topk(q, q.where(F.col("id") < 10), bucket_col="label", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH q AS (SELECT label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+             FROM q, UNNEST(range(1, 65)) t(i)
+             GROUP BY label, i)
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN i = 1 THEN CAST(s AS DOUBLE) / n END) AS DOUBLE)
+               AS dim0_mean,
+           CAST(SUM(s) AS DOUBLE) / MAX(n) AS mean_sum
+    FROM dims GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector
+    aggregate behind k-means / IVF coarse-quantizer training. Planned
+    as ONE groupBy(label) folding an elementwise array sum (zip_with)
+    over quantized-integer vectors — no posexplode of |vectors| x 64
+    rows, no shuffle of exploded dims (the oracle unnests because
+    ANSI SQL lacks array folds; Spark doesn't have to). Centroid
+    means are exact: integer sums, one division per dim. Output
+    projects the centroid to scalars (dim-0 mean + sum of all dim
+    means) so the compare hashes scalar columns."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    agg = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            "aggregate(collect_list(qv), array_repeat(0L, 64), "
+            "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+        ).alias("sums"),
+    )
+    return agg.select(
+        "label",
+        "n_vectors",
+        F.expr("cast(sums[0] as double) / n_vectors").alias("dim0_mean"),
+        # sum the INTEGER dim sums first (exact, order-free), divide
+        # once — summing 64 per-dim double means would round
+        # differently depending on engine iteration order
+        F.expr(
+            "cast(aggregate(sums, 0L, (acc, x) -> acc + x) as double) / n_vectors"
+        ).alias("mean_sum"),
+    )
