@@ -510,3 +510,65 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 1 AS side,
+               NULL::BIGINT AS r_event_id, NULL::TIMESTAMP AS r_ts
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS side, event_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    carried AS (
+        SELECT user_id, ts, event_id, side,
+               last_value(r_event_id IGNORE NULLS) OVER w AS asof_view_id,
+               last_value(r_ts IGNORE NULLS) OVER w AS asof_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id AS click_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           asof_view_id,
+           strftime(asof_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM carried WHERE side = 1
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal attribution): each click matched to the
+    user's latest view at-or-before the click. ONE shuffle of
+    |clicks|+|views| rows via the union + ignore-nulls-last-value
+    carry-forward — never the |L| x |R-prefix| explosion of an
+    inequality join. The oracle replays the SAME window formulation
+    (DuckDB's native ASOF JOIN has its own tie rules; the shared
+    formulation pins semantics exactly: right-at-equal-ts matches,
+    ties broken by event_id)."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        by=["user_id"],
+        ts_col="ts",
+        value_cols=["event_id"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_event_id").alias("asof_view_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
