@@ -103,3 +103,48 @@ def asof_join(
             F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
         )
     return out.drop("_side", "_r_ts", *[f"_r_{c}" for c in value_cols])
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    tolerance_seconds: int,
+    right_cols: list[str],
+) -> DataFrame:
+    """Range join: all (left, right) pairs on the same key with
+    |left.ts - right.ts| <= tolerance. A naive theta-join on the
+    inequality is planned as BroadcastNestedLoop / cartesian-per-key;
+    this implementation BUCKETIZES time into tolerance-width bins and
+    equi-joins on (key, bin), with the left side exploded to its bin
+    and both neighbors (any in-range pair differs by at most one bin).
+    The equi-join hash-partitions like any other join — O(|L|*3 + |R|)
+    shuffled rows plus true-pair output, never per-key cartesian. The
+    exact |dt| <= tolerance filter runs post-join (bins overcount by
+    at most the neighbor bins).
+
+    right_cols are emitted as ``r_<col>``; ``r_ts`` carries the right
+    timestamp; left columns pass through. Pairs are emitted exactly
+    once: each right row lives in ONE bin and each left row lists each
+    neighbor bin once, so no post-join distinct is needed.
+    """
+    bin_l = F.expr(f"cast({ts_col} as long) div {tolerance_seconds}")
+    lt = left.withColumn("_bin", F.explode(F.array(bin_l - 1, bin_l, bin_l + 1)))
+    rt = right.select(
+        *[F.col(c).alias(f"_rk_{c}") for c in by],
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    ).withColumn("_rbin", F.expr(f"cast(r_ts as long) div {tolerance_seconds}"))
+    cond = lt["_bin"] == rt["_rbin"]
+    for c in by:
+        cond = cond & (lt[c] == rt[f"_rk_{c}"])
+    in_range = (
+        F.abs(F.col(ts_col).cast("long") - F.col("r_ts").cast("long"))
+        <= tolerance_seconds
+    )
+    return (
+        lt.join(rt, on=cond)
+        .where(in_range)
+        .drop("_bin", "_rbin", *[f"_rk_{c}" for c in by])
+    )

@@ -572,3 +572,47 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").alias("asof_view_id"),
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
+
+
+@register(
+    "interval_click_errors",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_errors_near
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND abs(epoch_us(c.ts) // 1000000 - epoch_us(e.ts) // 1000000) <= 300
+    GROUP BY c.user_id, c.event_id
+    """,
+)
+def interval_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: errors within +-5 minutes of each click,
+    same user. Time-bucketized equi-join (bin = ts div tolerance, left
+    exploded to neighbor bins) — hash-joinable, O(|L|*3 + |R|) shuffle,
+    never the per-key cartesian a raw |dt|<=300 theta-join plans. The
+    oracle uses the naive inequality join (fine at sf0.01; the
+    OPERATOR is the scale path). Clicks with no nearby error are
+    absent from both (inner semantics)."""
+    from ..operators.asof import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    pairs = interval_join(
+        clicks,
+        errors,
+        by=["user_id"],
+        ts_col="ts",
+        tolerance_seconds=300,
+        right_cols=["event_id"],
+    )
+    return pairs.groupBy("user_id", F.col("event_id").alias("click_id")).agg(
+        F.count(F.lit(1)).alias("n_errors_near")
+    )

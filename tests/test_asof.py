@@ -71,3 +71,26 @@ def test_asof_join_single_shuffle(spark):
     shuffles = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(shuffles) == 1, shuffles  # union + one window shuffle, no join
     assert "Join" not in plan
+
+
+def test_interval_join_exact_boundary_and_uniqueness(spark):
+    from hadoop_multiple_streaming_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:05:00"), 10),  # exactly +300s: in
+            (1, ts("2024-01-01 09:55:00"), 11),  # exactly -300s: in
+            (1, ts("2024-01-01 10:05:01"), 12),  # +301s: out
+            (2, ts("2024-01-01 10:00:00"), 13),  # other key: out
+        ],
+        "k long, ts timestamp, rid long",
+    )
+    out = interval_join(
+        left, right, by=["k"], ts_col="ts", tolerance_seconds=300, right_cols=["rid"]
+    ).collect()
+    assert sorted(r.r_rid for r in out) == [10, 11]
+    # each true pair appears exactly once despite the 3-bin explode
+    assert len(out) == 2

@@ -235,3 +235,35 @@ def test_compact_table_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # bucketBy + sortBy on the join key: repeated joins on bucketed
+    # tables read co-located buckets — NO Exchange on either side (the
+    # 100 TB answer to "this fact-fact join shuffles every run")
+    import contextlib
+    import io as _io
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    for name, df in [("bkt_a", a), ("bkt_b", b)]:
+        (
+            df.write.bucketBy(4, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Arguments: hashpartitioning" not in plan, "bucketed join shuffled"
+        assert joined.count() == 1000
+        got = joined.where("k = 7").collect()[0]
+        assert (got.va, got.vb) == (14, 21)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
