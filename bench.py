@@ -36,6 +36,7 @@ HEADLINE = [
     "q8_market_share",
     "q21_sole_failing_supplier",
     "price_percentiles",
+    "asof_click_attribution",
     "pipe_wordcount",
     "agg_long_sum",
     "agg_value_histogram",
