@@ -127,3 +127,28 @@ def min_shingle_fingerprint(text_col: str = "text", n: int = 3) -> Column:
         f"array_min(transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
         f"i -> md5(array_join(slice(split({text_col}, ' '), i, {n}), ' '))))"
     )
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 table function) splitting text into
+    sentence rows — the UDTF leg of the reference's §2.7 surface (a
+    mapper executable emitting 0..n records per input is exactly a
+    table function; this is the in-process flavor of the pipe
+    operator's flat-map). Arrow-batched (useArrow), but still Python
+    per row: use for the long tail of custom logic, not for anything
+    expressible as explode(split(...)) — the oracle-twin query shows
+    the two produce identical results.
+
+    Returned lazily (a factory) so importing this module doesn't
+    require an active SparkSession.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_tokens: int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            for s in (text or "").split(". "):
+                if s:
+                    yield s, len(s.split(" "))
+
+    return SplitSentences

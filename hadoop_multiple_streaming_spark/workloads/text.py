@@ -287,3 +287,35 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH s AS (SELECT lang, unnest(string_split(text, '. ')) AS sentence
+               FROM documents),
+    t AS (SELECT lang, sentence,
+                 len(string_split(sentence, ' ')) AS n
+          FROM s WHERE sentence <> '')
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.7): sentence rows via a LATERAL table
+    function, aggregated per language. The oracle replays the split
+    natively — pinning that the UDTF's row expansion semantics match
+    explode(split(...)) exactly."""
+    from ..functions.textanalysis import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT lang, CAST(COUNT(*) AS LONG) AS n_sentences,
+               CAST(SUM(s.n_tokens) AS LONG) AS total_tokens
+        FROM _docs_udtf, LATERAL split_sentences(text) s
+        GROUP BY lang
+        """
+    )
