@@ -111,6 +111,13 @@ class JobSpec:
     #: MultiPipeMapRed.java:232-241); default = skipping disabled.
     min_records_before_skip: int = 2**63 - 1
     overwrite: bool = False
+    #: materialize mode only: branches whose mapoutput/<dirKey>/ already
+    #: exists WITH a _SUCCESS marker skip phase 1 and reduce straight
+    #: from the existing intermediate — the restart story at 100 TB (a
+    #: failed run's completed map work is never repeated; the reference
+    #: gets this from HDFS job recovery). Half-written intermediates
+    #: (no _SUCCESS) are rewritten.
+    resume: bool = False
 
     def __post_init__(self) -> None:
         if not self.branches:

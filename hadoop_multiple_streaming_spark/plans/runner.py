@@ -204,17 +204,36 @@ def _materialize_phase1(
     MultiPipeMapRed.java:462 but also re-splits it with the job's own
     separator config in phase 2 — writing with the job separator keeps
     both sides of our round-trip agreeing for any separator.)"""
-    lines = _load_input(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
+    import os
+
+    def _is_complete(branch: Branch) -> bool:
+        # resume: a _SUCCESS-marked intermediate is phase-1 output that
+        # survived a previous run — reuse it; half-written dirs rewrite
+        return spec.resume and os.path.exists(
+            f"{spec.output}/mapoutput/{branch.dir_key}/_SUCCESS"
+        )
+
+    todo = [b for b in spec.branches if not _is_complete(b)]
+    skipped = [b.dir_key for b in spec.branches if _is_complete(b)]
+    if skipped:
+        print(f"[runner] resume: reusing phase-1 intermediate for {sorted(skipped)}")
     inter: dict[str, DataFrame] = {}
+    if todo:
+        lines = _load_input(spark, spec).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def write_map_output(branch: Branch) -> None:
-        opts = _pipe_options(spec, branch)
-        kv = _apply_mapper(branch, lines, spec, opts, counters)
-        write_kv_text(kv, f"{spec.output}/mapoutput/{branch.dir_key}", spec.separator, mode=mode)
+        def write_map_output(branch: Branch) -> None:
+            opts = _pipe_options(spec, branch)
+            kv = _apply_mapper(branch, lines, spec, opts, counters)
+            write_kv_text(
+                kv,
+                f"{spec.output}/mapoutput/{branch.dir_key}",
+                spec.separator,
+                mode="overwrite" if spec.resume else mode,
+            )
 
-    with ThreadPoolExecutor(max_workers=min(len(spec.branches), 8)) as pool:
-        list(pool.map(write_map_output, spec.branches))
-    lines.unpersist()
+        with ThreadPoolExecutor(max_workers=min(len(todo), 8)) as pool:
+            list(pool.map(write_map_output, todo))
+        lines.unpersist()
     for branch in spec.branches:
         inter[branch.dir_key] = read_key_value_text(
             spark,

@@ -202,3 +202,57 @@ def test_cli_end_to_end(spark, textdir, scripts, tmp_path):
     )
     assert rc == EXIT_OK
     assert read_out(f"{out}/WC") == EXPECTED_WC
+
+
+def test_materialize_resume_skips_completed_phase1(spark, tmp_path):
+    """resume=True: a _SUCCESS-marked mapoutput/<dirKey>/ survives and
+    is NOT recomputed (its content is reused even if the input since
+    changed); half-written branches are rewritten."""
+    import shutil
+
+    from hadoop_multiple_streaming_spark.plans.model import Branch, JobSpec
+    from hadoop_multiple_streaming_spark.plans.runner import run_job
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "data.txt").write_text("a\nb\n")
+    out = str(tmp_path / "out")
+
+    def tag(label):
+        def mapper(df):
+            from pyspark.sql import functions as F
+
+            return df.select(
+                F.col("line").alias("key"), F.lit(label).alias("value")
+            )
+
+        return mapper
+
+    spec = JobSpec(
+        inputs=[str(indir)],
+        output=out,
+        branches=[Branch("B1", mapper=tag("run1")), Branch("B2", mapper=tag("run1"))],
+        share_mode="materialize",
+        overwrite=True,
+    )
+    assert run_job(spark, spec).succeeded
+
+    # simulate a failed second run: B2's intermediate got half-written
+    # (no _SUCCESS), B1's survived; mappers now emit 'run2'
+    shutil.rmtree(out + "/B1")
+    shutil.rmtree(out + "/B2")
+    (tmp_path / "out" / "mapoutput" / "B2" / "_SUCCESS").unlink()
+    spec2 = JobSpec(
+        inputs=[str(indir)],
+        output=out,
+        branches=[Branch("B1", mapper=tag("run2")), Branch("B2", mapper=tag("run2"))],
+        share_mode="materialize",
+        overwrite=True,
+        resume=True,
+    )
+    assert run_job(spark, spec2).succeeded
+    b1 = {r.value for r in spark.read.text(out + "/B1").collect()}
+    b2 = {r.value for r in spark.read.text(out + "/B2").collect()}
+    # B1 reduced from the REUSED run1 intermediate; B2 was recomputed
+    assert b1 == {"a\trun1", "b\trun1"}
+    assert b2 == {"a\trun2", "b\trun2"}
