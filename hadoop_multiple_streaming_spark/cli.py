@@ -85,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
         "mapred.text.key.comparator.options",
     )
     p.add_argument("-overwrite", action="store_true")
+    p.add_argument(
+        "-resume",
+        action="store_true",
+        help="materialize mode: reuse _SUCCESS-marked mapoutput/<dirKey>/ "
+        "intermediates from a previous (failed) run instead of "
+        "recomputing phase 1 for those branches",
+    )
     p.add_argument("-master", default=None)
     return p
 
@@ -141,6 +148,7 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         non_zero_exit_is_failure=engine.non_zero_exit_is_failure,
         min_records_before_skip=engine.min_records_before_skip,
         overwrite=args.overwrite,
+        resume=args.resume,
     )
     return spec, conf, args.master
 
