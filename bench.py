@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "text_quality_score",
+    "curation_pipeline",
     "ann_cosine_topk",
 ]
 

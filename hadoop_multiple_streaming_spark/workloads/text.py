@@ -319,3 +319,93 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+def _curation_oracle() -> str:
+    from ..functions.sampling import SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    t_train = int(0.8 * SPACE)
+    t_val = int((0.8 + 0.1) * SPACE)
+    return f"""
+    WITH feat AS (
+        SELECT doc_id, lang, text,
+               len({_TOKS}) AS n_words,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 CAST(len(list_filter({_TOKS}, t -> list_contains({{stops}}, t))) AS DOUBLE)
+                 / len({_TOKS})
+               ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN strlen(text) > 0 THEN
+                 CAST(strlen(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / CAST(strlen(text) AS BIGINT)
+               ELSE 0.0 END AS nonalnum_ratio
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text, n_words,
+               least(CAST(n_words AS DOUBLE) / 200.0, 1.0)
+                 * (1.0 - stopword_ratio / 2.0) * (1.0 - nonalnum_ratio) AS q
+        FROM feat
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.3 AND n_words >= 50),
+    rep AS (
+        SELECT MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(n_words, doc_id) AS n_words
+        FROM kept GROUP BY md5(text)
+    ),
+    split AS (
+        SELECT lang, n_words, {nibbles} AS v
+        FROM (SELECT lang, n_words, md5(CAST(doc_id AS VARCHAR)) AS h FROM rep)
+    )
+    SELECT CASE WHEN v < {t_train} THEN 'train'
+                WHEN v < {t_val} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM split GROUP BY 1, 2
+    """.replace("{stops}", _stop_list_sql())
+
+
+@register("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow in ONE declarative
+    plan: quality scoring -> threshold filter -> exact dedup with a
+    deterministic min-id representative (lang/n_words via min_by so
+    the representative's attributes survive) -> hash-keyed train/val/
+    test assignment -> per-(split, lang) corpus stats. One scan, two
+    shuffles (dedup hash, final rollup) — the shape every 100 TB
+    curation run takes; swap the exact-dedup stage for MinHash-LSH +
+    Jaccard verify when near-dup is wanted."""
+    from ..functions.sampling import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text").select(
+        "doc_id", "lang", "text", "n_words", "quality_score"
+    )
+    kept = scored.where(
+        (F.col("quality_score") >= 0.3) & (F.col("n_words") >= 50)
+    )
+    rep = kept.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.expr("min_by(n_words, doc_id)").alias("n_words"),
+    )
+    return (
+        rep.select(
+            assign_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+                "split"
+            ),
+            "lang",
+            "n_words",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_tokens"),
+        )
+    )
