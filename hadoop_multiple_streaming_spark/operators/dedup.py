@@ -199,14 +199,18 @@ def ngram_jaccard_pairs(
 
     Physical plan: ONE groupBy(shingle) intermediate feeds both the
     pair intersection counts AND the per-doc set sizes (sizes =
-    re-explode of the grouped id lists — each (id, shingle) appears
-    once, so the explode count IS the distinct-shingle count). The two
-    branches share the hashpartitioning(shingle) Exchange, so Spark's
-    ReuseExchange computes the shingle pipeline ONCE (a separate
-    shingles.groupBy(id) sizes branch re-ran the whole text pipeline:
-    measured ~25% of query time at sf0.1)."""
+    re-explode of the grouped id lists — collect_set keeps each
+    (id, shingle) once, so the explode count IS the distinct-shingle
+    count). The two branches share the hashpartitioning(shingle)
+    Exchange, so Spark's ReuseExchange computes the shingle pipeline
+    ONCE (a separate shingles.groupBy(id) sizes branch re-ran the
+    whole text pipeline: measured ~25% of query time at sf0.1).
+    collect_set also makes a pre-distinct'd shingle input unnecessary:
+    pass word_shingles(distinct=False) and the per-doc dedup happens
+    INSIDE this aggregation's map-side partial — no separate distinct
+    Exchange over the full shingle multiset."""
     grouped = shingles.groupBy("shingle").agg(
-        F.expr("array_sort(collect_list(id))").alias("ids")
+        F.expr("array_sort(collect_set(id))").alias("ids")
     )
     sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
         F.count(F.lit(1)).alias("n")

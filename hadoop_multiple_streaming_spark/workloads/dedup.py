@@ -102,9 +102,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.8 (the verify stage after
-    LSH candidate generation; run standalone here to pin the math)."""
+    LSH candidate generation; run standalone here to pin the math).
+    distinct=False: the per-doc shingle dedup happens inside the
+    operator's collect_set aggregation — no separate distinct
+    Exchange."""
     docs = load(spark, sf_dir, "documents").repartition(32)
-    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     return ngram_jaccard_pairs(sh, threshold=0.8)
 
 
@@ -147,7 +150,9 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_clusters
 
     docs = load(spark, sf_dir, "documents").repartition(32)
-    sh = word_shingles(docs, "text", "doc_id", n=3)
+    # distinct=False works for BOTH consumers: MinHash is duplicate-
+    # invariant, and the Jaccard operator dedups via collect_set
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     sig = minhash_signatures(sh, num_hashes=16)
     candidates = lsh_candidate_pairs(sig, rows_per_band=2)
     verified = ngram_jaccard_pairs(sh, threshold=0.8, candidates=candidates)
