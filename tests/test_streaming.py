@@ -230,3 +230,66 @@ def test_stream_enrich_join_picks_up_dim(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.user_id, r.tier) for r in spark.read.parquet(out).collect()}
     assert got == {("u1", "pro"), ("u2", "free"), ("u3", None)}
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """Streaming-batch parity on REAL data: the watermarked windowed
+    rollup over the events table (replayed as a file stream) must
+    produce exactly the batch groupBy(window) aggregation — Structured
+    Streaming's availableNow replay of a static source is semantically
+    a batch query."""
+    import shutil
+
+    from hadoop_multiple_streaming_spark.workloads.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    # file streams want a DIRECTORY; stage the single-file table into
+    # one, and replay with the RAW schema (ts is nanos-as-long) + the
+    # same micros rebuild the batch loader applies
+    staged = tmp_path / "events_dir"
+    staged.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", staged / "part-0.parquet")
+    raw_schema = spark.read.parquet(str(staged)).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(str(staged))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rolled = windowed_rollup(stream, ts_col="ts", key_col="event_type", window="1 hour")
+    out = str(tmp_path / "roll_out")
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 6))
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "cnt",
+                "sum_value",
+            )
+        ).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result, and most windows close
+    assert got, "stream produced no windows"
+    assert len(got) >= len(want) - 50
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
