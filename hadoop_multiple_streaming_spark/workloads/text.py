@@ -409,3 +409,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register("multimodal_frame_sample")  # rows-only: engine-synthesized media
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling from metadata alone (no decode, pure
+    Column math): synthetic video records -> per-second frame indices
+    and byte offsets. The downstream decode touches only these
+    offsets — the 100 TB pattern where the media bytes never enter a
+    shuffle. Rows-only (payloads are engine-synthesized)."""
+    from ..operators.multimodal import sample_frame_offsets, synthesize_media
+
+    media = synthesize_media(spark, n=64, modality="video")
+    return sample_frame_offsets(media, every_n_seconds=1.0)
