@@ -124,3 +124,86 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(aggregate(sums, 0L, (acc, x) -> acc + x) as double) / n_vectors"
         ).alias("mean_sum"),
     )
+
+
+@register(
+    "ivf_assignment",
+    oracle="""
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+             FROM q, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+    cent AS (SELECT label AS c_label,
+                    array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+             FROM dims GROUP BY label),
+    dists AS (
+        SELECT q.id, q.label, cent.c_label,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                        * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                   'sum') AS dist
+        FROM q CROSS JOIN cent
+    ),
+    ranked AS (
+        SELECT id, label, c_label,
+               row_number() OVER (PARTITION BY id ORDER BY dist, c_label) AS rn
+        FROM dists
+    )
+    SELECT label, c_label AS assigned, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ranked WHERE rn = 1 GROUP BY label, c_label
+    """,
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantizer step done for real: per-label centroids
+    (exact integer sums / one division per dim), then every vector
+    assigned to its NEAREST centroid by squared L2 — the k-means
+    assignment step that builds the inverted file. Confusion counts
+    (true label vs assigned centroid) quantify quantizer quality.
+
+    Scale shape: centroids are tiny (n_clusters x dim) -> broadcast
+    cross join; the distance fold is a codegen'd zip_with/aggregate,
+    evaluated left-to-right over dims in BOTH engines (fold order is
+    part of the contract — that's what makes the doubles
+    bit-identical); argmin via per-id window with centroid-id
+    tie-break."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "aggregate(collect_list(qv), array_repeat(0L, 64), "
+                "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+            ).alias("sums"),
+        )
+        .select(
+            "c_label",
+            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d)"
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
