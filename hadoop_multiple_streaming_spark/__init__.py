@@ -24,6 +24,8 @@ subprocess semantics are required.
 
 __version__ = "0.2.0"
 
+from .operators.asof import asof_join, interval_join  # noqa: E402,F401
+from .operators.pipe import grouped_pipe_reduce, pipe_map, pipe_reduce  # noqa: E402,F401
 from .plans.model import AGGREGATE, NONE, Branch, JobSpec  # noqa: E402,F401
 from .plans.runner import JobResult, plan_branches, run_job  # noqa: E402,F401
 from .session import EngineConfig, get_spark  # noqa: E402,F401
@@ -35,7 +37,12 @@ __all__ = [
     "EngineConfig",
     "JobResult",
     "JobSpec",
+    "asof_join",
     "get_spark",
+    "grouped_pipe_reduce",
+    "interval_join",
+    "pipe_map",
+    "pipe_reduce",
     "plan_branches",
     "run_job",
 ]
