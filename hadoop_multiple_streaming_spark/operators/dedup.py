@@ -102,10 +102,14 @@ def minhash_signatures(
 
     Both are planned as: materialize the per-shingle digest array in
     its own projection (a lambda calling md5 inline would recompute it
-    per array element), build the per-shingle hash array map-side,
-    then ONE groupBy(id) folding an elementwise min (zip_with least) —
-    the shuffle carries |shingles| rows, not
-    |shingles| x num_hashes (measured ~3x at sf0.1)."""
+    per array element), then ONE groupBy(id) with num_hashes separate
+    MIN aggregates (one per seed), re-assembled into the signature
+    array. The shuffle carries |shingles| rows, not |shingles| x
+    num_hashes (measured ~3x at sf0.1), and — unlike a
+    collect_list + fold formulation (same wall-clock at sf0.1) — the
+    MINs partial-aggregate map-side with CONSTANT memory per group: a
+    pathological many-shingle document costs 16 slots, not
+    |shingles| x 16 buffered entries."""
     if family == "split":
         n_md5 = (num_hashes + 3) // 4
         base = shingles.select(
@@ -120,23 +124,20 @@ def minhash_signatures(
             "element_at(ms, cast(s div 4 as int) + 1), (s % 4) * 8 + 1, 8), "
             "16, 10) as bigint))"
         )
-        init = f"array_repeat(9223372036854775807L, {num_hashes})"
         rows = base.select("id", hashes.alias("hs"))
     elif family == "md5":
         hashes = F.expr(
             f"transform(sequence(0, {num_hashes - 1}), "
             "s -> substring(md5(concat(shingle, '#', cast(s as string))), 1, 16))"
         )
-        # 'g' sorts after every hex digit, so it's an identity for least()
-        init = f"array_repeat('g', {num_hashes})"
         rows = shingles.select("id", hashes.alias("hs"))
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"unknown minhash family {family!r}")
-    return rows.groupBy("id").agg(
-        F.expr(
-            f"aggregate(collect_list(hs), {init}, "
-            "(acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))"
-        ).alias("sig")
+    mins = rows.groupBy("id").agg(
+        *[F.min(F.expr(f"hs[{s}]")).alias(f"_m{s}") for s in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -147,7 +148,11 @@ def minhash_seed_rows(signatures: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Band the signature array (band b = elements [b*r, (b+1)*r)),
     hash each band to a bucket key, and emit distinct id pairs sharing
     any bucket. This is the LSH scale path — O(candidates), never the
@@ -156,10 +161,17 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
     Planned as groupBy(band, bucket) + in-bucket pair expansion rather
     than a bucket self-join: a self-join would compute the whole
     shingle->signature pipeline TWICE (Spark does not reuse the common
-    subplan across join sides; measured ~2x). Skew note: a bucket of m
-    near-identical docs expands to m(m-1)/2 pairs in one task — at
-    100 TB cap pathological buckets (e.g. `size(ids) <= K` guard) or
-    salt them before expansion."""
+    subplan across join sides; measured ~2x).
+
+    Skew guard: a bucket of m near-identical docs expands to m(m-1)/2
+    pairs in ONE task — at 100 TB a viral boilerplate bucket with
+    m=1e5 would try to emit 5e9 structs in a single row. Set
+    ``max_bucket_size`` (e.g. 10_000) to drop larger buckets: members
+    of such a bucket are near-identical to huge cliques, so the pairs
+    lost are recovered transitively through smaller buckets or, in a
+    dedup pipeline, by the connected-components pass; monitor the
+    dropped-bucket count via a `size(ids) > K` aggregation if recall
+    accounting matters."""
     buckets = signatures.select(
         "id",
         F.expr(
@@ -169,10 +181,14 @@ def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = 2) -> DataFr
             f"v -> cast(v as string)), ','))))"
         ).alias("band", "bucket"),
     )
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.expr("array_sort(collect_list(id))").alias("ids")
+    )
+    keep = F.size("ids") >= 2
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
     return (
-        buckets.groupBy("band", "bucket")
-        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
-        .where(F.size("ids") >= 2)
+        grouped.where(keep)
         .select(
             F.explode(
                 F.expr(

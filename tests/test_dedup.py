@@ -117,3 +117,16 @@ def test_embedding_cosine_pairs(spark):
     assert set(got) == {(1, 2), (3, 4)}
     assert abs(got[(1, 2)] - 1.0) < 1e-12
     assert abs(got[(3, 4)] - 0.8) < 1e-9  # cos((1,0),(0.6,0.8)) pairs via (3,4)=0.8
+
+
+def test_lsh_max_bucket_size_drops_hot_buckets(spark):
+    # 3 identical docs share every band bucket (bucket size 3);
+    # max_bucket_size=2 drops those buckets -> no candidate pairs
+    text = "the quick brown fox jumps over the lazy dog today"
+    df = docs_df(spark, [(1, text), (2, text), (3, text)])
+    sh = word_shingles(df, "text", "doc_id")
+    sig = minhash_signatures(sh, num_hashes=8)
+    capped = lsh_candidate_pairs(sig, rows_per_band=2, max_bucket_size=2)
+    assert capped.count() == 0
+    uncapped = lsh_candidate_pairs(sig, rows_per_band=2)
+    assert uncapped.count() == 3  # all 3 pairs of the clique
