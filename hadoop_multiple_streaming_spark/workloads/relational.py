@@ -449,6 +449,10 @@ def part_supplier_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # one exchange on the window's partition key serves the
+        # aggregation too (subset-of-group-keys clustering; partial
+        # combine still runs below it) — see q2_min_cost_supplier
+        .repartition(F.col("p_brand"))
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
