@@ -250,3 +250,63 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
     )
     return dormant.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_dormant"))
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one pass (one Expand
+    + single hash aggregation — the same plan ROLLUP gets, with 4
+    instead of 3 replicas per row)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "orders_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: order counts by priority, one column per status.
+    With the pivot values listed explicitly Spark skips the extra
+    distinct-values job and plans a single conditional aggregation —
+    exactly the oracle's CASE columns."""
+    orders = load(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+    )

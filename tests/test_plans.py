@@ -144,3 +144,13 @@ def test_minhash_no_distinct_shuffle(spark):
     # repartition(32) adds a RoundRobin exchange (scan-parallelism
     # floor); the 3 hash shuffles are sig/bucket/distinct
     assert n_shuffle <= 3, f"unexpected extra shuffle ({n_shuffle} hash shuffles)"
+
+
+def test_q21_single_fact_exchange(spark):
+    # both aggregation levels + the fails branch cluster on ONE
+    # orderkey exchange; only downstream small-data shuffles remain
+    plan = plan_of(spark, "q21_sole_failing_supplier")
+    shuffles = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(shuffles) <= 3, shuffles
+    okey = [l for l in shuffles if "l_orderkey" in l]
+    assert len(okey) >= 1
