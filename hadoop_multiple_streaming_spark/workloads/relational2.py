@@ -310,3 +310,23 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("o_cnt"),
         F.coalesce("P", F.lit(0)).alias("p_cnt"),
     )
+
+
+@register("events_approx_profile")  # rows-only: sketch outputs are
+# implementation-defined (HLL++ / KLL), no cross-engine oracle exists
+def events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch surface used at 100 TB where exact forms are
+    unaffordable: approx_count_distinct (HLL++, default 5% rsd) and
+    percentile_approx (KLL-style, accuracy 10000) per event_type —
+    constant memory per group vs the exact forms' full-value buffers
+    (events_hourly_rollup / price_percentiles are their exact twins).
+    Rows-only check: sketch results are engine-implementation-defined.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, array(0.5D, 0.99D), 10000)").alias(
+            "approx_p50_p99"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
