@@ -207,3 +207,127 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("c_label").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle="""
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    n AS (SELECT id, label, qv, list_inner_product(qv, qv) AS n2 FROM q),
+    dims AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS cnt
+             FROM q, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+    cent AS (SELECT label AS c_label,
+                    array_agg(CAST(s AS DOUBLE) / cnt ORDER BY i) AS c
+             FROM dims GROUP BY label),
+    cdist AS (
+        SELECT n.id, cent.c_label,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                        * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                   'sum') AS dist
+        FROM n CROSS JOIN cent
+    ),
+    ranked AS (SELECT id, c_label,
+                      row_number() OVER (PARTITION BY id ORDER BY dist, c_label) AS rn
+               FROM cdist),
+    assigned AS (SELECT id, c_label AS bucket FROM ranked WHERE rn = 1),
+    probes AS (SELECT id AS query_id, c_label AS bucket FROM ranked WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, c.id AS neighbor_id,
+               list_inner_product(qq.qv, c.qv) / (sqrt(qq.n2) * sqrt(c.n2)) AS cosine
+        FROM probes p
+        JOIN assigned a ON a.bucket = p.bucket
+        JOIN n c ON c.id = a.id AND c.id <> p.query_id
+        JOIN n qq ON qq.id = p.query_id
+        WHERE p.query_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF search: corpus assigned to nearest centroid
+    (the real inverted file, not the label stand-in), queries probe
+    their nprobe=2 nearest buckets, exact cosine re-rank on the
+    candidates. Multi-probe recovers most of the recall single-probe
+    loses at bucket boundaries for ~2x the candidate cost — still
+    O(|corpus|/n_buckets x nprobe) per query vs brute force's
+    O(|corpus|).
+
+    Scale shape: centroids broadcast twice (assignment + probe
+    ranking); candidate generation is a bucket equi-join; all ranking
+    windows partition by query. At 1000 executors the corpus table is
+    bucketed/partitioned BY assigned centroid on disk, so a probe is a
+    partition-pruned scan."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    ).withColumn("n2", F.expr("aggregate(zip_with(qv, qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x)"))
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "aggregate(collect_list(qv), array_repeat(0L, 64), "
+                "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+            ).alias("sums"),
+        )
+        .select(
+            "c_label",
+            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d)"
+    )
+    cdist = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "c_label", dist.alias("dist")
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    ranked = cdist.withColumn("rn", F.row_number().over(wq))
+    assigned = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("a_id"), F.col("c_label").alias("bucket")
+    )
+    probes = ranked.where(F.col("rn") <= 2).where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("c_label").alias("bucket")
+    )
+    corpus = q.join(assigned, q.vec_id == assigned.a_id).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("n2").alias("c_n2"),
+        "bucket",
+    )
+    queries = q.select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), F.col("n2").alias("q_n2")
+    )
+    cos = F.expr(
+        "cast(aggregate(zip_with(q_qv, c_qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x) as double)"
+    ) / (F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("c_n2").cast("double")))
+    scored = (
+        probes.join(F.broadcast(corpus), "bucket")
+        .where(F.col("c_id") != F.col("query_id"))
+        .join(F.broadcast(queries), probes.query_id == queries.q_id)
+        .select("query_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
