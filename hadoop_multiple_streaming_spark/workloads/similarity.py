@@ -331,3 +331,65 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+@register(
+    "ann_recall",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qq.id AS query_id, c.id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY qq.id
+                       ORDER BY list_inner_product(qq.qv, c.qv)
+                                / (sqrt(qq.n2) * sqrt(c.n2)) DESC, c.id
+                   ) AS rank
+            FROM n qq JOIN n c ON qq.id < 10 AND c.id <> qq.id
+        ) t WHERE rank <= 3
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qq.id AS query_id, c.id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY qq.id
+                       ORDER BY list_inner_product(qq.qv, c.qv)
+                                / (sqrt(qq.n2) * sqrt(c.n2)) DESC, c.id
+                   ) AS rank
+            FROM n qq JOIN n c ON qq.id < 10 AND c.label = qq.label
+                               AND c.id <> qq.id
+        ) t WHERE rank <= 3
+    )
+    SELECT CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_3
+    FROM exact e
+    LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    """,
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accounting for the ANN tradeoff: what fraction of the
+    exact top-3 does single-probe IVF retrieve? The pruning decision
+    at 100 TB (bucket count, nprobe) should follow THIS number, not
+    intuition — the query makes recall a monitored, oracle-checked
+    metric. Both sides are deterministic (integer cosine, id
+    tie-breaks), so even the division is bit-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id", keep_cols=["label"])
+    exact = cosine_topk(q, q.where(F.col("id") < 10), k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(q, q.where(F.col("id") < 10), bucket_col="label", k=3).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    joined = exact.join(
+        ivf,
+        (exact.query_id == ivf.i_qid) & (exact.neighbor_id == ivf.i_nid),
+        "left",
+    )
+    return joined.agg(
+        F.count("i_nid").alias("hits"),
+        F.count(F.lit(1)).alias("total"),
+        (F.count("i_nid").cast("double") / F.count(F.lit(1))).alias("recall_at_3"),
+    )
