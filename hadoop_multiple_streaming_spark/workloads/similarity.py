@@ -374,7 +374,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (bucket count, nprobe) should follow THIS number, not
     intuition — the query makes recall a monitored, oracle-checked
     metric. Both sides are deterministic (integer cosine, id
-    tie-breaks), so even the division is bit-exact."""
+    tie-breaks), so even the division is bit-exact.
+
+    Measured on the driver's synthetic embeddings: recall@3 = 1/30 —
+    the vectors are NOT clustered by label, so label-bucket pruning
+    discards almost every true neighbor. That is the metric doing its
+    job: it says this corpus needs a trained quantizer
+    (ivf_assignment's k-means step) and/or multi-probe
+    (ann_ivf_multiprobe), not label buckets."""
     emb = load(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb, "embedding", "vec_id", keep_cols=["label"])
     exact = cosine_topk(q, q.where(F.col("id") < 10), k=3).select(
