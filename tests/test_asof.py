@@ -94,3 +94,51 @@ def test_interval_join_exact_boundary_and_uniqueness(spark):
     assert sorted(r.r_rid for r in out) == [10, 11]
     # each true pair appears exactly once despite the 3-bin explode
     assert len(out) == 2
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """asof_join vs an O(n^2) plain-Python reference over a seeded
+    random dataset (many keys, clustered timestamps, same-ts ties)."""
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    eid = 0
+    for _ in range(120):
+        eid += 1
+        row = (
+            rng.randint(1, 8),
+            base + dt.timedelta(seconds=rng.randint(0, 50) * 60),  # coarse: ties
+            eid,
+        )
+        (lefts if rng.random() < 0.5 else rights).append(row)
+
+    def brute(l_key, l_ts, tol=None):
+        best = None  # (ts, eid)
+        for k, ts_, e in rights:
+            if k == l_key and ts_ <= l_ts and (best is None or (ts_, e) > best):
+                best = (ts_, e)
+        if best and tol is not None and (l_ts - best[0]).total_seconds() > tol:
+            return None
+        return best
+
+    left = spark.createDataFrame(lefts, "k long, ts timestamp, eid long")
+    right = spark.createDataFrame(rights, "k long, ts timestamp, eid long")
+    for tol in (None, 600):
+        got = {
+            r.eid: (r.asof_ts, r.asof_eid)
+            for r in asof_join(
+                left,
+                right,
+                by=["k"],
+                ts_col="ts",
+                value_cols=["eid"],
+                tie_col="eid",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        assert len(got) == len(lefts)
+        for k, ts_, e in lefts:
+            want = brute(k, ts_, tol)
+            assert got[e] == (want if want else (None, None)), (k, ts_, e, tol)
