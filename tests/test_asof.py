@@ -142,3 +142,39 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
         for k, ts_, e in lefts:
             want = brute(k, ts_, tol)
             assert got[e] == (want if want else (None, None)), (k, ts_, e, tol)
+
+
+def test_interval_join_matches_bruteforce_on_random_data(spark):
+    import random
+
+    from hadoop_multiple_streaming_spark.operators.asof import interval_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lefts, rights = [], []
+    eid = 0
+    for _ in range(120):
+        eid += 1
+        row = (
+            rng.randint(1, 6),
+            base + dt.timedelta(seconds=rng.randint(0, 7200)),
+            eid,
+        )
+        (lefts if rng.random() < 0.5 else rights).append(row)
+    tol = 300
+    want = {
+        (le, re)
+        for lk, lt_, le in lefts
+        for rk, rt_, re in rights
+        if lk == rk and abs((lt_ - rt_).total_seconds()) <= tol
+    }
+    left = spark.createDataFrame(lefts, "k long, ts timestamp, eid long")
+    right = spark.createDataFrame(rights, "k long, ts timestamp, eid long")
+    got = {
+        (r.eid, r.r_eid)
+        for r in interval_join(
+            left, right, by=["k"], ts_col="ts", tolerance_seconds=tol,
+            right_cols=["eid"],
+        ).collect()
+    }
+    assert got == want
