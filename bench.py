@@ -67,10 +67,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in workloads.QUERIES]
-    # warm pass: run every query once untimed so the timed pass
-    # measures steady-state execution, not Janino codegen compilation
-    # (the generated-code cache is keyed by the physical plan, which
-    # AQE specializes per scale factor — so warm at the SAME sf_dir)
+    # warm IMMEDIATELY before timing each query (not one global warm
+    # pass): the generated-class cache is shared across queries, and a
+    # whole-catalog warm pass evicts the early queries' classes before
+    # the timed pass reaches them — the "warm" run then re-pays
+    # multi-second Janino compiles. Per-query warm+time keeps the
+    # steady-state measurement honest (session.py also raises
+    # spark.sql.codegen.cache.maxEntries as a second line of defense).
+    times: dict[str, float] = {}
     for name in names:
         try:
             workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
@@ -78,9 +82,6 @@ def main() -> int:
             ).save()
         except Exception:
             pass
-
-    times: dict[str, float] = {}
-    for name in names:
         t0 = time.monotonic()
         try:
             df = workloads.QUERIES[name](spark, sf_dir)

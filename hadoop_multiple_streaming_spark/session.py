@@ -89,6 +89,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.scheduler.mode", "FAIR")
+        # static conf, read once at first codegen: the default 100-entry
+        # generated-class cache thrashes when a session runs a whole
+        # query catalog (each multi-stage query compiles several
+        # WholeStageCodegen classes; eviction = multi-second Janino
+        # recompiles on re-run)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
