@@ -445,6 +445,119 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def rademacher_planes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix for sign-LSH, derived from
+    md5(f"{p}#{i}") (low bit of the first hex nibble). Computed
+    driver-side ONCE and embedded as a literal constant in both the
+    Spark plan and the SQL oracle — the planes are query constants, so
+    no per-row hashing is ever paid for them."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0], 16) & 1 else -1
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def planes_spark_literal(planes: list[list[int]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(str(c) for c in row) + ")" for row in planes
+    ) + ")"
+
+
+def planes_duckdb_literal(planes: list[list[int]]) -> str:
+    return "[" + ",".join(
+        "[" + ",".join(str(c) for c in row) + "]" for row in planes
+    ) + "]"
+
+
+def embedding_lsh_pairs(
+    quantized: DataFrame,
+    threshold: float,
+    num_planes: int = 32,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH near-dup pairs over embeddings —
+    the scale path that replaces embedding_cosine_pairs' O(n²)
+    self-join: bucket vectors by band of sign bits
+    (bit_p = 1 iff qv · plane_p > 0; P(bits agree) = 1 - angle/π),
+    expand candidate pairs in-bucket, then verify the EXACT quantized
+    cosine only on candidates.
+
+    Plan shape: one projection computes all num_planes sign bits per
+    row (integer dots against literal plane constants — fully
+    codegen'd, no join for the sketch), one groupBy(band, bucket)
+    shuffle for candidates, one join back to the quantized vectors for
+    the verify. Measured on the synthetic 64-dim test embeddings
+    (threshold 0.45, 32 planes, 8 bands x 4 rows): recall 13/14 at
+    sf0.01 and 119/144 at sf0.1 vs the exact pairwise truth, with
+    candidates at ~40% of the brute-force pair space; real near-dup
+    corpora (cosine ≥ 0.9) sit far above the threshold the band
+    geometry is tuned for here, where both recall and pruning improve
+    sharply. Tune (num_planes, rows_per_band) to the target threshold:
+    recall = 1 - (1 - agree^rows)^bands.
+
+    ``max_bucket_size`` is the same viral-bucket skew guard as
+    lsh_candidate_pairs (a bucket of m members expands m(m-1)/2 pairs
+    in one task)."""
+    planes = rademacher_planes(num_planes, dim)
+    bands = num_planes // rows_per_band
+    sig = F.expr(
+        f"array_join(transform({planes_spark_literal(planes)}, pl -> "
+        "case when aggregate(zip_with(qv, pl, (x, c) -> x * c), 0L, "
+        "(a, x) -> a + x) > 0 then '1' else '0' end), '')"
+    )
+    buckets = quantized.select(
+        "id",
+        sig.alias("sig"),
+    ).select(
+        "id",
+        F.expr(
+            f"posexplode(transform(sequence(0, {bands - 1}), "
+            f"b -> substring(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+        ).alias("band", "bucket"),
+    )
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.expr("array_sort(collect_list(id))").alias("ids")
+    )
+    keep = F.size("ids") >= 2
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    cand = (
+        grouped.where(keep)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
+        .distinct()
+    )
+    a = quantized.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qa"), F.col("n2").alias("na2")
+    )
+    b = quantized.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qb"), F.col("n2").alias("nb2")
+    )
+    cos = _dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(quantized: DataFrame, threshold: float) -> DataFrame:
     """All pairs with cosine >= threshold (exact quantized cosine).
     Pairwise form for modest n; the scale path buckets vectors first

@@ -177,6 +177,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(q, threshold=0.45)
 
 
+def _embedding_lsh_oracle() -> str:
+    from ..operators.dedup import planes_duckdb_literal, rademacher_planes
+
+    pl = planes_duckdb_literal(rademacher_planes(32, 64))
+    return f"""
+    WITH {_QUANT_CTE},
+    bits AS (SELECT id, p,
+                    CASE WHEN list_inner_product(qv, ({pl})[p + 1]) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM n, UNNEST(range(0, 32)) t(p)),
+    sig AS (SELECT id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY id),
+    bands AS (SELECT id, b, substr(sig, CAST(b * 4 + 1 AS INT), 4) AS bucket
+              FROM sig, UNNEST(range(0, 8)) t(b)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM cand c
+    JOIN n na ON na.id = c.id_a
+    JOIN n nb ON nb.id = c.id_b
+    WHERE CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+              / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (sign) LSH:
+    32 md5-seeded ±1 planes → 8 bands x 4 sign bits → in-bucket
+    candidate expansion → exact quantized-cosine verify at 0.45. The
+    O(candidates) scale path for dedup_embedding_cosine (which stays
+    as the exact pairwise truth); measured recall 13/14 at sf0.01,
+    119/144 at sf0.1 on the synthetic embeddings."""
+    from ..operators.dedup import embedding_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    return embedding_lsh_pairs(
+        q, threshold=0.45, num_planes=32, rows_per_band=4, dim=64
+    )
+
+
 # shared oracle CTE: 64-bit simhash fingerprints (same math as
 # dedup_simhash's oracle)
 _SIMHASH_CTE = """

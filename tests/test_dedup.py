@@ -119,6 +119,42 @@ def test_embedding_cosine_pairs(spark):
     assert abs(got[(3, 4)] - 0.8) < 1e-9  # cos((1,0),(0.6,0.8)) pairs via (3,4)=0.8
 
 
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    vecs = [
+        (1, base + 0.01 * rng.normal(size=8)),
+        (2, base + 0.01 * rng.normal(size=8)),
+        (3, -base),  # antipodal: cosine ~ -1, must never pair
+        (4, rng.normal(size=8)),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_lsh_pairs(
+            q, 0.9, num_planes=16, rows_per_band=2, dim=8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert not any(3 in k for k in got)
+    # LSH output = exact pairwise truth restricted to candidates: a
+    # subset, with bit-identical cosine values on the shared pairs
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(q, 0.9).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(v == exact[k] for k, v in got.items())
+
+
 def test_lsh_max_bucket_size_drops_hot_buckets(spark):
     # 3 identical docs share every band bucket (bucket size 3);
     # max_bucket_size=2 drops those buckets -> no candidate pairs
