@@ -284,6 +284,45 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    (priority, status), (priority), and grand total in ONE pass —
+    a single Expand (3 replicas per row) feeding one hash aggregation,
+    instead of three separate scans unioned."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "sum_price",
+            "cnt",
+        )
+    )
+
+
+@register(
     "orders_priority_pivot",
     oracle="""
     SELECT o_orderpriority,

@@ -161,6 +161,39 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_oracle() -> str:
+    from ..functions.sampling import SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    t_en = int(0.3 * SPACE)
+    t_zh = int(0.5 * SPACE)
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    valued AS (SELECT doc_id, lang, {nibbles} AS v FROM hashed)
+    SELECT doc_id, lang FROM valued
+    WHERE NOT (lang = 'en' AND v >= {t_en})
+      AND NOT (lang = 'zh' AND v >= {t_zh})
+    """
+
+
+@register("stratified_sample", oracle=_stratified_oracle())
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (the corpus-rebalancing
+    step of a curation pipeline): keep 30% of 'en' docs and 50% of
+    'zh', all other languages untouched — keyed on the doc-id hash so
+    membership is stable across runs/engines/cluster sizes and is a
+    stateless map (no shuffle, no coordination at 100 TB)."""
+    from ..functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.3, "zh": 0.5})
+
+
 @register("multimodal_features")  # rows-only: no binary test table exists
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (operators.multimodal): synthetic
