@@ -293,3 +293,51 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert len(got) >= len(want) - 50
     for k, v in got.items():
         assert want[k] == v, (k, v, want[k])
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart against the same checkpoint must resume from the
+    recorded source offsets: files processed before the stop are NOT
+    reprocessed (no duplicates in the file sink), files added while
+    down ARE picked up — the restartability contract a 100 TB
+    long-running ingest relies on."""
+    import datetime as dt
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(str(indir / name))
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(indir / "*"))
+        q = (
+            stream.withColumn("doubled", F.col("value") * 2)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    write_batch("p1", [(t, "click", 1.0), (t, "view", 2.0)])
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert sorted((r.event_type, r.doubled) for r in first) == [
+        ("click", 2.0),
+        ("view", 4.0),
+    ]
+
+    write_batch("p2", [(t, "scroll", 3.0)])
+    run_once()  # restart from the same checkpoint
+    final = spark.read.parquet(out).collect()
+    assert sorted((r.event_type, r.doubled) for r in final) == [
+        ("click", 2.0),
+        ("scroll", 6.0),
+        ("view", 4.0),
+    ]
