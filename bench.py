@@ -43,9 +43,12 @@ HEADLINE = [
     "fanout_two_branches",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "text_quality_score",
     "curation_pipeline",
     "ann_cosine_topk",
+    "orders_grouping_sets",
+    "stratified_sample",
 ]
 
 

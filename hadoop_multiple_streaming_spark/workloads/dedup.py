@@ -214,7 +214,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     119/144 at sf0.1 on the synthetic embeddings."""
     from ..operators.dedup import embedding_lsh_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    # repartition: the test table is one small parquet file (1 scan
+    # partition); the per-row sign-bit computation (a higher-order
+    # function — CodegenFallback, interpreted) must spread across
+    # cores. At 100 TB the scan itself yields enough partitions.
+    emb = load(spark, sf_dir, "embeddings").repartition(32)
     q = quantize_embeddings(emb, "embedding", "vec_id")
     return embedding_lsh_pairs(
         q, threshold=0.45, num_planes=32, rows_per_band=4, dim=64
