@@ -619,3 +619,101 @@ def interval_click_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id", F.col("event_id").alias("click_id")).agg(
         F.count(F.lit(1)).alias("n_errors_near")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. The ON-
+    clause predicate (order filter inside the OUTER join, so non-
+    matching customers still count as 0) and the count-of-counts
+    double aggregation are the shapes under test; the driver tables
+    have no o_comment, so the NOT-LIKE filter becomes a priority
+    filter. COUNT(o_orderkey) counts only matched rows — NULLs from
+    the outer join are skipped, exactly the TPC-H semantics. First
+    aggregation clusters on c_custkey (the join key), so AQE plans it
+    from the join's exchange without a second shuffle; the second
+    aggregation's input is one row per customer, tiny."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
+                AS DECIMAL(24,2)) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2)))
+                                   AS DOUBLE) / COUNT(*)
+                       FROM customer
+                       WHERE c_acctbal > 0.00
+                         AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy dormant customers by country. Three
+    shapes: an uncorrelated scalar subquery (global AVG) broadcast as
+    a literal-like threshold via a cross join of a 1-row aggregate, a
+    NOT EXISTS anti-join against orders, and a final rollup. The
+    driver tables have no c_phone, so country code is c_nationkey
+    directly (same IN-list + grouping semantics). The 1-row avg side
+    is a broadcast-nested-loop join (free); the anti join is the only
+    shuffle of customer. The threshold is exact-decimal SUM divided by
+    COUNT — one IEEE double division over identical inputs in both
+    engines — because a plain double AVG is summation-order-dependent
+    and could flip a borderline customer; the REPORTED money total
+    goes through decimal."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(codes)
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+            .cast("decimal(24,2)")
+            .alias("totacctbal"),
+        )
+    )
