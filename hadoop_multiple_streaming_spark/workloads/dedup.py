@@ -139,14 +139,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "text", "doc_id", bits=64)
 
 
-@register("dedup_clusters")  # rows-only: iterative fixpoint isn't ANSI-SQL
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, seed,
+                   MIN(substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 16)) AS mh
+            FROM sh, UNNEST(range(0, 16)) s(seed) GROUP BY id, seed),
+    buckets AS (SELECT id, seed // 2 AS band,
+                       md5(array_to_string(array_agg(CAST(mh AS VARCHAR) ORDER BY seed),
+                                           ',')) AS bucket
+                FROM sig GROUP BY id, seed // 2),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+    verified AS (SELECT i.id_a, i.id_b
+                 FROM inter i
+                 JOIN cand ON cand.id_a = i.id_a AND cand.id_b = i.id_b
+                 JOIN sizes na ON na.id = i.id_a
+                 JOIN sizes nb ON nb.id = i.id_b
+                 WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    reach AS (SELECT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: MinHash-LSH candidate pairs -> Jaccard
     verify -> connected components (iterative min-label propagation).
     The full curation pipeline shape: pairwise matches become dedup
-    groups with a canonical min-id representative. No oracle — the
-    fixpoint iteration has no ANSI-SQL equivalent (driver records the
-    rows-only check); correctness is pinned by unit test instead."""
+    groups with a canonical min-id representative. The oracle replays
+    the same candidate+verify math, then takes the min reachable id
+    per node with a recursive transitive-closure CTE — the same
+    fixpoint the Spark label propagation converges to."""
     from ..operators.dedup import dedup_clusters
 
     docs = load(spark, sf_dir, "documents").repartition(32)

@@ -80,14 +80,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer filtered to one segment is small -> broadcast both join
-    sides' build relations; ties broken by l_orderkey so the LIMIT is
-    deterministic."""
+    orders and customer both scale with the fact data, so neither is
+    hinted broadcast — the li⋈orders edge is a sort-merge join on
+    l_orderkey at scale (AQE still converts small sides at runtime);
+    ties broken by l_orderkey so the LIMIT is deterministic."""
     cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == orders.o_orderkey,
     )
     return (
@@ -117,8 +118,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join (fact lineitem x 5 dims), all dims
-    broadcast so the only shuffle is the final groupBy(n_name)."""
+    """TPC-H Q5 shape: star join. True dims (region/nation/supplier
+    chain) broadcast; orders and customer scale with the fact data so
+    their edges stay shuffle joins (sort-merge on l_orderkey /
+    o_custkey at scale; AQE may still convert them when small)."""
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     supplier = load(spark, sf_dir, "supplier")
@@ -131,9 +134,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (customer.c_nationkey == dims.s_nationkey),
         )

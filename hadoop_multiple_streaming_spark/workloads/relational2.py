@@ -32,7 +32,8 @@ from .tables import load
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume per year. The nation
     dim appears TWICE (supplier side and customer side) — both
-    broadcast; one shuffle for the final rollup."""
+    broadcast along with supplier; orders/customer are fact-scaled so
+    their edges are shuffle joins."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -45,8 +46,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     ).where(F.col("cn_key") < 3)
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
@@ -78,8 +79,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_mktsegment")
@@ -171,8 +172,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
         .where(F.col("total_qty") > 250)
@@ -238,7 +239,9 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface (TPC-H Q22 shape): customers with no recent
-    orders, counted per segment — planned as a broadcast anti join."""
+    orders, counted per segment. The exclusion set is distinct custkeys
+    of recent orders — fact-scaled, so no broadcast hint (shuffle anti
+    join on c_custkey; AQE converts it when genuinely small)."""
     cust = load(spark, sf_dir, "customer")
     recent = (
         load(spark, sf_dir, "orders")
@@ -246,9 +249,7 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .distinct()
     )
-    dormant = cust.join(
-        F.broadcast(recent), cust.c_custkey == recent.o_custkey, "left_anti"
-    )
+    dormant = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
     return dormant.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_dormant"))
 
 
@@ -362,10 +363,19 @@ def events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: sketch results are engine-implementation-defined.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    prof = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("percentile_approx(value, array(0.5D, 0.99D), 10000)").alias(
             "approx_p50_p99"
         ),
         F.count(F.lit(1)).alias("cnt"),
+    )
+    # project the quantile array to scalar columns: array-typed cells are
+    # unhashable in pandas-based comparators (and scalars read better)
+    return prof.select(
+        "event_type",
+        "approx_users",
+        F.col("approx_p50_p99")[0].alias("approx_p50"),
+        F.col("approx_p50_p99")[1].alias("approx_p99"),
+        "cnt",
     )

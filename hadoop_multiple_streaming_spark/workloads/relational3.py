@@ -160,8 +160,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_am), orders.o_custkey == cust_am.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_am, orders.o_custkey == cust_am.c_custkey)
         .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
     )
     vol = f"{_PRICE} * {_DISC1}"
@@ -203,7 +203,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "n_name")
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
     )
     return (
@@ -275,7 +275,7 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -504,7 +504,7 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fails = (
         level1.where("failed")
-        .join(F.broadcast(orders), level1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(orders, level1.l_orderkey == orders.o_orderkey, "left_semi")
         .join(sole, "l_orderkey", "left_semi")
         .select("l_orderkey", "l_suppkey")
     )

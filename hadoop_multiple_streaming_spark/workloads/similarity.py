@@ -13,6 +13,29 @@ from . import register
 from .dedup import _QUANT_CTE
 from .tables import load
 
+_DIM = 64
+
+
+def _centroid_sums(q: DataFrame, group: str, out_group: str, n_name: str) -> DataFrame:
+    """groupBy(group) -> (out_group, n_name, sums array<long>).
+
+    64 independent ``SUM(qv[i])`` columns, reassembled into one array
+    AFTER the aggregation — each SUM is its own constant-size agg
+    buffer, so Catalyst plans map-side partial aggregation and a
+    million-vector group costs the same memory as a ten-vector one.
+    (The previous ``aggregate(collect_list(qv), …)`` fold buffered
+    every vector of a group in one ObjectHashAggregate buffer — an
+    executor OOM at 100 TB group sizes.)"""
+    agg = q.groupBy(F.col(group).alias(out_group)).agg(
+        F.count(F.lit(1)).alias(n_name),
+        *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(_DIM)],
+    )
+    return agg.select(
+        out_group,
+        n_name,
+        F.array(*[F.col(f"_s{i}") for i in range(_DIM)]).alias("sums"),
+    )
+
 
 @register(
     "ann_cosine_topk",
@@ -92,8 +115,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column — the vector
     aggregate behind k-means / IVF coarse-quantizer training. Planned
-    as ONE groupBy(label) folding an elementwise array sum (zip_with)
-    over quantized-integer vectors — no posexplode of |vectors| x 64
+    as ONE groupBy(label) with 64 per-dim SUM buffers (constant memory
+    per group, map-side partial agg) — no posexplode of |vectors| x 64
     rows, no shuffle of exploded dims (the oracle unnests because
     ANSI SQL lacks array folds; Spark doesn't have to). Centroid
     means are exact: integer sums, one division per dim. Output
@@ -106,13 +129,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("qv"),
     )
-    agg = q.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.expr(
-            "aggregate(collect_list(qv), array_repeat(0L, 64), "
-            "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
-        ).alias("sums"),
-    )
+    agg = _centroid_sums(q, "label", "label", "n_vectors")
     return agg.select(
         "label",
         "n_vectors",
@@ -179,19 +196,9 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("qv"),
     )
-    cent = (
-        q.groupBy(F.col("label").alias("c_label"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "aggregate(collect_list(qv), array_repeat(0L, 64), "
-                "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
-            ).alias("sums"),
-        )
-        .select(
-            "c_label",
-            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
-        )
+    cent = _centroid_sums(q, "label", "c_label", "n").select(
+        "c_label",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
     dist = F.expr(
         "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
@@ -277,19 +284,9 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("qv"),
     ).withColumn("n2", F.expr("aggregate(zip_with(qv, qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x)"))
-    cent = (
-        q.groupBy(F.col("label").alias("c_label"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "aggregate(collect_list(qv), array_repeat(0L, 64), "
-                "(acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
-            ).alias("sums"),
-        )
-        .select(
-            "c_label",
-            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
-        )
+    cent = _centroid_sums(q, "label", "c_label", "n").select(
+        "c_label",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
     dist = F.expr(
         "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "

@@ -20,20 +20,30 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a session-TZ TIMESTAMP regardless of how
+    the generator wrote it. Seen in the wild: TIMESTAMP(NANOS) (read as
+    long nanos under the legacy conf), plain TIMESTAMP(MICROS) read as
+    TIMESTAMP_NTZ, or already a TZ-aware TIMESTAMP. Downstream queries
+    date_format/date_trunc under a UTC session, so all three normalize
+    to the same wall-clock values DuckDB sees."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":  # legacy nanos-as-long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — keep the projection/filter in the caller so
-    Catalyst pushes them into this scan.
-
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as a long (legacy conf) and rebuild a
-    microsecond timestamp (same truncation DuckDB applies when it
-    lowers TIMESTAMP_NS into micros-based functions)."""
+    Catalyst pushes them into this scan."""
     if name == "events":
+        # tolerate nanos-precision generators (vectorized reader rejects
+        # TIMESTAMP(NANOS) without this; harmless for micros files)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the rebuilt ts is a TZ-aware timestamp; date_format/date_trunc
-        # on it follow the session timezone, so pin UTC here — the
-        # driver's session may not have been built by our factory
+        # date_format/date_trunc follow the session timezone; pin UTC —
+        # the driver's session may not have been built by our factory
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -270,17 +270,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit across engines; ln(idf) would diverge by libm ulps).
 
     Plan: token explode -> groupBy(doc, term) [shuffle 1] ->
-    document frequencies derived FROM tf (vocabulary-sized, broadcast
-    back) [shuffle 2 on term] -> per-doc window top-3 [shuffle 3 on
-    doc_id]. At 100 TB the vocabulary side stays small (natural-
-    language vocab grows sublinearly) — the broadcast holds."""
+    document frequencies derived FROM tf [shuffle 2 on term] -> join
+    back on term -> per-doc window top-3 [shuffle 3 on doc_id]. The
+    tf⋈dfreq join is NOT hint-broadcast: a web-scale vocabulary (URLs,
+    typos, code tokens) grows with the corpus, so the join shuffles on
+    term — and both sides arrive already term-partitioned from the
+    dfreq aggregation, so the exchange is reusable; AQE converts to
+    broadcast at runtime when the measured vocab is genuinely small."""
     docs = load(spark, sf_dir, "documents").repartition(32)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "score", F.col("tf").cast("double") / F.col("dfc")
     )
     from pyspark.sql.window import Window

@@ -44,24 +44,27 @@ def test_q1_projection_pruned(spark):
     assert "l_quantity" in read[0] and "l_returnflag" in read[0]
 
 
-def test_q5_all_joins_broadcast(spark):
+def test_q5_dim_chain_broadcast(spark):
+    # the hinted supplier⋈nation⋈region dim chain broadcasts; the
+    # fact-scaled orders/customer edges are UNHINTED (Catalyst picks by
+    # stats here, SortMergeJoin at scale — see test_plan_scale.py)
     plan = plan_of(spark, "q5_local_supplier_volume")
-    assert plan.count("BroadcastHashJoin") >= 5
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
 
 
-def test_q3_joins_broadcast(spark):
+def test_q3_joins_no_cartesian(spark):
     plan = plan_of(spark, "q3_shipping_priority")
-    assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+    # at test SF the stats still pick hash joins for the tiny sides
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_anti_join_is_broadcast(spark):
+def test_anti_join_type(spark):
+    # exclusion set is fact-scaled -> no broadcast hint; join TYPE is
+    # the contract (anti), the strategy is Catalyst's to pick
     plan = plan_of(spark, "anti_join_dormant_customers")
     assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
 
 
 def test_aggregate_family_partial_combine(spark):
@@ -89,13 +92,11 @@ def test_sql_view_pushdown(spark):
     )
 
 
-def test_q8_two_role_dims_all_broadcast(spark):
-    # fact scan + 5 broadcast dims (part, orders, customer-region, supplier-
-    # nation with nation joined in two roles); the only Exchange left is
-    # the final groupBy(year)
+def test_q8_two_role_dims_broadcast(spark):
+    # part and supplier-nation (two nation roles) stay hinted
+    # broadcasts; orders/customer edges are unhinted fact joins
     plan = plan_of(spark, "q8_market_share")
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
 
 

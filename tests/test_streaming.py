@@ -240,21 +240,18 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     a batch query."""
     import shutil
 
-    from hadoop_multiple_streaming_spark.workloads.tables import load
+    from hadoop_multiple_streaming_spark.workloads.tables import load, normalize_events_ts
 
     ev = load(spark, "/root/testdata/sf0.001", "events")
     # file streams want a DIRECTORY; stage the single-file table into
-    # one, and replay with the RAW schema (ts is nanos-as-long) + the
-    # same micros rebuild the batch loader applies
+    # one, and replay with the RAW schema + the same ts normalization
+    # the batch loader applies
     staged = tmp_path / "events_dir"
     staged.mkdir()
     shutil.copy("/root/testdata/sf0.001/events.parquet", staged / "part-0.parquet")
     raw_schema = spark.read.parquet(str(staged)).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(str(staged))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(staged))
     )
     rolled = windowed_rollup(stream, ts_col="ts", key_col="event_type", window="1 hour")
     out = str(tmp_path / "roll_out")
