@@ -220,7 +220,7 @@ def _pipe_partition(
             else:
                 print(f"[pipe stderr p{partition_id}] {text}")
         if counters is not None and local:
-            counters.add(local)
+            counters.add({_attempt_key(): local})
 
     writer = threading.Thread(target=feed, daemon=True)
     err_thread = threading.Thread(target=drain_stderr, daemon=True)
@@ -254,28 +254,68 @@ def _pipe_partition(
     if counters is not None:
         counters.add(
             {
-                "pipe.records_written": state["written"],
-                "pipe.records_read": n_out,
-                "pipe.records_skipped": state["skipped"],
+                _attempt_key(): {
+                    "pipe.records_written": state["written"],
+                    "pipe.records_read": n_out,
+                    "pipe.records_skipped": state["skipped"],
+                }
             }
         )
 
 
+def _attempt_key() -> str:
+    """Key counter updates by (stage, partition, attempt) so retried /
+    speculative task attempts can be deduplicated at read time — Hadoop
+    discards failed attempts' counters (MultiPipeMapRed.java:512-627)
+    and so must we, or every retry double-counts."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is None:  # driver-side / local testing path
+        return "driver:0:0"
+    return f"{ctx.stageId()}:{ctx.partitionId()}:{ctx.attemptNumber()}"
+
+
 class _DictAccumulator(AccumulatorParam):
-    """AccumulatorParam merging {name: count} dicts (P7 counters)."""
+    """AccumulatorParam merging {attempt_key: {name: count}} dicts
+    (P7 counters, attempt-keyed for retry dedup)."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
-        for k, v in b.items():
-            a[k] = a.get(k, 0) + v
+        for key, vals in b.items():
+            cur = a.setdefault(key, {})
+            for name, n in vals.items():
+                cur[name] = cur.get(name, 0) + n
         return a
 
 
 def make_counters(spark: SparkSession):
     """Create a counters accumulator for the stderr reporter protocol."""
     return spark.sparkContext.accumulator({}, _DictAccumulator())
+
+
+def read_counters(counters) -> dict[str, int]:
+    """Collapse attempt-keyed updates into job totals, keeping only the
+    LAST attempt per (stage, partition). A task that fails mid-stream
+    and is retried contributes exactly one attempt's worth of counts —
+    Hadoop's successful-attempt-only counter semantics. (A partition
+    recomputed in a *different* stage — lineage recompute after an
+    evicted persist — still counts per stage; persist/materialize the
+    piped stage to avoid recompute, as run_job's share modes do.)"""
+    best: dict[tuple[str, str], tuple[int, dict]] = {}
+    for key, vals in (counters.value or {}).items():
+        stage, part, attempt = key.split(":")
+        k = (stage, part)
+        a = int(attempt)
+        if k not in best or a > best[k][0]:
+            best[k] = (a, vals)
+    totals: dict[str, int] = {}
+    for _, vals in best.values():
+        for name, n in vals.items():
+            totals[name] = totals.get(name, 0) + n
+    return totals
 
 
 def pipe_lines(

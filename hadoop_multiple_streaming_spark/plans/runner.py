@@ -39,7 +39,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.kv import with_key_val
 from ..operators.aggregate import aggregate_reduce
-from ..operators.pipe import PipeOptions, make_counters, pipe_lines, pipe_map, pipe_reduce
+from ..operators.pipe import (
+    PipeOptions,
+    make_counters,
+    pipe_lines,
+    pipe_map,
+    pipe_reduce,
+    read_counters,
+)
 from ..sources.io import read_key_value_text, read_table, read_text, ship_files, table_to_lines, write_kv_text
 from .model import AGGREGATE, Branch, JobSpec
 
@@ -331,7 +338,7 @@ def run_job(
     for r in results:  # final verdict (reportSuccessful, O3/O4)
         status = "SUCCEEDED" if r.success else f"FAILED: {r.error}"
         print(f"[runner] branch {r.dir_key}: {status} ({r.seconds:.1f}s) -> {r.output_path}")
-    totals = dict(counters.value) if counters.value else {}
+    totals = read_counters(counters)  # attempt-deduped (Hadoop parity)
     result.counters = totals
     for name in sorted(totals):  # O5: counter totals in the summary
         print(f"[runner] counter {name} = {totals[name]}")

@@ -78,11 +78,39 @@ def read_custom_framing(
     paths: str | list[str],
     line_sep: str,
 ) -> DataFrame:
-    """S6: custom record framing (the reference's -inputreader
-    StreamXmlRecordReader niche) — records delimited by an arbitrary
-    separator instead of newline."""
+    """S6: custom record framing — records delimited by an arbitrary
+    separator instead of newline (the reference's -inputreader
+    surface, MapStreamJob.java:823-840)."""
     p = [paths] if isinstance(paths, str) else list(paths)
     return spark.read.option("lineSep", line_sep).text(p).withColumnRenamed("value", "line")
+
+
+def read_xml_records(
+    spark: SparkSession,
+    paths: str | list[str],
+    begin: str,
+    end: str,
+) -> DataFrame:
+    """S6: begin/end-tag framing — the reference's
+    ``-inputreader StreamXmlRecordReader,begin=<page>,end=</page>``
+    (MapStreamJob.java:823-840): each record is one ``begin…end`` span,
+    tags included, one record per output line.
+
+    Spark-first: split the files ON the begin tag (distributed text
+    scan with a custom delimiter — splits records at block boundaries
+    exactly like Hadoop's LineRecordReader would), then trim each chunk
+    at its end tag and re-attach both tags. Text outside any
+    begin/end span (prologue, inter-record whitespace) is dropped, and
+    a trailing unterminated record is dropped — StreamXmlRecordReader's
+    skip-to-next-begin behavior. Assumes non-nested records (the only
+    form the reference's reader supports)."""
+    p = [paths] if isinstance(paths, str) else list(paths)
+    raw = spark.read.option("lineSep", begin).text(p)
+    return raw.where(F.instr("value", end) > 0).select(
+        F.concat(
+            F.lit(begin), F.substring_index("value", end, 1), F.lit(end)
+        ).alias("line")
+    )
 
 
 # ------------------------------------------------------------------ sinks

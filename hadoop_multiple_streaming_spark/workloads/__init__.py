@@ -112,6 +112,7 @@ _PRIORITY_ORDER = [
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     # ---- index 50+: shapes already covered above ----
+    "agg_long_sum_native",  # bench twin of agg_long_sum (in-window)
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

@@ -45,6 +45,24 @@ def agg_long_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_long_sum_native",
+    oracle="""
+    SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS VARCHAR) AS value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_long_sum_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongValueSum, native-path twin of ``agg_long_sum``: same
+    aggregation, fed typed KV columns directly — no serialize-to-lines
+    / splitKeyVal round-trip. Bench both to read the decomposition:
+    (agg_long_sum - agg_long_sum_native) is pure line-codec cost, the
+    rest is the aggregation itself. A reference user migrating off
+    text pipes uses THIS form."""
+    li = load(spark, sf_dir, "lineitem")
+    return aggregate_reduce(_kv(li, "LongValueSum", F.col("l_returnflag"), F.col("l_linenumber")))
+
+
+@register(
     "agg_long_max_min",
     oracle="""
     SELECT l_returnflag AS key, CAST(MAX(l_partkey) AS VARCHAR) AS value

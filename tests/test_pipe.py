@@ -14,6 +14,7 @@ from hadoop_multiple_streaming_spark.operators.pipe import (
     pipe_lines,
     pipe_map,
     pipe_reduce,
+    read_counters,
     split_args,
 )
 
@@ -175,9 +176,30 @@ def test_counter_protocol(spark):
     df = lines_df(spark, [f"row{i}" for i in range(10)]).coalesce(2)
     out = pipe_lines(df, script, counters=counters)
     assert out.count() == 10
-    assert counters.value["my.seen"] == 10
-    assert counters.value["pipe.records_written"] == 10
-    assert counters.value["pipe.records_read"] == 10
+    totals = read_counters(counters)
+    assert totals["my.seen"] == 10
+    assert totals["pipe.records_written"] == 10
+    assert totals["pipe.records_read"] == 10
+
+
+def test_counters_dedupe_retried_attempts(spark):
+    # Hadoop discards failed attempts' counters; a retried task must
+    # contribute exactly one attempt's counts (the LAST attempt wins)
+    from hadoop_multiple_streaming_spark.operators.pipe import read_counters
+
+    counters = make_counters(spark)
+    # attempt 0 of stage 5 / partition 3 died after counting 7 records;
+    # attempt 1 re-ran the partition and counted all 10
+    counters.add({"5:3:0": {"pipe.records_read": 7}})
+    counters.add({"5:3:1": {"pipe.records_read": 10}})
+    # a different partition's single attempt
+    counters.add({"5:4:0": {"pipe.records_read": 4}})
+    # two updates within ONE attempt sum (stderr counters + totals)
+    counters.add({"5:4:0": {"my.seen": 2}})
+    counters.add({"5:4:0": {"my.seen": 3}})
+    totals = read_counters(counters)
+    assert totals["pipe.records_read"] == 14  # 10 (attempt 1) + 4
+    assert totals["my.seen"] == 5
 
 
 def test_early_exit_mapper_fails_without_skip(spark):

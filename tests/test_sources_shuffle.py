@@ -37,6 +37,28 @@ def test_custom_framing(spark, tmp_path):
     assert got == ["rec1", "rec2", "rec3"]
 
 
+def test_xml_record_framing(spark, tmp_path):
+    # S6: StreamXmlRecordReader parity — begin/end-tag records, tags
+    # kept, prologue/whitespace/unterminated-tail dropped
+    from hadoop_multiple_streaming_spark.sources.io import read_xml_records
+
+    p = tmp_path / "pages.xml"
+    p.write_text(
+        "<mediawiki>\n"
+        "<page><title>A</title></page>\n"
+        "<page><title>B</title>\nmultiline body</page>\n"
+        "<page>unterminated trailing record"
+    )
+    got = sorted(
+        r.line
+        for r in read_xml_records(spark, str(p), "<page>", "</page>").collect()
+    )
+    assert got == [
+        "<page><title>A</title></page>",
+        "<page><title>B</title>\nmultiline body</page>",
+    ]
+
+
 def test_write_demux_layout(spark, tmp_path):
     # S7: route records to subdirectories by key, key dropped from
     # contents (PartitionByKeyField semantics)
