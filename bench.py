@@ -80,12 +80,17 @@ def main() -> int:
     # spark.sql.codegen.cache.maxEntries as a second line of defense).
     times: dict[str, float] = {}
     for name in names:
-        try:
-            workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        except Exception:
-            pass
+        # TWO warm passes: the first still pays Janino compiles and
+        # shuffle-service init for the query's plan shapes; measured
+        # third-run times are the stable steady state (e.g.
+        # dedup_minhash_lsh cold/warm1/warm2 = 12.5s/4.0s/1.8s)
+        for _ in range(2):
+            try:
+                workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                break
         t0 = time.monotonic()
         try:
             df = workloads.QUERIES[name](spark, sf_dir)

@@ -31,6 +31,15 @@ def words(text: Column | str) -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
+def quantize4(x: Column) -> Column:
+    """4-decimal quantization via floor(x*1e4)/1e4 — NOT round(): both
+    engines do the same IEEE multiply then an exact floor, so results
+    are bit-identical cross-engine. round() diverges on ties (Spark
+    rounds the exact decimal expansion HALF_UP, DuckDB rounds the
+    scaled double) — measured 5-in-500 mismatches on real text."""
+    return F.floor(x * F.lit(10000.0)) / F.lit(10000.0)
+
+
 def token_count_whitespace(text: Column | str) -> Column:
     return F.size(words(text))
 
@@ -92,7 +101,7 @@ def quality_score(text: Column | str) -> Column:
         + punct_penalty * 0.2
         + wordlen_component * 0.2
     )
-    return F.round(score, 4)
+    return quantize4(score)
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -120,9 +129,9 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col(id_col),
         token_count_whitespace(t).alias("n_tokens"),
         token_count_bpe(t).alias("n_bpe_tokens"),
-        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
-        F.round(unique_word_ratio(t), 4).alias("unique_ratio"),
-        F.round(mean_word_length(t), 4).alias("mean_word_len"),
+        quantize4(stopword_ratio(t)).alias("stopword_ratio"),
+        quantize4(unique_word_ratio(t)).alias("unique_ratio"),
+        quantize4(mean_word_length(t)).alias("mean_word_len"),
         lang_id(t).alias("lang_guess"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),

@@ -95,6 +95,19 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
     """Scan once; normalize everything to a single `line` column (the
     pipe world's record model, §1.1). Typed formats are serialized
     tab-KV AFTER projection so the parquet scan stays pruned."""
+    if spec.min_input_partitions:
+        # parallelism floor at the SCAN (pipe subprocess count ==
+        # partition count): split the files into at least N partitions
+        # instead of scanning narrow and repartitioning — no shuffle,
+        # no eager plan materialization to count partitions.
+        # minPartitionNum alone is advisory (the 4 MB open-cost floor
+        # wins on small files), so drop openCostInBytes too — the floor
+        # is an explicit per-job opt-in, packing efficiency is the
+        # user's tradeoff. Both confs restored by run_job.
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum", str(spec.min_input_partitions)
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", "1")
     if spec.input_format == "text":
         return _with_min_partitions(read_text(spark, spec.inputs), spec)
     if spec.input_format == "keyvalue":
@@ -117,11 +130,10 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
 
 
 def _with_min_partitions(lines: DataFrame, spec: JobSpec) -> DataFrame:
-    """Enforce the scan-parallelism floor (pipe subprocess count ==
-    partition count; see JobSpec.min_input_partitions)."""
-    n = spec.min_input_partitions
-    if n and lines.rdd.getNumPartitions() < n:
-        return lines.repartition(n)
+    """Floor already applied at scan time via
+    ``spark.sql.files.minPartitionNum`` (see _load_input) — the file
+    source plans >= N splits directly, so no repartition shuffle and no
+    eager ``rdd.getNumPartitions()`` plan materialization here."""
     return lines
 
 
@@ -270,6 +282,14 @@ def run_job(
     # over-count relative to Hadoop, which discards failed attempts.
     counters = make_counters(spark)
 
+    # _load_input may override the file-split confs for the
+    # parallelism floor; remember them for restore (plans execute
+    # lazily inside run_branch, so restore only after the pool joins)
+    _split_confs = {}
+    if spec.min_input_partitions:
+        for c in ("spark.sql.files.minPartitionNum", "spark.sql.files.openCostInBytes"):
+            _split_confs[c] = spark.conf.get(c, None)
+
     if spec.share_mode == "materialize":
         inter = _materialize_phase1(spark, spec, mode, counters)
         plans = {}
@@ -331,6 +351,11 @@ def run_job(
     finally:
         stop_reporting.set()
         reporter.join()
+        for c, v in _split_confs.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
         if shared is not None:
             shared.unpersist()
 

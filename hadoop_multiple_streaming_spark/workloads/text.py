@@ -207,13 +207,72 @@ def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, decoder=fake_decode_meta)
 
 
-@register("text_profile")  # rows-only: rolling-hash fold isn't ANSI-SQL
+def _profile_oracle() -> str:
+    from ..operators.text import EN_STOPWORDS, TOKEN_REGEX
+
+    stops = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    # char-level polynomial rolling hash (init 0, acc*31 + codepoint
+    # mod 2^31-1), folded per word; then word-level fold (init 7,
+    # acc*1000003 + word_val) — DuckDB's list_reduce replays Spark's
+    # F.aggregate fold exactly (same left-to-right order, same
+    # integer mod arithmetic)
+    wv = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+    fp = (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform({_TOKS}, t -> {wv})), "
+        f"(acc, x) -> (acc * 1000003 + x) % 2147483647)"
+    )
+    return f"""
+    WITH feat AS (
+        SELECT doc_id,
+               {_TOKS} AS toks,
+               len({_TOKS}) AS n_tokens,
+               len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END AS punct_ratio,
+               {fp} AS fingerprint
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, fingerprint,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST(len(list_filter(toks, t -> list_contains({stops}, t))) AS DOUBLE)
+                 / n_tokens ELSE 0.0 END AS stop_raw,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens
+               ELSE 0.0 END AS uniq_raw,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                 / n_tokens ELSE 0.0 END AS mwl_raw
+        FROM feat
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           floor(stop_raw * 10000.0) / 10000.0 AS stopword_ratio,
+           floor(uniq_raw * 10000.0) / 10000.0 AS unique_ratio,
+           floor(mwl_raw * 10000.0) / 10000.0 AS mean_word_len,
+           CASE WHEN stop_raw >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess,
+           floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                  + uniq_raw * 0.3
+                  + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+                  + (CASE WHEN mwl_raw >= 3.0 AND mwl_raw <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.2) * 10000.0) / 10000.0 AS quality,
+           fingerprint
+    FROM r
+    """
+
+
+@register("text_profile", oracle=_profile_oracle())
 def text_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-document profile (operators.text.text_profile):
     token counts, ratios, language guess, quality, polynomial rolling-
-    hash fingerprint — a single projection, no shuffle. No oracle: the
-    sequential hash fold has no ANSI-SQL equivalent (the driver records
-    the weaker rows-only check)."""
+    hash fingerprint — a single projection, no shuffle. The oracle
+    replays the whole profile including the rolling-hash folds via
+    DuckDB list_reduce (identical fold order and integer mod math)."""
     from ..operators.text import text_profile
 
     docs = load(spark, sf_dir, "documents")
