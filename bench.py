@@ -80,22 +80,26 @@ def main() -> int:
     # spark.sql.codegen.cache.maxEntries as a second line of defense).
     times: dict[str, float] = {}
     for name in names:
-        # TWO warm passes: the first still pays Janino compiles and
-        # shuffle-service init for the query's plan shapes; measured
-        # third-run times are the stable steady state (e.g.
-        # dedup_minhash_lsh cold/warm1/warm2 = 12.5s/4.0s/1.8s)
-        for _ in range(2):
-            try:
-                workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-            except Exception:
-                break
-        t0 = time.monotonic()
+        # warm pass (Janino compiles, shuffle init for the plan
+        # shapes), then MIN of two timed runs: the host shares cores
+        # with other tenants (idle load avg ~3), so a single timed run
+        # regularly carries 2-3x transient-contention noise; min-of-2
+        # is the standard robust steady-state estimator
         try:
-            df = workloads.QUERIES[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            times[name] = round(time.monotonic() - t0, 3)
+            workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass
+        best = -1.0
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                df = workloads.QUERIES[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.monotonic() - t0, 3)
+                best = dt if best < 0 else min(best, dt)
+            times[name] = best
         except Exception as e:
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             times[name] = -1.0

@@ -202,7 +202,74 @@ def histogram_report_lines(hist: DataFrame) -> DataFrame:
     return hist.select("agg_type", "key", value.alias("value"))
 
 
-def aggregate_reduce(df_kv: DataFrame, approx: bool = False, strict: bool = True) -> DataFrame:
+#: types computable in ONE direct aggregation (no per-value distinct
+#: level needed): plain sums and max/min
+DIRECT_TYPES = frozenset(
+    {
+        "LongValueSum",
+        "DoubleValueSum",
+        "LongValueMax",
+        "LongValueMin",
+        "StringValueMax",
+        "StringValueMin",
+    }
+)
+
+
+def _strict_otherwise(result, t):
+    return result.otherwise(
+        F.raise_error(
+            F.when(
+                t == MISSING_PREFIX,
+                F.concat(
+                    F.lit(
+                        "aggregate: malformed descriptor (missing 'AggType:' "
+                        "prefix) for key: "
+                    ),
+                    F.col("key"),
+                ),
+            ).otherwise(F.concat(F.lit("aggregate: unknown aggregator type: "), t))
+        )
+    )
+
+
+def _aggregate_direct(parsed: DataFrame, strict: bool) -> DataFrame:
+    """Single-level plan for declared pure-scalar menus: groupBy
+    (agg_type, key) straight off the parsed lines — ONE shuffle with
+    map-side partial combine, no (type, key, value) frequency level.
+    At 100 TB this is the difference between shuffling O(groups) and
+    shuffling O(distinct (key, value)) — for sums over high-cardinality
+    values (revenue cents, ids) the frequency level is O(rows)."""
+    t = F.col("agg_type")
+    long_v = F.col("value").cast("long")
+    dbl_v = F.col("value").cast("double")
+    agg = parsed.groupBy("agg_type", "key").agg(
+        F.sum(F.when(t == "LongValueSum", long_v)).alias("_lsum"),
+        F.sum(F.when(t == "DoubleValueSum", dbl_v)).alias("_dsum"),
+        F.max(F.when(t == "LongValueMax", long_v)).alias("_lmax"),
+        F.min(F.when(t == "LongValueMin", long_v)).alias("_lmin"),
+        F.max(F.when(t == "StringValueMax", F.col("value"))).alias("_smax"),
+        F.min(F.when(t == "StringValueMin", F.col("value"))).alias("_smin"),
+    )
+    result = (
+        F.when(t == "LongValueSum", F.col("_lsum").cast("string"))
+        .when(t == "DoubleValueSum", F.col("_dsum").cast("string"))
+        .when(t == "LongValueMax", F.col("_lmax").cast("string"))
+        .when(t == "LongValueMin", F.col("_lmin").cast("string"))
+        .when(t == "StringValueMax", F.col("_smax"))
+        .when(t == "StringValueMin", F.col("_smin"))
+    )
+    if strict:
+        result = _strict_otherwise(result, t)
+    return agg.select("key", result.alias("value"))
+
+
+def aggregate_reduce(
+    df_kv: DataFrame,
+    approx: bool = False,
+    strict: bool = True,
+    types: list[str] | None = None,
+) -> DataFrame:
     """Full ``-reducer aggregate`` semantics: (key, value) lines where
     key = ``AggType:realkey`` -> aggregated (key, value) strings.
 
@@ -225,8 +292,16 @@ def aggregate_reduce(df_kv: DataFrame, approx: bool = False, strict: bool = True
     rows of ValueHistogram groups — conditional, so scalar aggregators
     never pay for it. For billion-distinct-value histogram keys switch
     the median to percentile_approx.
+
+    ``types``: optional declared menu (like a Hadoop job knowing which
+    descriptors its mapper emits). When every declared type is a plain
+    sum/max/min, the frequency level is skipped entirely — one direct
+    shuffle (see _aggregate_direct). Rows violating the declaration
+    still fail loudly in strict mode.
     """
     parsed = parse_agg_key(df_kv, strict=strict)
+    if types is not None and set(types) <= DIRECT_TYPES:
+        return _aggregate_direct(parsed, strict)
     freqs = value_frequencies(parsed)
     t = F.col("agg_type")
     long_v = F.col("value").cast("long")
@@ -281,20 +356,5 @@ def aggregate_reduce(df_kv: DataFrame, approx: bool = False, strict: bool = True
         .when(t == HISTOGRAM, hist_report)
     )
     if strict:
-        result = result.otherwise(
-            F.raise_error(
-                F.when(
-                    t == MISSING_PREFIX,
-                    F.concat(
-                        F.lit(
-                            "aggregate: malformed descriptor (missing 'AggType:' "
-                            "prefix) for key: "
-                        ),
-                        F.col("key"),
-                    ),
-                ).otherwise(
-                    F.concat(F.lit("aggregate: unknown aggregator type: "), t)
-                )
-            )
-        )
+        result = _strict_otherwise(result, t)
     return agg.select("key", result.alias("value"))

@@ -41,7 +41,7 @@ def agg_long_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = to_lines(li, "\t")
     kv = with_key_val(lines, "line", "\t", 1)
-    return aggregate_reduce(kv)
+    return aggregate_reduce(kv, types=["LongValueSum"])
 
 
 @register(
@@ -59,7 +59,10 @@ def agg_long_sum_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest is the aggregation itself. A reference user migrating off
     text pipes uses THIS form."""
     li = load(spark, sf_dir, "lineitem")
-    return aggregate_reduce(_kv(li, "LongValueSum", F.col("l_returnflag"), F.col("l_linenumber")))
+    return aggregate_reduce(
+        _kv(li, "LongValueSum", F.col("l_returnflag"), F.col("l_linenumber")),
+        types=["LongValueSum"],
+    )
 
 
 @register(
@@ -81,7 +84,7 @@ def agg_long_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv = _kv(li, "LongValueMax", F.col("l_returnflag"), F.col("l_partkey")).unionByName(
         _kv(li, "LongValueMin", F.col("l_linestatus"), F.col("l_partkey"))
     )
-    return aggregate_reduce(kv)
+    return aggregate_reduce(kv, types=["LongValueMax", "LongValueMin"])
 
 
 @register(
@@ -96,7 +99,10 @@ def agg_double_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact at any aggregation order so the string render is
     engine-independent."""
     li = load(spark, sf_dir, "lineitem")
-    return aggregate_reduce(_kv(li, "DoubleValueSum", F.col("l_returnflag"), F.col("l_quantity")))
+    return aggregate_reduce(
+        _kv(li, "DoubleValueSum", F.col("l_returnflag"), F.col("l_quantity")),
+        types=["DoubleValueSum"],
+    )
 
 
 @register(
@@ -120,7 +126,7 @@ def agg_string_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         )
     )
-    return aggregate_reduce(kv)
+    return aggregate_reduce(kv, types=["StringValueMax", "StringValueMin"])
 
 
 @register(

@@ -92,3 +92,50 @@ def test_histogram_report_line(spark):
     got = {r.key: r.value for r in aggregate_reduce(kv_df(spark, pairs)).collect()}
     fields = got["h"].split("\t")
     assert len(fields) == 6 and fields[0] == "2"
+
+
+def test_direct_scalar_path_matches_two_level(spark):
+    # a declared pure-scalar menu takes the single-shuffle direct plan;
+    # results must be identical to the generic two-level plan
+    pairs = [
+        ("LongValueSum:s", "1"),
+        ("LongValueSum:s", "2"),
+        ("DoubleValueSum:d", "1.5"),
+        ("LongValueMax:m", "3"),
+        ("LongValueMax:m", "9"),
+        ("StringValueMin:t", "zebra"),
+        ("StringValueMin:t", "apple"),
+    ]
+    menu = ["LongValueSum", "DoubleValueSum", "LongValueMax", "StringValueMin"]
+    direct = {(r.key, r.value) for r in aggregate_reduce(kv_df(spark, pairs), types=menu).collect()}
+    generic = {(r.key, r.value) for r in aggregate_reduce(kv_df(spark, pairs)).collect()}
+    assert direct == generic
+    # the direct plan must have exactly ONE aggregation exchange (no
+    # value_frequencies level)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        aggregate_reduce(kv_df(spark, pairs), types=menu).explain("formatted")
+    plan = buf.getvalue()
+    shuffles = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_direct_scalar_path_strict_on_menu_violation(spark):
+    # data containing a type OUTSIDE the declared scalar menu still
+    # fails loudly in strict mode
+    import pytest as _pytest
+
+    pairs = [("LongValueSum:s", "1"), ("UniqValueCount:u", "x")]
+    with _pytest.raises(Exception, match="unknown aggregator type"):
+        aggregate_reduce(kv_df(spark, pairs), types=["LongValueSum"]).collect()
+
+
+def test_direct_path_requires_pure_scalar_menu(spark):
+    # a menu containing UniqValueCount/ValueHistogram falls back to the
+    # generic two-level plan (and still answers correctly)
+    pairs = [("UniqValueCount:u", "x"), ("UniqValueCount:u", "x"), ("UniqValueCount:u", "y")]
+    got = {r.key: r.value for r in aggregate_reduce(kv_df(spark, pairs), types=["UniqValueCount"]).collect()}
+    assert got == {"u": "2"}
