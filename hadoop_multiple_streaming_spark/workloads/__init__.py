@@ -113,6 +113,7 @@ _PRIORITY_ORDER = [
     "q5_local_supplier_volume",
     # ---- index 50+: shapes already covered above ----
     "agg_long_sum_native",  # bench twin of agg_long_sum (in-window)
+    "pack_sequences",  # prefix-sum packing (window shape in-window via events_sessionize)
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

@@ -517,3 +517,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(spark, n=64, modality="video")
     return sample_frame_offsets(media, every_n_seconds=1.0)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+        SELECT lang,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS pack_id,
+               n_tokens
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions.packing): documents binned into
+    2048-token packs per language by contiguous prefix-sum assignment —
+    the pre-tokenization batching step of an LLM training pipeline,
+    expressed as one window cumulative sum (parallel across languages,
+    no sequential bin state). Reported as per-pack occupancy stats."""
+    from ..functions.packing import assign_packs, pack_stats
+    from ..operators.text import token_count_whitespace
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    packed = assign_packs(
+        docs, "doc_id", "n_tokens", budget=2048, partition_cols=["lang"]
+    )
+    return pack_stats(packed, "n_tokens", ["lang"]).withColumn(
+        "pack_tokens", F.col("pack_tokens").cast("long")
+    )

@@ -1,0 +1,46 @@
+"""Sequence-packing semantics (functions.packing): contiguous
+prefix-sum pack assignment — deterministic, overflow-by-one-doc,
+group-parallel."""
+
+from __future__ import annotations
+
+from hadoop_multiple_streaming_spark.functions.packing import assign_packs, pack_stats
+
+
+def test_assign_packs_contiguous(spark):
+    # budget 10; docs in id order with token counts 4,4,4,9,2
+    # start offsets: 0,4,8,12,21 -> packs 0,0,0,1,2
+    df = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 9), (5, 2)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in assign_packs(df, "doc_id", "n_tokens", budget=10).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_assign_packs_partitioned_independent(spark):
+    # each group's prefix sum is independent (parallel at scale)
+    rows = [("en", 1, 6), ("en", 2, 6), ("zh", 1, 6), ("zh", 2, 6)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r.lang, r.doc_id): r.pack_id
+        for r in assign_packs(
+            df, "doc_id", "n_tokens", budget=10, partition_cols=["lang"]
+        ).collect()
+    }
+    assert got == {("en", 1): 0, ("en", 2): 0, ("zh", 1): 0, ("zh", 2): 0}
+
+
+def test_pack_stats(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 4), ("en", 2, 4), ("en", 3, 9)], "lang string, doc_id long, n_tokens long"
+    )
+    packed = assign_packs(df, "doc_id", "n_tokens", budget=8, partition_cols=["lang"])
+    stats = {
+        (r.lang, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in pack_stats(packed, "n_tokens", ["lang"]).collect()
+    }
+    # starts: 0,4,8 -> packs 0,0,1
+    assert stats == {("en", 0): (2, 8), ("en", 1): (1, 9)}
