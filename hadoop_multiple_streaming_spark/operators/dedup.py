@@ -583,3 +583,27 @@ def embedding_cosine_pairs(quantized: DataFrame, threshold: float) -> DataFrame:
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ngram_contamination(
+    corpus_shingles: DataFrame, probe_shingles: DataFrame
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ANY n-gram
+    with a probe set (eval benchmarks, held-out sets) — the standard
+    n-gram-overlap contamination test run before LLM training.
+
+    Input: two (id, shingle) frames (word_shingles output). Output:
+    DISTINCT contaminated corpus ids.
+
+    Scale shape: one LEFT SEMI join on the shingle string — the corpus
+    side never materializes probe columns, the probe side (benchmarks;
+    tiny next to a 100 TB corpus) broadcasts under AQE when it fits,
+    else hash-partitions on shingle; then a distinct on id. No pair
+    explosion: semi-join short-circuits per (id, shingle) match."""
+    return (
+        corpus_shingles.join(
+            probe_shingles.select("shingle"), "shingle", "left_semi"
+        )
+        .select("id")
+        .distinct()
+    )

@@ -13,6 +13,7 @@ from ..operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_pairs,
     quantize_embeddings,
     simhash_fingerprints,
@@ -312,3 +313,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(32)
     fps = simhash_fingerprints(docs, "text", "doc_id", bits=64)
     return simhash_banded_pairs(fps, max_hamming=3, bands=4)
+
+
+@register(
+    "decontaminate_docs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    SELECT DISTINCT c.id
+    FROM sh c
+    WHERE c.id % 97 <> 0
+      AND EXISTS (SELECT 1 FROM sh p
+                  WHERE p.id % 97 = 0 AND p.shingle = c.shingle)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.ngram_contamination):
+    every 97th document plays the held-out benchmark; corpus docs
+    sharing any word 3-gram with it are flagged for removal. One semi
+    join on the shingle, distinct ids out — the pre-training
+    contamination sweep at its 100 TB shape (probe side broadcasts)."""
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    corpus = sh.where(F.col("id") % 97 != 0)
+    probes = sh.where(F.col("id") % 97 == 0)
+    return ngram_contamination(corpus, probes)

@@ -166,3 +166,26 @@ def test_lsh_max_bucket_size_drops_hot_buckets(spark):
     assert capped.count() == 0
     uncapped = lsh_candidate_pairs(sig, rows_per_band=2)
     assert uncapped.count() == 3  # all 3 pairs of the clique
+
+
+def test_ngram_contamination_semi_join(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        ngram_contamination,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares 3-gram with probe
+            (2, "completely unrelated text here"),  # clean
+            (3, "quick brown fox ran away"),        # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    c_sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    p_sh = word_shingles(probes, "text", "doc_id", n=3, distinct=False)
+    got = sorted(r.id for r in ngram_contamination(c_sh, p_sh).collect())
+    assert got == [1, 3]
