@@ -17,6 +17,18 @@ The branch delimiter is '|' (the README's advertised encoding); the
 reference's actual '/' encoding is auto-detected for specs without '|'
 — fixing the bug where commands containing absolute paths could not be
 expressed (SURVEY §1.2).
+
+Java-class-name substitution: the reference loads -inputformat /
+-outputformat / -partitioner reflectively as JVM classes
+(MapStreamJob.java:730-738,863-871; RedStreamJob.java:785-797). This
+engine substitutes the documented equivalents rather than loading
+arbitrary user classes: -inputformat takes a DataSource format NAME
+(text/keyvalue/parquet/csv/json — KeyValueTextInputFormat ≡ keyvalue),
+-partitioner accepts KeyFieldBasedPartitioner semantics via the same
+-D mapred.text.key.{partitioner,comparator}.options keys, and custom
+output formats map to write_table(format=...). An arbitrary
+user-supplied Java class has no Spark-side equivalent by design —
+port the class's logic to a native branch callable instead.
 """
 
 from __future__ import annotations

@@ -233,32 +233,42 @@ def _strict_otherwise(result, t):
     )
 
 
-def _aggregate_direct(parsed: DataFrame, strict: bool) -> DataFrame:
+def _aggregate_direct(parsed: DataFrame, menu: set[str], strict: bool) -> DataFrame:
     """Single-level plan for declared pure-scalar menus: groupBy
     (agg_type, key) straight off the parsed lines — ONE shuffle with
     map-side partial combine, no (type, key, value) frequency level.
     At 100 TB this is the difference between shuffling O(groups) and
     shuffling O(distinct (key, value)) — for sums over high-cardinality
-    values (revenue cents, ids) the frequency level is O(rows)."""
+    values (revenue cents, ids) the frequency level is O(rows).
+
+    Only the DECLARED types' buffers are built: string min/max buffers
+    force the whole aggregation into SortAggregate (immutable buffer
+    type), so a numeric-only menu must not carry them — numeric menus
+    stay HashAggregate with whole-stage codegen."""
     t = F.col("agg_type")
     long_v = F.col("value").cast("long")
     dbl_v = F.col("value").cast("double")
+    buffers = {
+        "LongValueSum": F.sum(F.when(t == "LongValueSum", long_v)),
+        "DoubleValueSum": F.sum(F.when(t == "DoubleValueSum", dbl_v)),
+        "LongValueMax": F.max(F.when(t == "LongValueMax", long_v)),
+        "LongValueMin": F.min(F.when(t == "LongValueMin", long_v)),
+        "StringValueMax": F.max(F.when(t == "StringValueMax", F.col("value"))),
+        "StringValueMin": F.min(F.when(t == "StringValueMin", F.col("value"))),
+    }
+    declared = [ty for ty in buffers if ty in menu]
     agg = parsed.groupBy("agg_type", "key").agg(
-        F.sum(F.when(t == "LongValueSum", long_v)).alias("_lsum"),
-        F.sum(F.when(t == "DoubleValueSum", dbl_v)).alias("_dsum"),
-        F.max(F.when(t == "LongValueMax", long_v)).alias("_lmax"),
-        F.min(F.when(t == "LongValueMin", long_v)).alias("_lmin"),
-        F.max(F.when(t == "StringValueMax", F.col("value"))).alias("_smax"),
-        F.min(F.when(t == "StringValueMin", F.col("value"))).alias("_smin"),
+        *[buffers[ty].alias(f"_b_{ty}") for ty in declared]
     )
-    result = (
-        F.when(t == "LongValueSum", F.col("_lsum").cast("string"))
-        .when(t == "DoubleValueSum", F.col("_dsum").cast("string"))
-        .when(t == "LongValueMax", F.col("_lmax").cast("string"))
-        .when(t == "LongValueMin", F.col("_lmin").cast("string"))
-        .when(t == "StringValueMax", F.col("_smax"))
-        .when(t == "StringValueMin", F.col("_smin"))
-    )
+    result = None
+    for ty in declared:
+        col = F.col(f"_b_{ty}")
+        rendered = col if ty.startswith("String") else col.cast("string")
+        result = (
+            F.when(t == ty, rendered)
+            if result is None
+            else result.when(t == ty, rendered)
+        )
     if strict:
         result = _strict_otherwise(result, t)
     return agg.select("key", result.alias("value"))
@@ -301,7 +311,7 @@ def aggregate_reduce(
     """
     parsed = parse_agg_key(df_kv, strict=strict)
     if types is not None and set(types) <= DIRECT_TYPES:
-        return _aggregate_direct(parsed, strict)
+        return _aggregate_direct(parsed, set(types), strict)
     freqs = value_frequencies(parsed)
     t = F.col("agg_type")
     long_v = F.col("value").cast("long")
