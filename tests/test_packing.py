@@ -44,3 +44,25 @@ def test_pack_stats(spark):
     }
     # starts: 0,4,8 -> packs 0,0,1
     assert stats == {("en", 0): (2, 8), ("en", 1): (1, 9)}
+
+
+def test_packs_conserve_tokens_and_are_monotone(spark):
+    # property: packing is a partition of the corpus — token totals are
+    # conserved, pack ids are contiguous from 0, and pack starts are
+    # monotone in doc order
+    import random
+
+    rng = random.Random(7)
+    rows = [("en", i, rng.randint(1, 500)) for i in range(200)] + [
+        ("zh", i, rng.randint(1, 500)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    packed = assign_packs(df, "doc_id", "n_tokens", budget=1000, partition_cols=["lang"])
+    out = packed.collect()
+    assert sum(r.n_tokens for r in out) == sum(r[2] for r in rows)
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+    for lang, ids in by_lang.items():
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:])), lang

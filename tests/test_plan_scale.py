@@ -80,3 +80,21 @@ def test_q5_keeps_dim_broadcast(spark, sf_dir, no_broadcast):
     plan = _plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    # the groupBy(lang, pack_id) stats ride the window's lang exchange —
+    # hashpartitioning(lang) satisfies clustering on (lang, pack_id)
+    df = workloads.QUERIES["pack_sequences"](spark, sf_dir)
+    plan = _plan_of(df)
+    shuffles = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_decontaminate_is_semi_join(spark, sf_dir):
+    # contamination must be a LeftSemi join (no pair explosion, no probe
+    # columns on the corpus side)
+    df = workloads.QUERIES["decontaminate_docs"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
