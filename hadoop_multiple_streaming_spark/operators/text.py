@@ -136,3 +136,44 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def duplicate_ngram_ratios(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ns: tuple = (2, 3)
+) -> DataFrame:
+    """Within-document repetition signals (the RefinedWeb/Gopher
+    'duplicate n-gram fraction' quality rules): per document, the
+    fraction of word n-gram occurrences that repeat an earlier
+    occurrence — boilerplate, keyword stuffing and degenerate
+    generations score high and get filtered before training.
+
+    Pure column expressions over one projection (no explode, no
+    shuffle, no per-row Python): the n-gram array is built once per n
+    via transform/slice, the ratio is 1 - distinct/total. Quantized to
+    4 decimals with the cross-engine-stable floor (see quantize4)."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_toks"),
+    )
+    out = toks
+    for n in ns:
+        sh = F.when(
+            F.size("_toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {n - 1}), "
+                f"i -> array_join(slice(_toks, i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = out.withColumn(f"_sh{n}", sh).withColumn(
+            f"dup_{n}gram_ratio",
+            quantize4(
+                F.when(
+                    F.size(f"_sh{n}") > 0,
+                    (F.size(f"_sh{n}") - F.size(F.array_distinct(f"_sh{n}")))
+                    / F.size(f"_sh{n}"),
+                ).otherwise(F.lit(0.0))
+            ),
+        )
+    return out.select(
+        id_col, *[f"dup_{n}gram_ratio" for n in ns]
+    )

@@ -115,6 +115,7 @@ _PRIORITY_ORDER = [
     "agg_long_sum_native",  # bench twin of agg_long_sum (in-window)
     "pack_sequences",  # prefix-sum packing (window shape in-window via events_sessionize)
     "decontaminate_docs",  # semi-join shape in-window via q4/q20
+    "text_repetition",  # projection shape in-window via text_profile
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

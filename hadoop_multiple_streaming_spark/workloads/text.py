@@ -558,3 +558,40 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, "n_tokens", ["lang"]).withColumn(
         "pack_tokens", F.col("pack_tokens").cast("long")
     )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END AS g2,
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [] END AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0 THEN
+             floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                   * 10000.0) / 10000.0 ELSE 0.0 END AS dup_2gram_ratio,
+           CASE WHEN len(g3) > 0 THEN
+             floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                   * 10000.0) / 10000.0 ELSE 0.0 END AS dup_3gram_ratio
+    FROM grams
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (operators.text.duplicate_ngram_ratios):
+    duplicate 2-gram / 3-gram fractions per document — the
+    RefinedWeb/Gopher repetition filters, as one shuffle-free
+    projection."""
+    from ..operators.text import duplicate_ngram_ratios
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicate_ngram_ratios(docs, "text", "doc_id", ns=(2, 3))

@@ -65,3 +65,21 @@ def test_fingerprints(spark):
     assert got[1][0] == got[2][0]
     # doc 3 contains 'hello world extra' shingles; short docs hash their whole text
     assert got[3][1] is not None and len(got[3][1]) == 32
+
+
+def test_duplicate_ngram_ratios(spark):
+    from hadoop_multiple_streaming_spark.operators.text import duplicate_ngram_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here now"),  # no repeats
+            (3, "x"),                   # below n -> ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio) for r in
+           duplicate_ngram_ratios(df, "text", "doc_id").collect()}
+    assert got[1] == (0.6, 0.5)   # 2g: (5-2)/5; 3g: aba bab aba bab -> (4-2)/4
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
