@@ -310,7 +310,10 @@ def aggregate_reduce(
     still fail loudly in strict mode.
     """
     parsed = parse_agg_key(df_kv, strict=strict)
-    if types is not None and set(types) <= DIRECT_TYPES:
+    # `types and`: an empty menu (dynamically-built list that came out
+    # empty) must fall through to the generic plan, not build a
+    # zero-buffer aggregation
+    if types and set(types) <= DIRECT_TYPES:
         return _aggregate_direct(parsed, set(types), strict)
     freqs = value_frequencies(parsed)
     t = F.col("agg_type")

@@ -264,16 +264,21 @@ def _pipe_partition(
 
 
 def _attempt_key() -> str:
-    """Key counter updates by (stage, partition, attempt) so retried /
-    speculative task attempts can be deduplicated at read time — Hadoop
-    discards failed attempts' counters (MultiPipeMapRed.java:512-627)
-    and so must we, or every retry double-counts."""
+    """Key counter updates by (stage, partition, taskAttemptId) so
+    retried / speculative task attempts can be deduplicated at read
+    time — Hadoop discards failed attempts' counters
+    (MultiPipeMapRed.java:512-627) and so must we, or every retry
+    double-counts. taskAttemptId (globally unique, monotonically
+    increasing) rather than attemptNumber: a stage RESUBMISSION after
+    shuffle-fetch failure restarts attemptNumber at 0 in the new task
+    set — two successful runs of the same partition would share a key
+    and sum instead of dedup. The latest taskAttemptId wins."""
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     if ctx is None:  # driver-side / local testing path
         return "driver:0:0"
-    return f"{ctx.stageId()}:{ctx.partitionId()}:{ctx.attemptNumber()}"
+    return f"{ctx.stageId()}:{ctx.partitionId()}:{ctx.taskAttemptId()}"
 
 
 class _DictAccumulator(AccumulatorParam):
@@ -298,12 +303,13 @@ def make_counters(spark: SparkSession):
 
 def read_counters(counters) -> dict[str, int]:
     """Collapse attempt-keyed updates into job totals, keeping only the
-    LAST attempt per (stage, partition). A task that fails mid-stream
-    and is retried contributes exactly one attempt's worth of counts —
-    Hadoop's successful-attempt-only counter semantics. (A partition
-    recomputed in a *different* stage — lineage recompute after an
-    evicted persist — still counts per stage; persist/materialize the
-    piped stage to avoid recompute, as run_job's share modes do.)"""
+    LAST attempt (highest taskAttemptId) per (stage, partition). A task
+    that fails mid-stream and is retried — or re-runs in a resubmitted
+    stage — contributes exactly one attempt's worth of counts: Hadoop's
+    successful-attempt-only counter semantics. (A partition recomputed
+    in a *different* stage — lineage recompute after an evicted persist
+    — still counts per stage; persist/materialize the piped stage to
+    avoid recompute, as run_job's share modes do.)"""
     best: dict[tuple[str, str], tuple[int, dict]] = {}
     for key, vals in (counters.value or {}).items():
         stage, part, attempt = key.split(":")

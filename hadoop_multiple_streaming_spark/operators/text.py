@@ -151,10 +151,7 @@ def duplicate_ngram_ratios(
     shuffle, no per-row Python): the n-gram array is built once per n
     via transform/slice, the ratio is 1 - distinct/total. Quantized to
     4 decimals with the cross-engine-stable floor (see quantize4)."""
-    toks = df.select(
-        F.col(id_col),
-        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_toks"),
-    )
+    toks = df.select(F.col(id_col), words(F.col(text_col)).alias("_toks"))
     out = toks
     for n in ns:
         sh = F.when(

@@ -91,23 +91,24 @@ class JobResult:
         return EXIT_IO
 
 
+#: file extensions Spark cannot range-split — the scan-level partition
+#: floor (minPartitionNum) has no effect on these; fall back to an
+#: explicit repartition so the pipe-parallelism contract holds
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".zstd", ".snappy", ".deflate", ".lz4", ".br")
+
+
+def _has_non_splittable_input(spec: JobSpec) -> bool:
+    return any(p.lower().endswith(_NON_SPLITTABLE_EXTS) for p in spec.inputs)
+
+
 def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
     """Scan once; normalize everything to a single `line` column (the
     pipe world's record model, §1.1). Typed formats are serialized
-    tab-KV AFTER projection so the parquet scan stays pruned."""
-    if spec.min_input_partitions:
-        # parallelism floor at the SCAN (pipe subprocess count ==
-        # partition count): split the files into at least N partitions
-        # instead of scanning narrow and repartitioning — no shuffle,
-        # no eager plan materialization to count partitions.
-        # minPartitionNum alone is advisory (the 4 MB open-cost floor
-        # wins on small files), so drop openCostInBytes too — the floor
-        # is an explicit per-job opt-in, packing efficiency is the
-        # user's tradeoff. Both confs restored by run_job.
-        spark.conf.set(
-            "spark.sql.files.minPartitionNum", str(spec.min_input_partitions)
-        )
-        spark.conf.set("spark.sql.files.openCostInBytes", "1")
+    tab-KV AFTER projection so the parquet scan stays pruned.
+
+    The min_input_partitions floor is applied at the SCAN via the
+    split confs (set/restored by run_job); see _with_min_partitions
+    for the non-splittable-input fallback."""
     if spec.input_format == "text":
         return _with_min_partitions(read_text(spark, spec.inputs), spec)
     if spec.input_format == "keyvalue":
@@ -130,10 +131,16 @@ def _load_input(spark: SparkSession, spec: JobSpec) -> DataFrame:
 
 
 def _with_min_partitions(lines: DataFrame, spec: JobSpec) -> DataFrame:
-    """Floor already applied at scan time via
-    ``spark.sql.files.minPartitionNum`` (see _load_input) — the file
-    source plans >= N splits directly, so no repartition shuffle and no
-    eager ``rdd.getNumPartitions()`` plan materialization here."""
+    """Parallelism floor. For splittable inputs it is already applied
+    at scan time via ``spark.sql.files.minPartitionNum`` (set in
+    run_job) — the file source plans >= N splits directly, no shuffle,
+    no eager ``rdd.getNumPartitions()`` plan materialization. Inputs
+    Spark cannot range-split (gzip/zstd/...) always scan as one
+    partition per file regardless of the conf, so the explicit
+    repartition shuffle is the only way to honor the floor there."""
+    n = spec.min_input_partitions
+    if n and _has_non_splittable_input(spec):
+        return lines.repartition(n)
     return lines
 
 
@@ -282,14 +289,50 @@ def run_job(
     # over-count relative to Hadoop, which discards failed attempts.
     counters = make_counters(spark)
 
-    # _load_input may override the file-split confs for the
-    # parallelism floor; remember them for restore (plans execute
-    # lazily inside run_branch, so restore only after the pool joins)
-    _split_confs = {}
-    if spec.min_input_partitions:
-        for c in ("spark.sql.files.minPartitionNum", "spark.sql.files.openCostInBytes"):
-            _split_confs[c] = spark.conf.get(c, None)
+    # parallelism floor at the scan: split the files into at least N
+    # partitions (pipe subprocess count == partition count) instead of
+    # scanning narrow and repartitioning. minPartitionNum alone is
+    # advisory (the 4 MB open-cost floor wins on small files), so drop
+    # openCostInBytes too — the floor is an explicit per-job opt-in.
+    # Originals restored in _restore_split_confs(); the setter sits
+    # INSIDE the try below so a failing plan build can't leak
+    # openCostInBytes=1 into the shared session (that conf makes every
+    # later scan plan pathological tiny splits).
+    _split_confs: dict[str, str | None] = {}
 
+    def _restore_split_confs() -> None:
+        for c, v in _split_confs.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+    try:
+        if spec.min_input_partitions:
+            for c in (
+                "spark.sql.files.minPartitionNum",
+                "spark.sql.files.openCostInBytes",
+            ):
+                _split_confs[c] = spark.conf.get(c, None)
+            spark.conf.set(
+                "spark.sql.files.minPartitionNum", str(spec.min_input_partitions)
+            )
+            spark.conf.set("spark.sql.files.openCostInBytes", "1")
+        return _run_job_planned(spark, spec, mode, counters, t0, progress_interval)
+    finally:
+        _restore_split_confs()
+
+
+def _run_job_planned(
+    spark: SparkSession,
+    spec: JobSpec,
+    mode: str,
+    counters,
+    t0: float,
+    progress_interval: float,
+) -> JobResult:
+    """run_job body after conf setup (split confs restored by the
+    caller's finally regardless of where this raises)."""
     if spec.share_mode == "materialize":
         inter = _materialize_phase1(spark, spec, mode, counters)
         plans = {}
@@ -351,11 +394,6 @@ def run_job(
     finally:
         stop_reporting.set()
         reporter.join()
-        for c, v in _split_confs.items():
-            if v is None:
-                spark.conf.unset(c)
-            else:
-                spark.conf.set(c, v)
         if shared is not None:
             shared.unpersist()
 

@@ -103,13 +103,32 @@ def read_xml_records(
     begin/end span (prologue, inter-record whitespace) is dropped, and
     a trailing unterminated record is dropped — StreamXmlRecordReader's
     skip-to-next-begin behavior. Assumes non-nested records (the only
-    form the reference's reader supports)."""
+    form the reference's reader supports).
+
+    The FIRST chunk of each file is everything before the first begin
+    tag (the prologue) — never a record, and if it happens to contain
+    the end tag (a comment, say) it must not fabricate one. File scans
+    assign partition ids in split-offset order, so min
+    monotonically_increasing_id per input_file_name identifies it
+    exactly; the per-file window is tiny (file count, not record
+    count)."""
     p = [paths] if isinstance(paths, str) else list(paths)
-    raw = spark.read.option("lineSep", begin).text(p)
-    return raw.where(F.instr("value", end) > 0).select(
-        F.concat(
-            F.lit(begin), F.substring_index("value", end, 1), F.lit(end)
-        ).alias("line")
+    from pyspark.sql.window import Window
+
+    raw = spark.read.option("lineSep", begin).text(p).select(
+        "value",
+        F.input_file_name().alias("_f"),
+        F.monotonically_increasing_id().alias("_ord"),
+    )
+    first = F.min("_ord").over(Window.partitionBy("_f"))
+    return (
+        raw.withColumn("_first", first)
+        .where((F.col("_ord") != F.col("_first")) & (F.instr("value", end) > 0))
+        .select(
+            F.concat(
+                F.lit(begin), F.substring_index("value", end, 1), F.lit(end)
+            ).alias("line")
+        )
     )
 
 

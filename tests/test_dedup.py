@@ -189,3 +189,18 @@ def test_ngram_contamination_semi_join(spark):
     p_sh = word_shingles(probes, "text", "doc_id", n=3, distinct=False)
     got = sorted(r.id for r in ngram_contamination(c_sh, p_sh).collect())
     assert got == [1, 3]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 40-node chain (diameter 39): plain one-hop propagation needs 39
+    # iterations; pointer jumping must converge within the default
+    # max_iter=10 (2^10 hops) to the exact min-label fixpoint
+    from hadoop_multiple_streaming_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 139)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(pairs)
+    labels = {r.id: r.cluster_id for r in out.collect()}
+    assert set(labels.values()) == {100}
+    assert len(labels) == 40

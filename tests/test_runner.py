@@ -256,3 +256,24 @@ def test_materialize_resume_skips_completed_phase1(spark, tmp_path):
     # B1 reduced from the REUSED run1 intermediate; B2 was recomputed
     assert b1 == {"a\trun1", "b\trun1"}
     assert b2 == {"a\trun2", "b\trun2"}
+
+
+def test_split_confs_restored_on_bad_input(spark, tmp_path):
+    # regression: a failing plan build (missing input) must not leak
+    # the min-partitions split confs (openCostInBytes=1 would make
+    # every later scan in the shared session plan pathological splits)
+    import pytest as _pytest
+
+    from hadoop_multiple_streaming_spark.plans.model import Branch, JobSpec
+    from hadoop_multiple_streaming_spark.plans.runner import run_job
+
+    before = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    spec = JobSpec(
+        inputs=[str(tmp_path / "definitely_missing")],
+        output=str(tmp_path / "out"),
+        branches=[Branch("X", mapper=None, reducer="cat")],
+        min_input_partitions=4,
+    )
+    with _pytest.raises(Exception):
+        run_job(spark, spec)
+    assert spark.conf.get("spark.sql.files.openCostInBytes", None) == before

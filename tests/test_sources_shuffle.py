@@ -289,3 +289,20 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_xml_record_framing_preamble_with_end_tag(spark, tmp_path):
+    # prologue text containing the END tag must not fabricate a record
+    from hadoop_multiple_streaming_spark.sources.io import read_xml_records
+
+    p = tmp_path / "tricky.xml"
+    p.write_text(
+        "<!-- old </page> comment -->\n"
+        "<page>a</page>\n"
+        "<page>b</page> trailing junk"
+    )
+    got = sorted(
+        r.line
+        for r in read_xml_records(spark, str(p), "<page>", "</page>").collect()
+    )
+    assert got == ["<page>a</page>", "<page>b</page>"]
