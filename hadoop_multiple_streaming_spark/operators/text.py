@@ -170,7 +170,29 @@ def duplicate_ngram_ratios(
                     / F.size(f"_sh{n}"),
                 ).otherwise(F.lit(0.0))
             ),
+        ).withColumn(
+            # most-frequent n-gram's share of all n-gram occurrences
+            # (the other Gopher repetition rule). distinct x filter is
+            # O(distinct * total) per document — bounded by document
+            # length; production sweeps cap tokens first (slice the
+            # array) or sample. A single fold would be O(n) but
+            # multi-field struct folds mis-evaluate in some engines,
+            # and the oracle must replay this math exactly.
+            f"top_{n}gram_share",
+            quantize4(
+                F.when(
+                    F.size(f"_sh{n}") > 0,
+                    F.array_max(
+                        F.expr(
+                            f"transform(array_distinct(_sh{n}), "
+                            f"d -> size(filter(_sh{n}, e -> e = d)))"
+                        )
+                    ).cast("double")
+                    / F.size(f"_sh{n}"),
+                ).otherwise(F.lit(0.0))
+            ),
         )
     return out.select(
-        id_col, *[f"dup_{n}gram_ratio" for n in ns]
+        id_col,
+        *[c for n in ns for c in (f"dup_{n}gram_ratio", f"top_{n}gram_share")],
     )

@@ -580,9 +580,17 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(g2) > 0 THEN
              floor(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
                    * 10000.0) / 10000.0 ELSE 0.0 END AS dup_2gram_ratio,
+           CASE WHEN len(g2) > 0 THEN
+             floor(CAST(list_max(list_transform(list_distinct(g2),
+                        d -> len(list_filter(g2, e -> e = d)))) AS DOUBLE)
+                   / len(g2) * 10000.0) / 10000.0 ELSE 0.0 END AS top_2gram_share,
            CASE WHEN len(g3) > 0 THEN
              floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
-                   * 10000.0) / 10000.0 ELSE 0.0 END AS dup_3gram_ratio
+                   * 10000.0) / 10000.0 ELSE 0.0 END AS dup_3gram_ratio,
+           CASE WHEN len(g3) > 0 THEN
+             floor(CAST(list_max(list_transform(list_distinct(g3),
+                        d -> len(list_filter(g3, e -> e = d)))) AS DOUBLE)
+                   / len(g3) * 10000.0) / 10000.0 ELSE 0.0 END AS top_3gram_share
     FROM grams
     """,
 )

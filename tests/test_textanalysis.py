@@ -78,8 +78,15 @@ def test_duplicate_ngram_ratios(spark):
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio) for r in
-           duplicate_ngram_ratios(df, "text", "doc_id").collect()}
+    rows = duplicate_ngram_ratios(df, "text", "doc_id").collect()
+    got = {r.doc_id: (r.dup_2gram_ratio, r.dup_3gram_ratio) for r in rows}
     assert got[1] == (0.6, 0.5)   # 2g: (5-2)/5; 3g: aba bab aba bab -> (4-2)/4
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, 0.0)
+    top = {r.doc_id: (r.top_2gram_share, r.top_3gram_share) for r in rows}
+    # doc 1 2-grams: [ab, ba, ab, ba, ab] -> ab x3 / 5 = 0.6
+    # doc 1 3-grams: [aba, bab, aba, bab] -> 2/4 = 0.5
+    assert top[1] == (0.6, 0.5)
+    # all-distinct doc: the max share is one occurrence over total
+    assert top[2] == (0.25, 0.3333)  # quantize4 floors 1/3
+    assert top[3] == (0.0, 0.0)
