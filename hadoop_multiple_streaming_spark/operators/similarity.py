@@ -89,3 +89,61 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_lloyd(
+    quantized: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over quantized embedding vectors: ``iters``
+    rounds of (assign every vector to its nearest centroid by squared
+    L2, recompute centroids as cluster means). Returns the final
+    assignment (id, cluster).
+
+    Inputs: ``quantized`` = (id, qv array<long>) from
+    dedup.quantize_embeddings; ``init_centroids`` = (cluster,
+    c array<double>) — seed from per-label means (embedding_centroids)
+    or any deterministic coarse init.
+
+    Determinism contract (what makes this ORACLE-checkable, rare for
+    iterative ML): integer input vectors, centroid means as one double
+    division of exact integer sums, the distance fold evaluated
+    left-to-right over dims in every engine, argmin ties broken by
+    cluster id. Fixed iteration count — no data-dependent stopping —
+    so an engine replaying the same math lands on identical clusters.
+
+    Scale shape per round: centroids are tiny (k x dim) -> broadcast
+    cross join + per-id window argmin (no shuffle of the corpus beyond
+    the window's id partitioning); the mean recompute is groupBy
+    (cluster) with 64 per-dim SUM buffers — map-side partial agg,
+    constant memory per group. Empty clusters drop out naturally
+    (no row from the groupBy), matching the SQL replay."""
+    cent = init_centroids
+    assigned = None
+    dist = F.expr(
+        "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d)"
+    )
+    w = Window.partitionBy("id").orderBy("dist", "cluster")
+    for _ in range(iters):
+        scored = quantized.crossJoin(F.broadcast(cent)).select(
+            "id", "qv", "cluster", dist.alias("dist")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "qv", "cluster")
+        )
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+        cent = sums.select(
+            "cluster",
+            F.array(
+                *[(F.col(f"_s{i}").cast("double") / F.col("n")) for i in range(dim)]
+            ).alias("c"),
+        )
+    return assigned.select("id", "cluster")

@@ -116,6 +116,7 @@ _PRIORITY_ORDER = [
     "pack_sequences",  # prefix-sum packing (window shape in-window via events_sessionize)
     "decontaminate_docs",  # semi-join shape in-window via q4/q20
     "text_repetition",  # projection shape in-window via text_profile
+    "kmeans_refine",  # iterative ML; centroid/assignment shapes in-window via ivf_*
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

@@ -397,3 +397,72 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         (F.count("i_nid").cast("double") / F.count(F.lit(1))).alias("recall_at_3"),
     )
+
+
+@register(
+    "kmeans_refine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims0 AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM q, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+    cent0 AS (SELECT label AS cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims0 GROUP BY label),
+    d1 AS (SELECT q.id, q.qv, cent0.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent0),
+    a1 AS (SELECT id, qv, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d1) WHERE rn = 1),
+    dims1 AS (SELECT cluster, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM a1, UNNEST(range(1, 65)) t(i) GROUP BY cluster, i),
+    cent1 AS (SELECT cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims1 GROUP BY cluster),
+    d2 AS (SELECT q.id, cent1.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent1),
+    a2 AS (SELECT id, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d2) WHERE rn = 1)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM a2 GROUP BY cluster
+    """,
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations of k-means on the embeddings (operator:
+    operators.similarity.kmeans_lloyd), seeded from the per-label
+    means: assign -> recompute means -> assign. Oracle-checkable
+    iterative ML — fixed iteration count, integer vectors, one-division
+    centroid means, fold-order-pinned distances, cluster-id tie-breaks.
+    Output: per final cluster, member count and exact id-sum checksum."""
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    init = _centroid_sums(q, "label", "cluster", "n").select(
+        "cluster",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+    )
+    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("id").alias("id_sum"),
+    )

@@ -41,3 +41,43 @@ def test_ivf_restricts_to_bucket(spark):
     got = ivf_topk(q, q.where(F.col("id") == 0), bucket_col="label", k=10).collect()
     # label 0 bucket: vecs 1 and 4 only
     assert {r.neighbor_id for r in got} == {1, 4}
+
+
+def test_kmeans_lloyd_reassigns_misplaced_point(spark):
+    # two tight 2-D clusters; one point starts with the WRONG seed
+    # cluster (its init centroid is pulled off-center) — after one
+    # Lloyd round it must move to the near cluster, and centroids
+    # re-tighten. dim parameter = 2 here.
+    from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
+
+    # points: cluster A around (0,0), cluster B around (100,100);
+    # point 5 is at (2,2) but seeded into B
+    pts = [
+        (1, [0, 0]), (2, [1, 0]), (3, [0, 1]),
+        (4, [100, 100]), (6, [101, 100]),
+        (5, [2, 2]),
+    ]
+    q = spark.createDataFrame(pts, "id long, qv array<long>")
+    seed = {1: 0, 2: 0, 3: 0, 4: 1, 6: 1, 5: 1}  # 5 mis-seeded into B
+    import pyspark.sql.functions as F
+
+    seed_df = spark.createDataFrame(
+        [(i, c) for i, c in seed.items()], "id long, cluster long"
+    )
+    init = (
+        q.join(seed_df, "id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(2)],
+        )
+        .select(
+            "cluster",
+            F.array(
+                *[(F.col(f"_s{i}").cast("double") / F.col("n")) for i in range(2)]
+            ).alias("c"),
+        )
+    )
+    out = {r.id: r.cluster for r in kmeans_lloyd(q, init, iters=2, dim=2).collect()}
+    assert out[5] == out[1] == out[2] == out[3]   # 5 moved to A
+    assert out[4] == out[6] != out[5]
