@@ -67,3 +67,28 @@ def pack_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).alias("pack_tokens"),
     )
+
+
+def pack_texts(
+    packed: DataFrame,
+    text_col: str,
+    order_col: str,
+    partition_cols: list[str],
+    pack_col: str = "pack_id",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Materialize each pack as one training sequence: member documents
+    concatenated in deterministic ``order_col`` order with ``joiner``
+    between them. Per-pack collect is bounded by the token budget (a
+    pack holds at most budget/min-doc-tokens documents), so the group
+    buffer is small by construction — this is NOT an unbounded
+    collect_list."""
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return packed.groupBy(*partition_cols, pack_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(members, lambda s: s.getField("t")), joiner
+        ).alias("packed_text"),
+    )

@@ -114,6 +114,7 @@ _PRIORITY_ORDER = [
     # ---- index 50+: shapes already covered above ----
     "agg_long_sum_native",  # bench twin of agg_long_sum (in-window)
     "pack_sequences",  # prefix-sum packing (window shape in-window via events_sessionize)
+    "pack_texts",  # pack materialization (same shapes)
     "decontaminate_docs",  # semi-join shape in-window via q4/q20
     "text_repetition",  # projection shape in-window via text_profile
     "kmeans_refine",  # iterative ML; centroid/assignment shapes in-window via ivf_*

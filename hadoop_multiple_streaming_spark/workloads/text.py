@@ -603,3 +603,42 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return duplicate_ngram_ratios(docs, "text", "doc_id", ns=(2, 3))
+
+
+@register(
+    "pack_texts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, text,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def pack_texts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pipeline end-to-end: assign documents to 2048-token
+    packs (pack_sequences' prefix-sum assignment), then materialize
+    each pack as ONE training sequence — members concatenated in doc-id
+    order with a blank-line joiner. The per-pack collect is bounded by
+    the token budget; the pack groupBy rides the window's lang
+    partitioning (no extra exchange)."""
+    from ..functions.packing import assign_packs, pack_texts
+    from ..operators.text import token_count_whitespace
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    packed = assign_packs(
+        docs, "doc_id", "n_tokens", budget=2048, partition_cols=["lang"]
+    )
+    return pack_texts(packed, "text", "doc_id", ["lang"])

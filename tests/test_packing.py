@@ -66,3 +66,18 @@ def test_packs_conserve_tokens_and_are_monotone(spark):
     for lang, ids in by_lang.items():
         assert ids[0] == 0
         assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:])), lang
+
+
+def test_pack_texts_materialization(spark):
+    from hadoop_multiple_streaming_spark.functions.packing import pack_texts
+
+    df = spark.createDataFrame(
+        [("en", 2, "second", 0), ("en", 1, "first", 0), ("en", 3, "third", 1)],
+        "lang string, doc_id long, text string, pack_id long",
+    )
+    got = {
+        (r.lang, r.pack_id): (r.n_docs, r.packed_text)
+        for r in pack_texts(df, "text", "doc_id", ["lang"]).collect()
+    }
+    assert got[("en", 0)] == (2, "first\n\nsecond")  # doc-id order, not input order
+    assert got[("en", 1)] == (1, "third")
