@@ -98,3 +98,26 @@ def test_decontaminate_is_semi_join(spark, sf_dir):
     plan = _plan_of(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_catalog_plan_hygiene(spark, sf_dir):
+    # catalog-wide gate: NO query may plan a CartesianProduct (pair
+    # explosion; crossJoins against broadcast centroid tables plan as
+    # BroadcastNestedLoopJoin, which is fine) or a row-at-a-time Python
+    # UDF (BatchEvalPython — the only Python boundaries allowed are
+    # Arrow-batched: mapInPandas/applyInPandas/UDTF). Catches the two
+    # easiest ways a refactor silently destroys the 100 TB story.
+    bad = {}
+    for name, fn in workloads.QUERIES.items():
+        plan = _plan_of(fn(spark, sf_dir))
+        flags = [
+            f
+            for f, marker in [
+                ("cartesian", "CartesianProduct"),
+                ("row_python_udf", "BatchEvalPython"),
+            ]
+            if marker in plan
+        ]
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
