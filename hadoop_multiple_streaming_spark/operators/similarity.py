@@ -147,3 +147,41 @@ def kmeans_lloyd(
             ).alias("c"),
         )
     return assigned.select("id", "cluster")
+
+
+def quantize_sq8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """SQ8 scalar quantization — the standard 4x storage compressor for
+    embedding columns (what FAISS calls ScalarQuantizer/QT_8bit): each
+    vector is min-max normalized to [0, 255] with its own (min, scale)
+    pair stored alongside, so dequantization is q * scale + min.
+
+    Codes via floor((x - min) * 255 / (max - min)) — floor, not round:
+    every step is the same IEEE double op in any engine, so the codes
+    are bit-identical cross-engine (rounding halves are not). A
+    constant vector (max == min) codes to all zeros with scale 0.
+
+    Stateless per-row map: no shuffle, no fitted codebook — runs at
+    scan speed over 100 TB and parallelizes trivially."""
+    x = F.col(vec_col)
+    mn = F.array_min(F.expr(f"transform({vec_col}, v -> cast(v as double))"))
+    mx = F.array_max(F.expr(f"transform({vec_col}, v -> cast(v as double))"))
+    rng = mx - mn
+    codes = F.when(
+        rng > 0,
+        F.expr(
+            f"transform({vec_col}, v -> cast(floor((cast(v as double) - _mn) * 255.0 / _rng) as int))"
+        ),
+    ).otherwise(F.expr(f"transform({vec_col}, v -> 0)"))
+    return (
+        df.select(F.col(id_col).alias("id"), x)
+        .withColumn("_mn", mn)
+        .withColumn("_rng", rng)
+        .select(
+            "id",
+            F.col("_mn").alias("mn"),
+            (F.col("_rng") / F.lit(255.0)).alias("scale"),
+            codes.alias("codes"),
+        )
+    )

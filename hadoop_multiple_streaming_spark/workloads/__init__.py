@@ -118,6 +118,7 @@ _PRIORITY_ORDER = [
     "decontaminate_docs",  # semi-join shape in-window via q4/q20
     "text_repetition",  # projection shape in-window via text_profile
     "kmeans_refine",  # iterative ML; centroid/assignment shapes in-window via ivf_*
+    "embedding_sq8",  # stateless map (same shape class as sampling)
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

@@ -466,3 +466,42 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("id").alias("id_sum"),
     )
+
+
+@register(
+    "embedding_sq8",
+    oracle="""
+    WITH v AS (SELECT vec_id AS id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+               FROM embeddings),
+    stats AS (SELECT id, xs, list_min(xs) AS mn,
+                     list_max(xs) - list_min(xs) AS rng
+              FROM v),
+    coded AS (SELECT id,
+                     CASE WHEN rng > 0 THEN
+                       list_transform(xs, x -> CAST(floor((x - mn) * 255.0 / rng) AS INT))
+                     ELSE list_transform(xs, x -> 0) END AS codes
+              FROM stats)
+    SELECT id,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS INT) AS code_min,
+           CAST(list_max(codes) AS INT) AS code_max
+    FROM coded
+    """,
+)
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embeddings table
+    (operators.similarity.quantize_sq8): per-vector min-max int8
+    codes, checked here by exact integer checksums (code sum/min/max
+    per vector). The codes are engine-exact because every step is the
+    same IEEE double op (floor, not round — see the operator)."""
+    from ..operators.similarity import quantize_sq8
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_sq8(emb, "embedding", "vec_id")
+    return q.select(
+        "id",
+        F.expr("aggregate(codes, 0L, (acc, c) -> acc + c)").alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )

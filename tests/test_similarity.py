@@ -81,3 +81,21 @@ def test_kmeans_lloyd_reassigns_misplaced_point(spark):
     out = {r.id: r.cluster for r in kmeans_lloyd(q, init, iters=2, dim=2).collect()}
     assert out[5] == out[1] == out[2] == out[3]   # 5 moved to A
     assert out[4] == out[6] != out[5]
+
+
+def test_quantize_sq8_roundtrip_bounds(spark):
+    from hadoop_multiple_streaming_spark.operators.similarity import quantize_sq8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [3.0, 3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.id: r for r in quantize_sq8(df).collect()}
+    # vec 1: min 0, range 1 -> codes floor(x*255) = [0, 127, 255]
+    assert rows[1].codes == [0, 127, 255]
+    assert rows[1].mn == 0.0 and abs(rows[1].scale - 1.0 / 255) < 1e-12
+    # dequant error bounded by one step
+    for code, orig in zip(rows[1].codes, [0.0, 0.5, 1.0]):
+        assert abs(code * rows[1].scale + rows[1].mn - orig) <= rows[1].scale + 1e-12
+    # constant vector: all-zero codes, zero scale
+    assert rows[2].codes == [0, 0, 0] and rows[2].scale == 0.0
