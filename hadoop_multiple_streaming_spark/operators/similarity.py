@@ -120,21 +120,33 @@ def kmeans_lloyd(
     (cluster) with 64 per-dim SUM buffers — map-side partial agg,
     constant memory per group. Empty clusters drop out naturally
     (no row from the groupBy), matching the SQL replay."""
+    # dim must match the data: a mismatch makes zip_with pad with
+    # nulls, every distance NULL, and the argmin silently collapse to
+    # the smallest cluster id — fail loudly instead (one limit-1 job)
+    first = quantized.select(F.size("qv").alias("n")).first()
+    if first is not None and first.n != dim:
+        raise ValueError(
+            f"kmeans_lloyd: dim={dim} but vectors have {first.n} elements"
+        )
     cent = init_centroids
     assigned = None
     dist = F.expr(
         "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
         "cast(0 as double), (acc, d) -> acc + d)"
     )
-    w = Window.partitionBy("id").orderBy("dist", "cluster")
     for _ in range(iters):
         scored = quantized.crossJoin(F.broadcast(cent)).select(
             "id", "qv", "cluster", dist.alias("dist")
         )
+        # argmin as min-of-struct, NOT a row_number window: struct
+        # ordering is lexicographic (dist, then cluster — identical to
+        # ORDER BY dist, cluster), and min() partially aggregates on
+        # the map side, so only ~n combiner rows shuffle instead of
+        # the window's n*k scored rows (qv duplicated k times)
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "qv", "cluster")
+            scored.groupBy("id", "qv")
+            .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
+            .select("id", "qv", F.col("_m.cluster").alias("cluster"))
         )
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),

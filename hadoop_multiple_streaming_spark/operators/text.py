@@ -139,7 +139,11 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def duplicate_ngram_ratios(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ns: tuple = (2, 3)
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple = (2, 3),
+    max_tokens: int = 2000,
 ) -> DataFrame:
     """Within-document repetition signals (the RefinedWeb/Gopher
     'duplicate n-gram fraction' quality rules): per document, the
@@ -150,8 +154,17 @@ def duplicate_ngram_ratios(
     Pure column expressions over one projection (no explode, no
     shuffle, no per-row Python): the n-gram array is built once per n
     via transform/slice, the ratio is 1 - distinct/total. Quantized to
-    4 decimals with the cross-engine-stable floor (see quantize4)."""
-    toks = df.select(F.col(id_col), words(F.col(text_col)).alias("_toks"))
+    4 decimals with the cross-engine-stable floor (see quantize4).
+
+    All signals are computed over the first ``max_tokens`` tokens: the
+    top-share count below is O(distinct x total) per document, and one
+    degenerate 100k-token crawl page would otherwise stall its whole
+    task — exactly the document class this filter exists to catch, and
+    2000 tokens of evidence classify it just as well."""
+    toks = df.select(
+        F.col(id_col),
+        F.slice(words(F.col(text_col)), 1, max_tokens).alias("_toks"),
+    )
     out = toks
     for n in ns:
         sh = F.when(

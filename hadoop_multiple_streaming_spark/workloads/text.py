@@ -564,7 +564,7 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS t FROM documents
+        SELECT doc_id, ({_TOKS})[1:2000] AS t FROM documents
     ),
     grams AS (
         SELECT doc_id,

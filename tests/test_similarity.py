@@ -99,3 +99,16 @@ def test_quantize_sq8_roundtrip_bounds(spark):
         assert abs(code * rows[1].scale + rows[1].mn - orig) <= rows[1].scale + 1e-12
     # constant vector: all-zero codes, zero scale
     assert rows[2].codes == [0, 0, 0] and rows[2].scale == 0.0
+
+
+def test_kmeans_lloyd_rejects_dim_mismatch(spark):
+    # a wrong dim must fail loudly, not silently collapse every vector
+    # into the tie-break cluster (zip_with pads with nulls)
+    import pytest as _pytest
+
+    from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
+
+    q = spark.createDataFrame([(1, [1, 2, 3])], "id long, qv array<long>")
+    init = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "cluster long, c array<double>")
+    with _pytest.raises(ValueError, match="dim=64 but vectors have 3"):
+        kmeans_lloyd(q, init)  # default dim=64 vs 3-dim data
