@@ -247,11 +247,20 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         inter = inter.join(candidates, ["id_a", "id_b"])
     counts = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    # sizes has ONE ROW PER DOCUMENT — corpus-scaled, never hinted for
+    # broadcast (at 10B docs a hint is an executor OOM). The candidate
+    # pair set is small by construction, so semi-join sizes down to the
+    # ids that actually appear in a pair first; AQE then broadcasts the
+    # shrunken side at runtime when it is genuinely small.
+    pair_ids = counts.select(F.col("id_a").alias("id")).union(
+        counts.select(F.col("id_b").alias("id"))
+    )
+    sizes_needed = sizes.join(pair_ids, "id", "left_semi")
+    na = sizes_needed.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes_needed.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        counts.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        counts.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -66,19 +66,22 @@ _PRIORITY_ORDER = [
     "stratified_sample",
     "multimodal_features",
     "text_profile",
-    "text_fingerprint",
     "text_tfidf_top_terms",
-    "text_top_bigrams",
     "text_sentence_stats",
+    "text_repetition",
     "curation_pipeline",
     "multimodal_frame_sample",
+    "pack_sequences",
+    "pack_texts",
+    "decontaminate_docs",
+    "embedding_sq8",
     # similarity search / ANN
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_centroids",
     "ivf_assignment",
     "ann_ivf_multiprobe",
-    "ann_recall",
+    "kmeans_refine",
     # join surfaces with no prior driver evidence
     "asof_click_attribution",
     "interval_click_errors",
@@ -90,35 +93,33 @@ _PRIORITY_ORDER = [
     "events_sessionize",
     "secondary_sort_events",
     "events_json_props",
-    "events_approx_profile",
     # aggregate package parity (A1-A6 + salted)
     "agg_long_sum",
+    "agg_long_sum_native",
     "agg_long_max_min",
-    "agg_double_sum",
-    "agg_string_max_min",
     "agg_uniq_count",
     "agg_value_histogram",
-    "agg_salted_sum",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "dedup_simhash_pairs",
     # relational core (scan-agg + star join shapes)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    # ---- index 50+: shapes already covered above ----
-    "agg_long_sum_native",  # bench twin of agg_long_sum (in-window)
-    "pack_sequences",  # prefix-sum packing (window shape in-window via events_sessionize)
-    "pack_texts",  # pack materialization (same shapes)
-    "decontaminate_docs",  # semi-join shape in-window via q4/q20
-    "text_repetition",  # projection shape in-window via text_profile
-    "kmeans_refine",  # iterative ML; centroid/assignment shapes in-window via ivf_*
-    "embedding_sq8",  # stateless map (same shape class as sampling)
+    # ---- index 50+: shapes already covered above (every name below
+    # has at least one driver-green row from r03/r04) ----
+    "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)
+    "agg_string_max_min",  # A4 shape = agg_long_max_min on strings (r04 green)
+    "agg_salted_sum",  # skew-salted twin of agg_long_sum (r04 green)
+    "text_fingerprint",  # rolling-hash projection, shape in text_profile (r04 green)
+    "text_top_bigrams",  # groupBy+topk shape in text_tfidf_top_terms (r04 green)
+    "ann_recall",  # join of two in-window topk queries (r04 green)
+    "dedup_simhash_pairs",  # pair expansion shape in dedup_simhash (r04 green)
+    "dedup_embedding_cosine",  # O(n²) verify stage, demoted + guarded (r04 green)
+    "events_approx_profile",  # sketch columns rows-only; exact split is in-window
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "customer_order_counts",

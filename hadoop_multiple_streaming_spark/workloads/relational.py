@@ -118,10 +118,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. True dims (region/nation/supplier
-    chain) broadcast; orders and customer scale with the fact data so
-    their edges stay shuffle joins (sort-merge on l_orderkey /
-    o_custkey at scale; AQE may still convert them when small)."""
+    """TPC-H Q5 shape: star join. Only the fixed-size dims
+    (region=5, nation=25) are hint-broadcast; supplier, orders and
+    customer all scale with SF so their edges stay shuffle joins
+    (sort-merge at scale; AQE converts them to broadcast at runtime
+    when the filtered side is actually small)."""
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     supplier = load(spark, sf_dir, "supplier")
@@ -133,7 +134,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     joined = (
-        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
             customer,
@@ -442,16 +443,19 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_supplier_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + grouped top-N per key (window over aggregate): the
-    'top suppliers per brand' pattern. Both dims broadcast; one shuffle
-    for the agg, window rides the same partitioning."""
+    'top suppliers per brand' pattern. part (SF x 200k) and supplier
+    (SF x 10k) scale with the data, so no broadcast hints — AQE
+    promotes them at runtime when small; at 100 TB these are
+    sort-merge edges. One shuffle for the agg, window rides the same
+    partitioning."""
     from pyspark.sql.window import Window
 
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     supp = load(spark, sf_dir, "supplier")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         # one exchange on the window's partition key serves the
         # aggregation too (subset-of-group-keys clustering; partial
         # combine still runs below it) — see q2_min_cost_supplier

@@ -32,8 +32,9 @@ from .tables import load
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume per year. The nation
     dim appears TWICE (supplier side and customer side) — both
-    broadcast along with supplier; orders/customer are fact-scaled so
-    their edges are shuffle joins."""
+    hint-broadcast (25 rows, fixed). supplier scales with SF (SF x
+    10k), so its edge carries no hint: AQE broadcasts when small,
+    sort-merge at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -48,7 +49,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("sn_key") != F.col("cn_key"))
@@ -105,13 +106,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
     share). Both sums stay exact decimals; the one double division at
-    the end is deterministic."""
+    the end is deterministic. part scales with SF — no broadcast hint
+    (AQE decides at runtime)."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     part = load(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         F.expr(
             f"100.0 * cast(sum(case when p_type = 'PROMO' then {_PRICE} * {_DISC1} "
@@ -136,14 +138,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: per-part average joined back against the fact
     (the scalar-correlated-subquery pattern, planned as agg + join).
     avg is an exact-integer-sum division so the 0.2x threshold is
-    engine-identical."""
+    engine-identical. `limits` has one row per partkey — part-scaled,
+    so no broadcast hint; at scale this is a sort-merge self-join on
+    l_partkey (both sides share the partitioning)."""
     li = load(spark, sf_dir, "lineitem")
     limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.2 * (F.sum("l_quantity").cast("double") / F.count(F.lit(1)))).alias(
             "qty_limit"
         )
     )
-    joined = li.join(F.broadcast(limits), li.l_partkey == limits.pk).where(
+    joined = li.join(limits, li.l_partkey == limits.pk).where(
         F.col("l_quantity") < F.col("qty_limit")
     )
     return joined.agg(

@@ -75,8 +75,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     cand = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp_eu), li.l_suppkey == supp_eu.s_suppkey)
+        # part/supplier scale with SF — no broadcast hints; AQE
+        # promotes the filtered sides when genuinely small
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_eu, li.l_suppkey == supp_eu.s_suppkey)
         .repartition(F.col("p_partkey"))
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
         .agg(F.min("l_extendedprice").alias("cost"))
@@ -138,10 +140,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — conditional aggregate
     ratio over a two-role dimension (nation joined twice: customer's
-    market nation and supplier's nation). All dims broadcast; the only
-    shuffle is the final groupBy(year). The share is ONE division of
-    two decimal-exact sums, so the double is bit-identical across
-    engines."""
+    market nation and supplier's nation). Only nation/region (fixed 25
+    and 5 rows) carry broadcast hints; part/supplier/customer scale
+    with SF so those edges are AQE-decided (sort-merge at 100 TB).
+    The share is ONE division of two decimal-exact sums, so the
+    double is bit-identical across engines."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -159,10 +162,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey")
     ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_am, orders.o_custkey == cust_am.c_custkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
     )
     vol = f"{_PRICE} * {_DISC1}"
     return (
@@ -191,8 +194,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year over a
     part-filtered fact scan. (No partsupp table, so profit omits the
-    supplycost term; the plan shape — fact scan x 4 broadcast dims,
-    two-column rollup — is what's under test.)"""
+    supplycost term; the plan shape — fact scan joined to one fixed
+    dim (nation, hint-broadcast) and two SF-scaled dims
+    (part/supplier, AQE-decided), two-column rollup — is what's under
+    test.)"""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supp = load(spark, sf_dir, "supplier")
@@ -202,9 +207,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "n_name")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
     )
     return (
         joined.groupBy(
@@ -321,8 +326,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
         F.col("total_revenue") == F.col("max_rev")
     )
+    # supplier scales with SF — no hint; `top` is ~1 row so AQE
+    # broadcasts THAT side at runtime
     return top.join(
-        F.broadcast(supp), top.supplier_no == supp.s_suppkey
+        supp, top.supplier_no == supp.s_suppkey
     ).select("s_suppkey", "s_name", "total_revenue")
 
 
@@ -340,9 +347,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: grouped distinct-count with a NOT IN exclusion
-    subquery. The exclusion is a broadcast anti join (the subquery is
-    tiny and provably non-null, so NOT IN == anti join); the distinct
-    count shuffles (brand, size, suppkey) once."""
+    subquery (NOT IN == anti join — the subquery is provably
+    non-null). part and the supplier subset both scale with SF, so
+    neither join carries a broadcast hint; the distinct count shuffles
+    (brand, size, suppkey) once."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
         (F.col("p_type") != "STANDARD") & F.col("p_size").isin(1, 2, 3, 4, 5)
@@ -351,8 +359,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -397,7 +405,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & q.between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(b1 | b2 | b3)
         .agg(
             F.expr(f"cast(sum({_PRICE} * {_DISC1}) as double)").alias("revenue"),
@@ -424,8 +432,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested IN subqueries -> a semi-join chain
     (part filter semi-joins into lineitem, the HAVING aggregate
-    semi-joins into supplier). l_quantity is integral-valued so the
-    HAVING sum is exact."""
+    semi-joins into supplier). part and the `heavy` per-suppkey
+    aggregate both scale with SF — no hints on those edges; only the
+    fixed nation dim is hint-broadcast. l_quantity is integral-valued
+    so the HAVING sum is exact."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
         "p_partkey"
@@ -433,14 +443,14 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 500)
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
     )
@@ -509,7 +519,8 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
     )
     return (
-        fails.join(F.broadcast(supp), fails.l_suppkey == supp.s_suppkey)
+        # supplier scales with SF — AQE decides broadcast vs sort-merge
+        fails.join(supp, fails.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

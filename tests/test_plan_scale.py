@@ -1,13 +1,15 @@
-"""Plan-shape assertions for the 100 TB story: fact-scaled tables
-(orders, customer) must NOT be hint-forced into broadcast joins.
+"""Plan-shape assertions for the 100 TB story: SF-scaled tables
+(orders, customer, part, supplier, and any per-key aggregate over
+them) must NOT be hint-forced into broadcast joins.
 
 With ``spark.sql.autoBroadcastJoinThreshold=-1`` we simulate "every
-table is too big to broadcast". A query that hint-broadcasts a fact
-table still plans BroadcastHashJoin under that conf (hints override the
-threshold) and would OOM at scale; a clean query degrades to
-SortMergeJoin on the join key. The TPC-H-shaped headline queries must
-take the second path on their li⋈orders / orders⋈customer edges, while
-true dims (region/nation/supplier chains) may stay broadcast-hinted.
+table is too big to broadcast". A query that hint-broadcasts an
+SF-scaled table still plans BroadcastHashJoin under that conf (hints
+override the threshold) and would OOM at scale; a clean query degrades
+to SortMergeJoin on the join key. The TPC-H-shaped headline queries
+must take the second path on their orderkey/custkey/partkey/suppkey
+edges, while true fixed-size dims (region=5, nation=25) may stay
+broadcast-hinted.
 """
 
 from __future__ import annotations
@@ -22,7 +24,9 @@ from hadoop_multiple_streaming_spark import workloads
 workloads.load_all()
 
 # every query the round-2 judge flagged as force-broadcasting a
-# fact-scaled side, plus the anti-join twin with the same pattern
+# fact-scaled side (orders/customer edges), plus the round-4 batch
+# (part/supplier/per-partkey-aggregate edges), plus the anti-join twin
+# with the same pattern
 FACT_JOIN_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -34,7 +38,21 @@ FACT_JOIN_QUERIES = [
     "q12_priority_by_status",
     "q21_sole_failing_supplier",
     "anti_join_dormant_customers",
+    # part/supplier-edge batch (de-hinted round 5)
+    "part_supplier_topn",
+    "q2_min_cost_supplier",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
 ]
+
+# join-key fragments that identify an SF-scaled edge: any
+# BroadcastHashJoin whose condition mentions one of these keys means a
+# hint survived on a table that grows with the data
+_SCALED_KEYS = ("orderkey", "custkey", "partkey", "suppkey")
 
 
 def _plan_of(df) -> str:
@@ -42,6 +60,18 @@ def _plan_of(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _broadcast_join_blocks(plan: str) -> list[str]:
+    """The formatted-explain detail paragraphs for BroadcastHashJoin
+    operators (operator name and its join keys are on DIFFERENT lines,
+    so a same-line scan never matches — each paragraph carries the
+    'Left keys'/'Right keys' of one join)."""
+    return [
+        block
+        for block in plan.split("\n\n")
+        if "BroadcastHashJoin" in block.splitlines()[0] and "keys" in block
+    ]
 
 
 @pytest.fixture()
@@ -63,13 +93,18 @@ def test_fact_joins_degrade_to_sort_merge(spark, sf_dir, qname, no_broadcast):
     df = workloads.QUERIES[qname](spark, sf_dir)
     plan = _plan_of(df)
     assert "SortMergeJoin" in plan, f"{qname}: no shuffle join in plan:\n{plan}"
-    # broadcast may appear ONLY via an explicit dim hint; none of these
-    # queries hints orders/customer, so a fact-keyed broadcast edge
-    # (join condition on l_orderkey/o_orderkey/o_custkey/c_custkey)
-    # would mean a hint survived on a fact table
-    for line in plan.splitlines():
-        if "BroadcastHashJoin" in line and "orderkey" in line:
-            raise AssertionError(f"{qname}: fact table broadcast-joined: {line}")
+    # broadcast may appear ONLY via an explicit fixed-dim hint
+    # (nation/region, joined on nationkey/regionkey); an edge keyed on
+    # orderkey/custkey/partkey/suppkey is SF-scaled and must not be
+    # broadcast under the -1 threshold. nationkey contains no scaled
+    # fragment ('partkey'/'suppkey' etc.), so dim edges never trip this.
+    for block in _broadcast_join_blocks(plan):
+        keys = [l for l in block.splitlines() if "keys" in l]
+        for line in keys:
+            if any(k in line for k in _SCALED_KEYS):
+                raise AssertionError(
+                    f"{qname}: SF-scaled table broadcast-joined:\n{block}"
+                )
 
 
 def test_q5_keeps_dim_broadcast(spark, sf_dir, no_broadcast):
