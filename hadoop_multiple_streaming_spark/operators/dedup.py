@@ -593,10 +593,29 @@ def embedding_lsh_pairs(
     )
 
 
-def embedding_cosine_pairs(quantized: DataFrame, threshold: float) -> DataFrame:
+def embedding_cosine_pairs(
+    quantized: DataFrame, threshold: float, max_rows: int | None = 100_000
+) -> DataFrame:
     """All pairs with cosine >= threshold (exact quantized cosine).
-    Pairwise form for modest n; the scale path buckets vectors first
-    (see similarity.ivf_topk / LSH) and verifies with this cosine."""
+
+    This is the O(n^2) VERIFY stage — its intended caller buckets
+    vectors first (embedding_lsh_pairs / similarity.ivf_topk) and
+    verifies only candidates with this cosine. Standalone all-pairs use
+    is guarded: past ``max_rows`` input rows it raises instead of
+    planning an n^2 join that can never finish on a 100 TB corpus.
+    Pass ``max_rows=None`` to explicitly opt in to small-scale
+    all-pairs mode. The guard job short-circuits via limit pushdown
+    (scans at most max_rows + 1 rows, not the full input)."""
+    if max_rows is not None:
+        n = quantized.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs: input exceeds {max_rows} rows; "
+                "an all-pairs cosine join is O(n^2) and will not scale. "
+                "Bucket first (embedding_lsh_pairs / ivf_topk) and verify "
+                "candidates, or pass max_rows=None to force small-scale "
+                "all-pairs mode."
+            )
     a, b = quantized.alias("a"), quantized.alias("b")
     cos = (_dot("a.qv", "b.qv").cast("double") / (
         F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))

@@ -122,12 +122,22 @@ def kmeans_lloyd(
     (no row from the groupBy), matching the SQL replay."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
-    # the smallest cluster id — fail loudly instead (one limit-1 job)
-    first = quantized.select(F.size("qv").alias("n")).first()
-    if first is not None and first.n != dim:
-        raise ValueError(
-            f"kmeans_lloyd: dim={dim} but vectors have {first.n} elements"
-        )
+    # the smallest cluster id — fail loudly instead. The check is a
+    # column expression evaluated inside the first iteration's scan
+    # (raise_error at the first bad row), NOT a driver-side .first()
+    # job, so iterative callers stay job-count-clean.
+    quantized = quantized.withColumn(
+        "qv",
+        F.when(F.size("qv") == dim, F.col("qv")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kmeans_lloyd: dim={dim} but vectors have "),
+                    F.size("qv").cast("string"),
+                    F.lit(" elements"),
+                )
+            )
+        ),
+    )
     cent = init_centroids
     assigned = None
     dist = F.expr(

@@ -203,8 +203,13 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs by exact quantized cosine >= 0.45
-    (pairwise verify form; LSH/IVF bucket first at scale)."""
+    """Embedding near-dup pairs by exact quantized cosine >= 0.45.
+
+    This is the VERIFY stage of dedup_embedding_lsh registered
+    standalone for oracle parity; the operator's row-count guard
+    (default 100k) raises on anything corpus-sized, so the O(n^2)
+    all-pairs plan is unreachable without an explicit
+    ``max_rows=None`` opt-in at the call site."""
     emb = load(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb, "embedding", "vec_id")
     return embedding_cosine_pairs(q, threshold=0.45)

@@ -119,6 +119,20 @@ def test_embedding_cosine_pairs(spark):
     assert abs(got[(3, 4)] - 0.8) < 1e-9  # cos((1,0),(0.6,0.8)) pairs via (3,4)=0.8
 
 
+def test_embedding_cosine_pairs_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    # past max_rows the O(n^2) plan must be unreachable
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_cosine_pairs(q, 0.5, max_rows=4)
+    # explicit opt-in still works
+    assert embedding_cosine_pairs(q, 0.5, max_rows=None).count() == 10
+
+
 def test_embedding_lsh_pairs_subset_of_exact(spark):
     import numpy as np
 

@@ -103,12 +103,30 @@ def test_quantize_sq8_roundtrip_bounds(spark):
 
 def test_kmeans_lloyd_rejects_dim_mismatch(spark):
     # a wrong dim must fail loudly, not silently collapse every vector
-    # into the tie-break cluster (zip_with pads with nulls)
+    # into the tie-break cluster (zip_with pads with nulls). The check
+    # is a raise_error column inside the plan (no extra driver job), so
+    # the failure surfaces at action time, not at call time.
     import pytest as _pytest
 
     from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
 
     q = spark.createDataFrame([(1, [1, 2, 3])], "id long, qv array<long>")
     init = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "cluster long, c array<double>")
-    with _pytest.raises(ValueError, match="dim=64 but vectors have 3"):
-        kmeans_lloyd(q, init)  # default dim=64 vs 3-dim data
+    df = kmeans_lloyd(q, init)  # default dim=64 vs 3-dim data
+    with _pytest.raises(Exception, match="dim=64 but vectors have 3"):
+        df.collect()
+
+
+def test_kmeans_lloyd_dim_check_adds_no_job(spark):
+    # the guard must live in the plan: building the kmeans DataFrame
+    # runs ZERO jobs (the old .first() guard ran one per call, which
+    # multiplies in iterative callers)
+    from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
+
+    q = spark.createDataFrame([(1, [1, 2])], "id long, qv array<long>")
+    init = spark.createDataFrame([(0, [0.0, 0.0])], "cluster long, c array<double>")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    kmeans_lloyd(q, init, iters=1, dim=2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
