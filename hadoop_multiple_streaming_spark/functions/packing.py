@@ -15,11 +15,13 @@ visit order implementation details.
 
 Scale notes: the window partitions by the grouping columns (language,
 source, ...), so each group's prefix sum runs independently —
-embarrassingly parallel across groups. Do NOT call without
-``partition_cols`` at scale: a global cumulative sum is a single
-window partition (one task). For a truly global order at 100 TB, range
-partition on the order column and add the per-partition offsets with a
-broadcast two-pass prefix sum.
+embarrassingly parallel across groups. Do NOT call ``assign_packs``
+without ``partition_cols`` at scale: a global cumulative sum is a
+single window partition (one task). For a truly global order use
+``assign_packs_global`` — range-bucket on the order column, local
+prefix sums per bucket in parallel, then add per-bucket offsets
+computed from the (num_buckets-row) bucket totals; the only
+unpartitioned window runs over that tiny aggregate, never the corpus.
 """
 
 from __future__ import annotations
@@ -40,6 +42,10 @@ def assign_packs(
     """Add ``pack_col``: the 0-based pack index within each partition
     group. A document starting at running-total offset T (tokens of
     all earlier documents in its group) gets pack ``T div budget``."""
+    if budget <= 0:
+        # div 0 evaluates to NULL — every pack id silently NULL — and a
+        # negative budget yields negative pack ids; fail fast instead
+        raise ValueError(f"assign_packs: budget must be positive, got {budget}")
     parts = partition_cols or []
     w = Window.partitionBy(*parts).orderBy(order_col) if parts else Window.orderBy(order_col)
     start_offset = F.coalesce(
@@ -53,6 +59,77 @@ def assign_packs(
     return df.withColumn("_pack_start", start_offset).withColumn(
         pack_col, F.expr(f"_pack_start div {int(budget)}")
     ).drop("_pack_start")
+
+
+def assign_packs_global(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    num_buckets: int = 32,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """``assign_packs`` semantics under a single GLOBAL order (pack =
+    global running total of preceding tokens, div budget) without the
+    single-partition window that a naive ``Window.orderBy`` plans.
+
+    Two-pass distributed prefix sum:
+      1. bucket the corpus into order-contiguous ranges — boundaries
+         from approx_percentile of ``order_col`` (a mergeable sketch
+         aggregate, cheap at any scale). Bucketing is monotone in the
+         order column, so global order == (bucket, order-in-bucket).
+      2. local prefix sum per bucket (Window.partitionBy(bucket) —
+         parallel across buckets), plus per-bucket token totals
+         (num_buckets rows). Cumulative offsets over that TINY totals
+         relation use the only unpartitioned window in the plan; the
+         offsets then join back (AQE broadcasts the num_buckets-row
+         side) and global_start = bucket_offset + local_start.
+
+    The result is bucket-independent — identical pack ids whatever the
+    sampled boundaries — so the sketch's approximation never leaks
+    into the output, and a plain global-window SQL replay matches
+    exactly. ``order_col`` must be numeric and should be unique (ties
+    make 'the' global order ambiguous)."""
+    if budget <= 0:
+        raise ValueError(
+            f"assign_packs_global: budget must be positive, got {budget}"
+        )
+    if num_buckets < 1:
+        raise ValueError(
+            f"assign_packs_global: num_buckets must be >= 1, got {num_buckets}"
+        )
+    fracs = [i / num_buckets for i in range(1, num_buckets)]
+    if fracs:
+        bounds = df.agg(
+            F.array_distinct(
+                F.percentile_approx(
+                    F.col(order_col).cast("double"), fracs, 10_000
+                )
+            ).alias("_bs")
+        )
+        # 1-row bound table: broadcast nested-loop join, then bucket =
+        # count of boundaries <= value (monotone in order_col)
+        bucketed = df.join(F.broadcast(bounds)).withColumn(
+            "_b", F.expr(f"size(filter(_bs, x -> x <= {order_col}))")
+        ).drop("_bs")
+    else:
+        bucketed = df.withColumn("_b", F.lit(0))
+    w_local = Window.partitionBy("_b").orderBy(order_col)
+    local_start = F.coalesce(
+        F.sum(F.col(token_col)).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    with_local = bucketed.withColumn("_local_start", local_start)
+    totals = bucketed.groupBy("_b").agg(F.sum(F.col(token_col)).alias("_t"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias("_off")
+    )
+    return (
+        with_local.join(offsets, "_b")
+        .withColumn(pack_col, F.expr(f"(_off + _local_start) div {int(budget)}"))
+        .drop("_b", "_local_start", "_off")
+    )
 
 
 def pack_stats(

@@ -216,7 +216,27 @@ DIRECT_TYPES = frozenset(
 )
 
 
-def _strict_otherwise(result, t):
+def _strict_otherwise(result, t, menu: set[str] | None = None):
+    """Strict-mode fallthrough. With a declared ``menu``, a row whose
+    type is KNOWN but simply undeclared gets a 'not in the declared
+    types menu' diagnostic instead of the misleading 'unknown
+    aggregator type' (the type IS known — the caller just didn't
+    declare it)."""
+    unknown = F.concat(F.lit("aggregate: unknown aggregator type: "), t)
+    if menu is not None:
+        undeclared = [ty for ty in KNOWN_TYPES if ty not in menu]
+        if undeclared:
+            unknown = F.when(
+                t.isin(undeclared),
+                F.concat(
+                    F.lit("aggregate: type "),
+                    t,
+                    F.lit(
+                        " is not in the declared types menu "
+                        f"{sorted(menu)} (add it to `types` or drop strict)"
+                    ),
+                ),
+            ).otherwise(unknown)
     return result.otherwise(
         F.raise_error(
             F.when(
@@ -228,7 +248,7 @@ def _strict_otherwise(result, t):
                     ),
                     F.col("key"),
                 ),
-            ).otherwise(F.concat(F.lit("aggregate: unknown aggregator type: "), t))
+            ).otherwise(unknown)
         )
     )
 
@@ -270,7 +290,7 @@ def _aggregate_direct(parsed: DataFrame, menu: set[str], strict: bool) -> DataFr
             else result.when(t == ty, rendered)
         )
     if strict:
-        result = _strict_otherwise(result, t)
+        result = _strict_otherwise(result, t, menu)
     return agg.select("key", result.alias("value"))
 
 

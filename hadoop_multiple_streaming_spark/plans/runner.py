@@ -137,9 +137,18 @@ def _with_min_partitions(lines: DataFrame, spec: JobSpec) -> DataFrame:
     no eager ``rdd.getNumPartitions()`` plan materialization. Inputs
     Spark cannot range-split (gzip/zstd/...) always scan as one
     partition per file regardless of the conf, so the explicit
-    repartition shuffle is the only way to honor the floor there."""
+    repartition shuffle is the only way to honor the floor there —
+    but it is a FLOOR, not a target: with more files than n the scan
+    already exceeds it, and repartition(n) would both SHRINK
+    parallelism and pay a full shuffle, so the guard checks the actual
+    scan partition count first (getNumPartitions is driver-side plan
+    work only — acceptable on this rare compressed-input path)."""
     n = spec.min_input_partitions
-    if n and _has_non_splittable_input(spec):
+    if (
+        n
+        and _has_non_splittable_input(spec)
+        and lines.rdd.getNumPartitions() < n
+    ):
         return lines.repartition(n)
     return lines
 

@@ -72,6 +72,7 @@ _PRIORITY_ORDER = [
     "curation_pipeline",
     "multimodal_frame_sample",
     "pack_sequences",
+    "pack_sequences_global",
     "pack_texts",
     "decontaminate_docs",
     "embedding_sq8",

@@ -561,6 +561,49 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_global",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY pack_id
+    """,
+)
+def pack_sequences_global_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-order sequence packing: one corpus-wide 2048-token pack
+    sequence in doc_id order, WITHOUT the single-partition window the
+    naive form plans — range-bucketed two-pass prefix sum
+    (functions.packing.assign_packs_global): local sums parallel per
+    bucket, per-bucket offsets from a num_buckets-row aggregate. The
+    oracle replays it as a plain global window (the bucketing is
+    provably output-invariant), so the hash check proves the
+    distributed prefix sum IS the global prefix sum."""
+    from ..functions.packing import assign_packs_global, pack_stats
+    from ..operators.text import token_count_whitespace
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    packed = assign_packs_global(
+        docs, "doc_id", "n_tokens", budget=2048, num_buckets=8
+    )
+    return pack_stats(packed, "n_tokens", []).withColumn(
+        "pack_tokens", F.col("pack_tokens").cast("long")
+    )
+
+
+@register(
     "text_repetition",
     oracle=f"""
     WITH toks AS (

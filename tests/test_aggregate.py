@@ -124,11 +124,21 @@ def test_direct_scalar_path_matches_two_level(spark):
 
 
 def test_direct_scalar_path_strict_on_menu_violation(spark):
-    # data containing a type OUTSIDE the declared scalar menu still
-    # fails loudly in strict mode
+    # a KNOWN type that simply wasn't declared must say so — 'unknown
+    # aggregator type' would send users debugging the parser instead of
+    # their `types` menu
     import pytest as _pytest
 
     pairs = [("LongValueSum:s", "1"), ("UniqValueCount:u", "x")]
+    with _pytest.raises(Exception, match="not in the declared types menu"):
+        aggregate_reduce(kv_df(spark, pairs), types=["LongValueSum"]).collect()
+
+
+def test_direct_scalar_path_strict_on_truly_unknown_type(spark):
+    # a type no aggregator has ever heard of keeps the 'unknown' wording
+    import pytest as _pytest
+
+    pairs = [("LongValueSum:s", "1"), ("NoSuchAgg:u", "x")]
     with _pytest.raises(Exception, match="unknown aggregator type"):
         aggregate_reduce(kv_df(spark, pairs), types=["LongValueSum"]).collect()
 

@@ -68,6 +68,75 @@ def test_packs_conserve_tokens_and_are_monotone(spark):
         assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:])), lang
 
 
+def test_assign_packs_rejects_bad_budget(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        assign_packs_global,
+    )
+
+    df = spark.createDataFrame([(1, 4)], "doc_id long, n_tokens long")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="budget must be positive"):
+            assign_packs(df, "doc_id", "n_tokens", budget=bad)
+        with pytest.raises(ValueError, match="budget must be positive"):
+            assign_packs_global(df, "doc_id", "n_tokens", budget=bad)
+
+
+def test_assign_packs_global_matches_naive_global_window(spark):
+    # the two-pass bucketed prefix sum must be bit-identical to the
+    # naive single-window global form, for any bucket count
+    import random
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        assign_packs_global,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    naive = {
+        r.doc_id: r.pack_id
+        for r in assign_packs(df, "doc_id", "n_tokens", budget=1000).collect()
+    }
+    for buckets in (1, 4, 32):
+        got = {
+            r.doc_id: r.pack_id
+            for r in assign_packs_global(
+                df, "doc_id", "n_tokens", budget=1000, num_buckets=buckets
+            ).collect()
+        }
+        assert got == naive, f"num_buckets={buckets}"
+
+
+def test_assign_packs_global_no_corpus_sized_global_window(spark):
+    # the corpus-sized window must be PARTITIONED (by the range bucket);
+    # the only unpartitioned window may run over the num_buckets-row
+    # totals aggregate. We assert it structurally: every Window operator
+    # that consumes the token column partitions by _b.
+    import contextlib
+    import io as _io
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        assign_packs_global,
+    )
+
+    df = spark.createDataFrame([(i, 10) for i in range(50)], "doc_id long, n_tokens long")
+    out = assign_packs_global(df, "doc_id", "n_tokens", budget=100, num_buckets=4)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    win_blocks = [
+        b for b in plan.split("\n\n") if b.splitlines()[0].lstrip("(0123456789) *").startswith("Window")
+    ]
+    assert win_blocks, plan
+    corpus_wins = [b for b in win_blocks if "n_tokens" in b]
+    assert corpus_wins, win_blocks
+    for b in corpus_wins:
+        assert "_b" in b, f"corpus window not bucket-partitioned:\n{b}"
+
+
 def test_pack_texts_materialization(spark):
     from hadoop_multiple_streaming_spark.functions.packing import pack_texts
 

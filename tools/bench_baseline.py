@@ -55,9 +55,16 @@ def main() -> int:
             continue
         try:
             con.execute(sql).fetchall()  # warm (page cache + plan)
-            t0 = time.monotonic()
-            con.execute(sql).fetchall()
-            times[name] = round(time.monotonic() - t0, 3)
+            # SAME estimator as bench.py's Spark side (min of two timed
+            # runs after the warm pass) — asymmetric estimators would
+            # systematically favor whichever side takes the min
+            best = -1.0
+            for _ in range(2):
+                t0 = time.monotonic()
+                con.execute(sql).fetchall()
+                dt = round(time.monotonic() - t0, 3)
+                best = dt if best < 0 else min(best, dt)
+            times[name] = best
         except Exception as e:
             print(f"[baseline] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             times[name] = -1.0
