@@ -73,8 +73,15 @@ def decode_content(payload: bytes, modality: str) -> Any:
 
 def fake_decode_meta(payload: bytes, modality: str) -> dict[str, int]:
     """Deterministic stand-in decoder: pseudo-dimensions derived from
-    the payload hash. Same batch shape and dtypes as a real decoder."""
-    h = hashlib.md5(payload or b"").digest()
+    the payload's own leading bytes (synthesize_media payloads are
+    already md5-derived, so this stays hash-distributed) — and, unlike
+    a re-hash of the raw bytes, replicable in plain SQL from the
+    payload's hex rendering, which makes the whole feature pipeline
+    oracle-checkable cross-engine. Same batch shape and dtypes as a
+    real decoder. Payloads shorter than 3 bytes fall back to hashing."""
+    h = payload if payload is not None and len(payload) >= 3 else hashlib.md5(
+        payload or b""
+    ).digest()
     return {
         "width": 16 + h[0] % 64,
         "height": 16 + h[1] % 64,
@@ -105,8 +112,15 @@ def extract_features(
                     "id": pdf["id"],
                     "modality": pdf["modality"],
                     "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    # fingerprint over the LOWERCASE-HEX rendering of
+                    # the payload, not the raw bytes: hex is bijective
+                    # with the bytes (same dedup/collision power), and
+                    # engines whose hash functions only take strings
+                    # (DuckDB sha256(VARCHAR)) can replay it exactly
                     "content_sha": [
-                        hashlib.sha256(bytes(c) if c is not None else b"").hexdigest()
+                        hashlib.sha256(
+                            (bytes(c) if c is not None else b"").hex().encode()
+                        ).hexdigest()
                         for c in pdf["content"]
                     ],
                     "width": [m["width"] for m in metas],

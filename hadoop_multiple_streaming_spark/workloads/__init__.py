@@ -94,6 +94,7 @@ _PRIORITY_ORDER = [
     "events_sessionize",
     "secondary_sort_events",
     "events_json_props",
+    "events_exact_profile",
     # aggregate package parity (A1-A6 + salted)
     "agg_long_sum",
     "agg_long_sum_native",

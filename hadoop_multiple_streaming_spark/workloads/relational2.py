@@ -356,6 +356,32 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_exact_profile",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_exact_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT half of the per-event-type profile: count, distinct
+    users, value min/max — no arithmetic on doubles (min/max return
+    stored values), so the oracle comparison is bit-exact. The sketch
+    half lives in events_approx_profile (rows-only by nature); this
+    split gives the profile shape a real value-level check."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 @register("events_approx_profile")  # rows-only: sketch outputs are
 # implementation-defined (HLL++ / KLL), no cross-engine oracle exists
 def events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,8 +390,8 @@ def events_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx (KLL-style, accuracy 10000) per event_type —
     constant memory per group vs the exact forms' full-value buffers
     (events_hourly_rollup / price_percentiles are their exact twins).
-    Rows-only check: sketch results are engine-implementation-defined.
-    """
+    Rows-only check: sketch results are engine-implementation-defined;
+    the exact columns are oracle-checked in events_exact_profile."""
     ev = load(spark, sf_dir, "events")
     prof = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),

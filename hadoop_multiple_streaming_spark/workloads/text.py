@@ -194,13 +194,42 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "doc_id", "lang", {"en": 0.3, "zh": 0.5})
 
 
-@register("multimodal_features")  # rows-only: no binary test table exists
+# hex-pair -> byte value, in pure SQL (DuckDB hashes only VARCHAR, so
+# every payload-byte quantity is derived from the hex string instead)
+_HEXV = "(strpos('0123456789abcdef', hx[{p}]) - 1)"
+_BYTE0 = f"({_HEXV.format(p=1)} * 16 + {_HEXV.format(p=2)})"
+_BYTE1 = f"({_HEXV.format(p=3)} * 16 + {_HEXV.format(p=4)})"
+_BYTE2 = f"({_HEXV.format(p=5)} * 16 + {_HEXV.format(p=6)})"
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(i AS BIGINT) AS id,
+               CASE WHEN i % 3 = 0 THEN 'video' ELSE 'image' END AS modality,
+               repeat(md5('media-' || CAST(i AS VARCHAR)), 4 + i % 7) AS hx
+        FROM range(0, 128) t(i)
+    )
+    SELECT id, modality,
+           CAST(len(hx) // 2 AS BIGINT) AS n_bytes,
+           sha256(hx) AS content_sha,
+           CAST(16 + {_BYTE0} % 64 AS INT) AS width,
+           CAST(16 + {_BYTE1} % 64 AS INT) AS height,
+           CAST(1 + {_BYTE2} % 3 AS INT) AS channels
+    FROM m
+    """,
+)
 def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (operators.multimodal): synthetic
     binary payloads -> Arrow-batched mapInPandas feature extraction
     (deterministic fake decoder standing in for the absent codec
-    libraries). No oracle: the payloads are engine-synthesized, not a
-    parquet table — the driver records the rows-only check."""
+    libraries). Oracle-checkable because every feature is a pure
+    function of the payload bytes and those bytes are md5-derived
+    (payload = unhex(repeat(md5('media-i'), 4 + i%7))): DuckDB rebuilds
+    the hex rendering and replays n_bytes / sha256-of-hex fingerprint /
+    leading-byte pseudo-dimensions in plain SQL — a value-level check
+    of the whole Arrow batch path, not just a row count."""
     from ..operators.multimodal import extract_features, fake_decode_meta, synthesize_media
 
     media = synthesize_media(spark, n=128)
@@ -506,13 +535,24 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: engine-synthesized media
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST(s AS INT) AS sample_idx,
+           CAST(s * 30 AS BIGINT) AS frame_idx,
+           CAST(s * 30 * 1024 AS BIGINT) AS byte_offset
+    FROM range(0, 64) t(i), range(0, 4) u(s)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling from metadata alone (no decode, pure
     Column math): synthetic video records -> per-second frame indices
     and byte offsets. The downstream decode touches only these
     offsets — the 100 TB pattern where the media bytes never enter a
-    shuffle. Rows-only (payloads are engine-synthesized)."""
+    shuffle. Oracle: the synthetic meta is fixed (30 fps, 4 s, 1024
+    bytes/frame), so the expected sample grid is exact SQL — checks
+    the sequence/explode/floor offset math value-for-value."""
     from ..operators.multimodal import sample_frame_offsets, synthesize_media
 
     media = synthesize_media(spark, n=64, modality="video")

@@ -26,9 +26,13 @@ def test_extract_features_batch_shape(spark):
     rows = feats.collect()
     assert len(rows) == 20
     by_id = {r.id: r for r in rows}
-    # sha and n_bytes computed from the real payload bytes
+    # fingerprint is sha256 over the payload's lowercase-hex rendering
+    # (bijective with the bytes; replicable by string-only SQL hashers)
     payload0 = hashlib.md5(b"media-0").digest() * 4
-    assert by_id[0].content_sha == hashlib.sha256(payload0).hexdigest()
+    assert (
+        by_id[0].content_sha
+        == hashlib.sha256(payload0.hex().encode()).hexdigest()
+    )
     assert by_id[0].n_bytes == len(payload0)
     # fake decoder is deterministic: same payload -> same dims
     meta0 = fake_decode_meta(payload0, "video")
