@@ -248,16 +248,16 @@ def ngram_jaccard_pairs(
         inter = inter.join(candidates, ["id_a", "id_b"])
     counts = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
     # sizes has ONE ROW PER DOCUMENT — corpus-scaled, never hinted for
-    # broadcast (at 10B docs a hint is an executor OOM). The candidate
-    # pair set is small by construction, so semi-join sizes down to the
-    # ids that actually appear in a pair first; AQE then broadcasts the
-    # shrunken side at runtime when it is genuinely small.
-    pair_ids = counts.select(F.col("id_a").alias("id")).union(
-        counts.select(F.col("id_b").alias("id"))
-    )
-    sizes_needed = sizes.join(pair_ids, "id", "left_semi")
-    na = sizes_needed.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    nb = sizes_needed.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    # broadcast (at 10B docs a hint is an executor OOM). No hint at
+    # all: AQE sees that COUNTS (the candidate-pair aggregate, small by
+    # construction) is the broadcastable side and builds on it at
+    # runtime; if both sides are big this degrades to sort-merge on
+    # the id — both safe at any scale. (A pre-semi-join of sizes down
+    # to pair ids was measured WORSE here: it re-evaluates the whole
+    # shingle pipeline a second time for the pair-id set, +60% wall
+    # clock at sf0.1.)
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
         counts.join(na, "id_a")
         .join(nb, "id_b")
