@@ -138,6 +138,42 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: PII span patterns, ordered: redaction applies them in sequence, so
+#: earlier kinds must not leave text a later pattern could re-match in
+#: a surprising way (emails first — their domains could otherwise feed
+#: the looser patterns). RE2-safe subset (no lookaround/backrefs) so
+#: Java-regex Spark and RE2-based engines agree character-for-character.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+\d{9,15}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub (emails, phone
+    numbers, IPv4 addresses replaced with |||KIND||| placeholder
+    tokens, Dolma-style) plus per-kind match counts for curation
+    stats. Shuffle-free single projection; counts are taken on the
+    ORIGINAL text (patterns are mutually non-overlapping), so they are
+    independent of redaction order. Uses the pyspark function API (not
+    expr) so the regexes never pass through a SQL string literal and
+    need no double-escaping."""
+    t = F.col(text_col)
+    redacted = t
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        # idx=0 = the whole match (the SQL default idx=1 means "first
+        # capture group" and errors on group-free patterns)
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"|||{kind.upper()}|||")
+    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
+
+
 def duplicate_ngram_ratios(
     df: DataFrame,
     text_col: str = "text",

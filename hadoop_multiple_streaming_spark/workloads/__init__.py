@@ -59,7 +59,7 @@ _PRIORITY_ORDER = [
     "fanout_two_branches",
     "pipe_grouped_reduce",
     # text analysis / sampling / multimodal / curation
-    "text_token_count",
+    "text_pii_redact",
     "text_quality_score",
     "text_langid",
     "dataset_split",
@@ -113,6 +113,7 @@ _PRIORITY_ORDER = [
     "q5_local_supplier_volume",
     # ---- index 50+: shapes already covered above (every name below
     # has at least one driver-green row from r03/r04) ----
+    "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
     "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)
     "agg_string_max_min",  # A4 shape = agg_long_max_min on strings (r04 green)
     "agg_salted_sum",  # skew-salted twin of agg_long_sum (r04 green)

@@ -194,6 +194,64 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "doc_id", "lang", {"en": 0.3, "zh": 0.5})
 
 
+def _pii_oracle() -> str:
+    """Replay the seeded-PII redaction in DuckDB, chain generated from
+    the SAME PII_PATTERNS list the operator uses (one source of truth
+    for the regexes)."""
+    from ..operators.text import PII_PATTERNS
+
+    seed = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +14155550' || "
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    red = "t"
+    for kind, pat in PII_PATTERNS:
+        red = (
+            "regexp_replace(" + red + ", '" + pat + "', '|||"
+            + kind.upper() + "|||', 'g')"
+        )
+    counts = ", ".join(
+        "len(regexp_extract_all(t, '" + pat + "')) AS n_" + kind
+        for kind, pat in PII_PATTERNS
+    )
+    return (
+        "WITH seeded AS (SELECT doc_id, " + seed + " AS t FROM documents) "
+        "SELECT doc_id, " + red + " AS redacted, " + counts + " FROM seeded"
+    )
+
+
+@register("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.redact_pii): emails, phone
+    numbers and IPv4 addresses scrubbed to |||KIND||| placeholders with
+    per-kind match counts — the standard pre-training privacy pass.
+    The synthetic corpus contains no PII, so the query SEEDS one
+    deterministic span of each kind per document (derived from doc_id,
+    reproducible in SQL); the oracle replays seeding + redaction with
+    the same regexes, proving the two regex engines (Java util.regex
+    vs RE2) agree character-for-character on the RE2-safe pattern
+    subset. Shuffle-free projection — scan speed at any scale."""
+    from ..operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +14155550"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
 # hex-pair -> byte value, in pure SQL (DuckDB hashes only VARCHAR, so
 # every payload-byte quantity is derived from the hex string instead)
 _HEXV = "(strpos('0123456789abcdef', hx[{p}]) - 1)"

@@ -90,3 +90,23 @@ def test_duplicate_ngram_ratios(spark):
     # all-distinct doc: the max share is one occurrence over total
     assert top[2] == (0.25, 0.3333)  # quantize4 floors 1/3
     assert top[3] == (0.0, 0.0)
+
+
+def test_redact_pii(spark):
+    from hadoop_multiple_streaming_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.example.org now"),
+            (2, "call +4915123456789 or visit 192.168.0.1 twice 192.168.0.2"),
+            (3, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].redacted == "mail |||EMAIL||| now"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 0, 0)
+    assert got[2].redacted == "call |||PHONE||| or visit |||IPV4||| twice |||IPV4|||"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 1, 2)
+    assert got[3].redacted == "clean text, nothing to scrub"
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 0)
