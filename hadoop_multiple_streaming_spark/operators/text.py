@@ -138,6 +138,70 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def remove_frequent_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 20,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    dedup step): segment every document into fixed ``segment_tokens``
+    word windows, count each segment's DISTINCT-document frequency
+    across the whole corpus, and drop segments appearing in more than
+    ``max_doc_freq`` documents (site chrome, nav bars, license
+    footers). Returns (id, clean_text, n_dropped) where clean_text is
+    the kept segments rejoined in position order (NULL when everything
+    was boilerplate).
+
+    Scale shape: segment explode (no shuffle) -> groupBy(segment)
+    frequency count (the one corpus-sized exchange, map-side combined)
+    -> join back on segment (same partitioning rides the exchange) ->
+    groupBy(id) reassembly. The per-doc collect is bounded by the
+    document's own segment count. The segment relation feeds both the
+    frequency aggregate and the join probe; AQE's runtime exchange
+    reuse computes it once (verified pattern — see ngram_jaccard_pairs
+    and DEPLOY.md)."""
+    if segment_tokens < 1:
+        raise ValueError(
+            f"remove_frequent_segments: segment_tokens must be >= 1, "
+            f"got {segment_tokens}"
+        )
+    k = int(segment_tokens)
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    chunks = F.when(
+        F.size(F.col("_tk")) > 0,
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(_tk) / {k}.0) as int) - 1), "
+            f"i -> array_join(slice(_tk, i * {k} + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.expr("array()"))
+    segs = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "seg"))
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct(F.col(id_col)).alias("seg_df")
+    )
+    joined = segs.join(freq, "seg")
+    kept_struct = F.when(
+        F.col("seg_df") <= max_doc_freq, F.struct("pos", "seg")
+    )  # NULL structs vanish from collect_list -> only kept segments
+    return joined.groupBy(F.col(id_col)).agg(
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("seg"),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.count_if(F.col("seg_df") > max_doc_freq).alias("n_dropped"),
+    )
+
+
 #: PII span patterns, ordered: redaction applies them in sequence, so
 #: earlier kinds must not leave text a later pattern could re-match in
 #: a surprising way (emails first — their domains could otherwise feed

@@ -87,7 +87,7 @@ _PRIORITY_ORDER = [
     "asof_click_attribution",
     "interval_click_errors",
     "q13_customer_distribution",
-    "q22_global_sales_opportunity",
+    "text_boilerplate_removal",
     # events family (ts-normalization path)
     "events_hourly_rollup",
     "first_event_per_user",
@@ -113,6 +113,7 @@ _PRIORITY_ORDER = [
     "q5_local_supplier_volume",
     # ---- index 50+: shapes already covered above (every name below
     # has at least one driver-green row from r03/r04) ----
+    "q22_global_sales_opportunity",  # exists+NOT-IN shape in q4/q16/anti_join (r04 green)
     "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
     "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)
     "agg_string_max_min",  # A4 shape = agg_long_max_min on strings (r04 green)

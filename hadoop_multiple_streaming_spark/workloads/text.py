@@ -194,6 +194,58 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "doc_id", "lang", {"en": 0.3, "zh": 0.5})
 
 
+#: 20 tokens exactly — one full segment, so prepending it keeps every
+#: document's organic segments window-aligned
+_BOILERPLATE = (
+    "nav home about products pricing docs blog careers contact login "
+    "signup search menu footer terms privacy copyright all rights reserved"
+)
+
+
+@register(
+    "text_boilerplate_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split('{_BOILERPLATE} ' || text, ' '),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(tk[i * 20 + 1 : i * 20 + 20], ' ') AS seg
+        FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / 20.0) AS INT))) t(i)
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg)
+    SELECT s.doc_id,
+           string_agg(CASE WHEN f.seg_df <= 50 THEN s.seg END,
+                      ' ' ORDER BY s.pos) AS clean_text,
+           CAST(count_if(f.seg_df > 50) AS BIGINT) AS n_dropped
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def text_boilerplate_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (operators.text.
+    remove_frequent_segments — the CCNet-style paragraph dedup pass):
+    the synthetic corpus has no shared chrome, so the query prepends
+    the SAME 20-token header to every document (what site navigation
+    looks like after text extraction); the operator must discover it
+    by corpus-wide segment frequency (appears in all 500+ docs,
+    threshold 50) and strip it while keeping each document's organic
+    segments in order. Oracle replays segmentation + frequency +
+    reassembly in SQL; hash equality proves the distributed
+    count-join-regroup matches exactly."""
+    from ..operators.text import remove_frequent_segments
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(_BOILERPLATE + " "), F.col("text")).alias("text")
+    )
+    return remove_frequent_segments(
+        docs, "text", "doc_id", segment_tokens=20, max_doc_freq=50
+    )
+
+
 def _pii_oracle() -> str:
     """Replay the seeded-PII redaction in DuckDB, chain generated from
     the SAME PII_PATTERNS list the operator uses (one source of truth

@@ -110,3 +110,41 @@ def test_redact_pii(spark):
     assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 1, 2)
     assert got[3].redacted == "clean text, nothing to scrub"
     assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 0)
+
+
+def test_remove_frequent_segments(spark):
+    from hadoop_multiple_streaming_spark.operators.text import (
+        remove_frequent_segments,
+    )
+
+    # 3 docs share the same 2-token header segment; each has unique
+    # tail tokens. Threshold 2 -> the header (df=3) is boilerplate.
+    rows = [
+        (1, "the header alpha beta"),
+        (2, "the header gamma delta"),
+        (3, "the header"),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in remove_frequent_segments(
+            df, segment_tokens=2, max_doc_freq=2
+        ).collect()
+    }
+    assert got[1] == ("alpha beta", 1)
+    assert got[2] == ("gamma delta", 1)
+    assert got[3] == (None, 1)  # fully-boilerplate doc -> NULL text
+
+    # higher threshold keeps everything, order preserved
+    kept = {
+        r.doc_id: r.clean_text
+        for r in remove_frequent_segments(
+            df, segment_tokens=2, max_doc_freq=10
+        ).collect()
+    }
+    assert kept[1] == "the header alpha beta"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="segment_tokens"):
+        remove_frequent_segments(df, segment_tokens=0)
