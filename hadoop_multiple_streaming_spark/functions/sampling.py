@@ -67,6 +67,34 @@ def deterministic_sample(
     return df.where(hash_value(key_col) < F.lit(int(fraction * SPACE)))
 
 
+def quota_sample(
+    df: DataFrame, key_col: str, group_col: str, quota: int
+) -> DataFrame:
+    """At most ``quota`` rows per group, deterministically: rank rows
+    within each group by their hash value (ties broken by the key
+    itself) and keep rank <= quota. The standard per-domain /
+    per-language cap in corpus curation ("no single source dominates") —
+    reproducible across runs and engines, unlike limit-per-group over
+    an arbitrary order.
+
+    Scale shape: one window over hashpartitioning(group) — parallel
+    across groups; skew caps at the largest single group, which quota
+    capping is usually there to fight anyway (salt the group key first
+    if one group holds a double-digit share of the corpus)."""
+    from pyspark.sql.window import Window
+
+    if quota < 1:
+        raise ValueError(f"quota_sample: quota must be >= 1, got {quota}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_value(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
 ) -> DataFrame:

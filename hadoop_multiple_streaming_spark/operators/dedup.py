@@ -653,3 +653,36 @@ def ngram_contamination(
         .select("id")
         .distinct()
     )
+
+
+def ngram_contamination_rate(
+    corpus_shingles: DataFrame, probe_shingles: DataFrame
+) -> DataFrame:
+    """Fuzzy decontamination metric: per corpus document, the FRACTION
+    of its distinct n-grams that appear anywhere in the probe set —
+    (id, n_shingles, n_contaminated, contamination_rate). The binary
+    any-overlap test (ngram_contamination) over-flags long documents;
+    thresholding this rate (e.g. > 0.1) is the standard refinement.
+
+    Scale shape: distinct corpus (id, shingle) pairs LEFT-join the
+    distinct probe shingles on the shingle (probe side is benchmark-
+    sized — AQE broadcasts it; corpus-sized probes degrade to
+    sort-merge), then one groupBy(id) counts matches vs totals. The
+    rate is one division of two exact integers — engine-identical."""
+    corpus = corpus_shingles.select("id", "shingle").distinct()
+    probe = (
+        probe_shingles.select("shingle").distinct().withColumn("_hit", F.lit(1))
+    )
+    joined = corpus.join(probe, "shingle", "left")
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    ).select(
+        "id",
+        "n_shingles",
+        "n_contaminated",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_rate"),
+    )

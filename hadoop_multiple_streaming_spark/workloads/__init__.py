@@ -62,7 +62,7 @@ _PRIORITY_ORDER = [
     "text_pii_redact",
     "text_quality_score",
     "text_langid",
-    "dataset_split",
+    "quota_sample",
     "stratified_sample",
     "multimodal_features",
     "text_profile",
@@ -98,9 +98,9 @@ _PRIORITY_ORDER = [
     # aggregate package parity (A1-A6 + salted)
     "agg_long_sum",
     "agg_long_sum_native",
-    "agg_long_max_min",
     "agg_uniq_count",
     "agg_value_histogram",
+    "contamination_rate",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -114,6 +114,8 @@ _PRIORITY_ORDER = [
     # ---- index 50+: shapes already covered above (every name below
     # has at least one driver-green row from r03/r04) ----
     "q22_global_sales_opportunity",  # exists+NOT-IN shape in q4/q16/anti_join (r04 green)
+    "dataset_split",  # md5-threshold projection, same mechanism as stratified_sample (r03+r04 green)
+    "agg_long_max_min",  # A3 scalar menu, same direct plan as agg_long_sum (r03+r04 green)
     "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
     "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)
     "agg_string_max_min",  # A4 shape = agg_long_max_min on strings (r04 green)

@@ -14,6 +14,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_contamination,
+    ngram_contamination_rate,
     ngram_jaccard_pairs,
     quantize_embeddings,
     simhash_fingerprints,
@@ -342,3 +343,31 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.where(F.col("id") % 97 != 0)
     probes = sh.where(F.col("id") % 97 == 0)
     return ngram_contamination(corpus, probes)
+
+
+@register(
+    "contamination_rate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    c AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0),
+    p AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0)
+    SELECT c.id,
+           COUNT(*) AS n_shingles,
+           CAST(count_if(p.shingle IS NOT NULL) AS BIGINT) AS n_contaminated,
+           CAST(count_if(p.shingle IS NOT NULL) AS DOUBLE) / COUNT(*)
+               AS contamination_rate
+    FROM c LEFT JOIN p ON c.shingle = p.shingle
+    GROUP BY c.id
+    """,
+)
+def contamination_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination RATE (operators.dedup.
+    ngram_contamination_rate): the fraction of each corpus document's
+    distinct 3-grams found in the held-out probe set (every 97th doc)
+    — the fuzzy-decontamination refinement of the binary any-overlap
+    flag. Exact-integer ratio, hash-checked."""
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    corpus = sh.where(F.col("id") % 97 != 0)
+    probes = sh.where(F.col("id") % 97 == 0)
+    return ngram_contamination_rate(corpus, probes)

@@ -181,6 +181,38 @@ def _stratified_oracle() -> str:
     """
 
 
+def _quota_oracle() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {nibbles}, doc_id) AS rk
+        FROM hashed
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 40
+    """
+
+
+@register("quota_sample", oracle=_quota_oracle())
+def quota_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota capping (functions.sampling.quota_sample): at
+    most 40 documents per language, membership decided by hash rank so
+    the kept set is stable across runs, engines and cluster sizes —
+    the 'no single domain/language dominates' cap every corpus mix
+    applies. One window over hashpartitioning(lang)."""
+    from ..functions.sampling import quota_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample(docs, "doc_id", "lang", quota=40)
+
+
 @register("stratified_sample", oracle=_stratified_oracle())
 def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic downsampling (the corpus-rebalancing

@@ -218,3 +218,22 @@ def test_dedup_clusters_long_chain_converges(spark):
     labels = {r.id: r.cluster_id for r in out.collect()}
     assert set(labels.values()) == {100}
     assert len(labels) == 40
+
+
+def test_ngram_contamination_rate(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        ngram_contamination_rate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (1, "b c"), (2, "x y"), (2, "y z"), (2, "x y")],
+        "id long, shingle string",
+    )
+    probe = spark.createDataFrame([("b c",), ("q r",)], "shingle string")
+    got = {r.id: r for r in ngram_contamination_rate(corpus, probe).collect()}
+    # doc 1: 2 distinct shingles, 1 contaminated -> 0.5
+    assert (got[1].n_shingles, got[1].n_contaminated) == (2, 1)
+    assert got[1].contamination_rate == 0.5
+    # doc 2: duplicates collapse to 2 distinct, none contaminated
+    assert (got[2].n_shingles, got[2].n_contaminated) == (2, 0)
+    assert got[2].contamination_rate == 0.0

@@ -58,3 +58,27 @@ def test_stratified_sample(spark):
     counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert counts["fr"] == 500  # untouched stratum kept whole
     assert 50 <= counts["en"] <= 150  # ~20% of 500
+
+
+def test_quota_sample(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import quota_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(df, "doc_id", "lang", quota=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 5 and len(by_lang["zh"]) == 5
+    # determinism: same kept set on re-run and under different partitioning
+    out2 = quota_sample(df.repartition(7), "doc_id", "lang", quota=5).collect()
+    by_lang2 = {}
+    for r in out2:
+        by_lang2.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang == by_lang2
+    # quota larger than the group keeps everything
+    assert quota_sample(df, "doc_id", "lang", quota=100).count() == 40
+    with pytest.raises(ValueError, match="quota"):
+        quota_sample(df, "doc_id", "lang", quota=0)
