@@ -50,6 +50,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "orders_grouping_sets",
     "stratified_sample",
+    # round-5 extension surface
+    "pack_sequences_global",
+    "text_boilerplate_removal",
+    "text_pii_redact",
 ]
 
 
