@@ -171,6 +171,93 @@ def kmeans_lloyd(
     return assigned.select("id", "cluster")
 
 
+_L2 = (
+    "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * "
+    "(cast(x as double) - m)), cast(0 as double), (acc, d) -> acc + d)"
+)
+
+
+def assign_centroids(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (id, qv, n2) x (cluster, c) ->
+    (id, qv, n2, cluster). Broadcast cross join against the k-sized
+    centroid table + min-of-struct argmin (map-side partial agg — the
+    same shape kmeans_lloyd uses; ties break to the smaller cluster
+    id, deterministic)."""
+    scored = quantized.crossJoin(F.broadcast(centroids)).select(
+        "id", "qv", "n2", "cluster", F.expr(_L2).alias("dist")
+    )
+    return (
+        scored.groupBy("id", "qv", "n2")
+        .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
+        .select("id", "qv", "n2", F.col("_m.cluster").alias("cluster"))
+    )
+
+
+def write_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index: the corpus parquet PARTITIONED BY cluster
+    (one directory per inverted list — the on-disk layout that turns a
+    probe into a partition-pruned scan) plus the centroid table. This
+    is the 'compute the coarse quantizer once, bucket the table by it'
+    step DEPLOY.md prescribes for 100 TB ANN."""
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, centroids) back from write_ivf_index."""
+    return (
+        spark.read.parquet(f"{path}/corpus"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 1,
+    k: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids per query (k-sized
+    broadcast), keep the ``nprobe`` nearest lists, then join candidates
+    on the PARTITION column — Spark's dynamic partition pruning turns
+    that into a scan of only the probed cluster directories instead of
+    the whole corpus (the inverted-file read pattern; verified by plan
+    test). Scoring is the exact quantized cosine with (cosine desc,
+    neighbor id) tie-break, same contract as cosine_topk/ivf_topk."""
+    corpus, cent = read_ivf_index(spark, path)
+    ranked = queries.crossJoin(F.broadcast(cent)).select(
+        F.col("id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"),
+        "cluster",
+        F.expr(_L2).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "q_qv", "q_n2", "cluster")
+    )
+    cond = F.col("query_id") != F.col("id") if exclude_self else F.lit(True)
+    joined = corpus.join(F.broadcast(probes), "cluster").where(cond)
+    cos = _dot("q_qv", "qv").cast("double") / (
+        F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = joined.select(
+        "query_id", F.col("id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def quantize_sq8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

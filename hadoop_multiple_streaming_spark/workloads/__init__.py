@@ -78,7 +78,7 @@ _PRIORITY_ORDER = [
     "embedding_sq8",
     # similarity search / ANN
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    "ann_ivf_index",
     "embedding_centroids",
     "ivf_assignment",
     "ann_ivf_multiprobe",
@@ -115,6 +115,7 @@ _PRIORITY_ORDER = [
     # has at least one driver-green row from r03/r04) ----
     "q22_global_sales_opportunity",  # exists+NOT-IN shape in q4/q16/anti_join (r04 green)
     "dataset_split",  # md5-threshold projection, same mechanism as stratified_sample (r03+r04 green)
+    "ann_ivf_topk",  # label-bucket nprobe=1; real-quantizer paths in-window (r04 green)
     "agg_long_max_min",  # A3 scalar menu, same direct plan as agg_long_sum (r03+r04 green)
     "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
     "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)

@@ -216,9 +216,7 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_multiprobe",
-    oracle="""
+_MULTIPROBE_ORACLE = """
     WITH q AS (SELECT vec_id AS id, label,
                       list_transform(embedding,
                                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
@@ -258,8 +256,10 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS rank
         FROM scored
     ) t WHERE rank <= 3
-    """,
-)
+    """
+
+
+@register("ann_ivf_multiprobe", oracle=_MULTIPROBE_ORACLE)
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE IVF search: corpus assigned to nearest centroid
     (the real inverted file, not the label stand-in), queries probe
@@ -315,10 +315,15 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.expr(
         "cast(aggregate(zip_with(q_qv, c_qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x) as double)"
     ) / (F.sqrt(F.col("q_n2").cast("double")) * F.sqrt(F.col("c_n2").cast("double")))
+    # corpus and queries both scale with the embeddings table — no
+    # broadcast hints (an earlier version hinted both; at 2B vectors
+    # that is an executor OOM). AQE broadcasts the actually-small side
+    # at runtime: probes (nprobe x 10 queries) into the bucket join,
+    # then the candidate set into the queries join.
     scored = (
-        probes.join(F.broadcast(corpus), "bucket")
+        probes.join(corpus, "bucket")
         .where(F.col("c_id") != F.col("query_id"))
-        .join(F.broadcast(queries), probes.query_id == queries.q_id)
+        .join(queries, F.col("query_id") == queries.q_id)
         .select("query_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -505,3 +510,52 @@ def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
     )
+
+
+@register("ann_ivf_index", oracle=_MULTIPROBE_ORACLE)
+def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED inverted file, end to end (operators.similarity.
+    write_ivf_index / probe_ivf_index): per-label-mean centroids,
+    nearest-centroid assignment, corpus written to parquet PARTITIONED
+    BY cluster, then a multi-probe (nprobe=2) top-3 search THROUGH the
+    index — dynamic partition pruning restricts the scan to the probed
+    cluster directories (plan-asserted in tests/test_similarity.py).
+    Same math and tie-breaks as ann_ivf_multiprobe, so it shares that
+    oracle: hash equality proves the build -> partitioned write ->
+    pruned probe round-trip is lossless, not just the in-memory
+    algebra."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..operators.similarity import (
+        assign_centroids,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    ).withColumn(
+        "n2", F.expr("aggregate(zip_with(qv, qv, (a,b) -> a*b), 0L, (acc,x) -> acc+x)")
+    )
+    q2 = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    cent = _centroid_sums(q2, "label", "cluster", "n").select(
+        "cluster",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+    )
+    path = _os.path.join(
+        "/tmp", "hms_ivf_index_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    write_ivf_index(assign_centroids(q, cent), cent, path)
+    queries = q.where(F.col("id") < 10)
+    out = probe_ivf_index(spark, path, queries, nprobe=2, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -130,3 +130,69 @@ def test_kmeans_lloyd_dim_check_adds_no_job(spark):
     kmeans_lloyd(q, init, iters=1, dim=2)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        quantize_embeddings,
+    )
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        assign_centroids,
+        ivf_topk,
+        probe_ivf_index,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    vecs = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1000000.0]), (1, [3000000.0, 4000000.0, 1000000.0])],
+        "cluster long, c array<double>",
+    )
+    assigned = assign_centroids(q, cent)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, cent, path)
+
+    # parquet round-trip is lossless (integer vectors, exact norms)
+    corpus, cent_back = read_ivf_index(spark, path)
+    assert corpus.count() == 40 and cent_back.count() == 2
+
+    # nprobe=1 probe through the index == in-memory ivf_topk on the
+    # same assignment (bucket = assigned cluster)
+    queries = q.where(F.col("id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in probe_ivf_index(spark, path, queries, nprobe=1, k=2).collect()
+    }
+    mem_corpus = assigned.withColumnRenamed("cluster", "bucket")
+    mem_queries = assign_centroids(queries, cent).withColumnRenamed(
+        "cluster", "bucket"
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(mem_corpus, mem_queries, k=2).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the probe must NOT scan the whole corpus: dynamic partition
+    # pruning restricts the scan to the probed cluster directories
+    res = probe_ivf_index(spark, path, queries, nprobe=1, k=2)
+    res.collect()
+    final = res._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # identify the corpus scan by its columns (the path may be
+    # truncated out of the plan string): it reads qv AND the cluster
+    # partition column; the centroid scan has no qv
+    scans = [
+        l
+        for l in final.splitlines()
+        if "FileScan" in l and "qv" in l and "cluster" in l
+    ]
+    assert scans and all("dynamicpruning" in l.lower() for l in scans), (
+        scans or final
+    )
