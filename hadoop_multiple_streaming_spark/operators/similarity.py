@@ -258,6 +258,119 @@ def probe_ivf_index(
     )
 
 
+#: exact integer L2 between two long arrays (no doubles anywhere —
+#: the fold stays bigint, so cross-engine sums are order-free exact)
+_L2_INT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, d) -> acc + d)"
+)
+
+
+def pq_encode(
+    quantized: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encode (the FAISS PQ compressor): split
+    each ``dim``-long integer vector into ``m`` subvectors and replace
+    each with the id of its nearest codeword in that subspace's
+    codebook -> (id, codes array<long> of length m). 64 dims x 8 bytes
+    become m small ints — the 100 TB memory story for ANN re-rank.
+
+    ``codebooks`` = (subspace, code, cw array<long> of dim/m) with
+    INTEGER codewords: every distance is an exact bigint, so encodes
+    are bit-identical across engines (a float codebook would make the
+    argmin order-sensitive). Ties break to the smaller code id.
+
+    Plan: subvector explode (no shuffle) -> broadcast join with the
+    (m x k)-row codebook -> argmin via min-of-struct — and ONE
+    repartition(id) exchange serves both the per-(id, subspace) argmin
+    and the final per-id code assembly (subset-of-group-keys
+    clustering, map-side partials intact)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_encode: dim={dim} not divisible by m={m}")
+    pieces = quantized.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(qv, j * {sub} + 1, {sub}))"
+            )
+        ).alias("subspace", "sub_qv"),
+    )
+    d2 = F.expr(_L2_INT.format(a="sub_qv", b="cw"))
+    scored = pieces.join(F.broadcast(codebooks), "subspace").select(
+        "id", "subspace", "code", d2.alias("d2")
+    )
+    best = (
+        scored.repartition(F.col("id"))
+        .groupBy("id", "subspace")
+        .agg(F.min(F.struct("d2", "code")).alias("_m"))
+        .select("id", "subspace", F.col("_m.code").alias("code"))
+    )
+    return best.groupBy("id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))), "
+            "s -> s.code)"
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, precompute
+    the (m x |codebook|) table of exact subspace distances to every
+    codeword, then score each encoded document as the SUM of m table
+    lookups — the ADC scan that never touches the original vectors.
+    All-bigint arithmetic end to end: the per-subspace distances and
+    their sum are exact, so ranking (adc asc, neighbor id) is
+    engine-identical.
+
+    Scale shape: the distance table is (queries x m x k) rows —
+    broadcast; documents explode to m rows each (the only corpus-sized
+    term, linear in m), join the table on (subspace, code), and one
+    groupBy(query, doc) sums the m lookups."""
+    sub = dim // m
+    qpieces = queries.select(
+        F.col("id").alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(qv, j * {sub} + 1, {sub}))"
+            )
+        ).alias("subspace", "sub_qv"),
+    )
+    d2 = F.expr(_L2_INT.format(a="sub_qv", b="cw"))
+    dtable = qpieces.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "subspace", "code", d2.alias("d2")
+    )
+    doc_codes = codes_df.select(
+        "id", F.posexplode("codes").alias("subspace", "code")
+    )
+    cond = F.col("query_id") != F.col("id") if exclude_self else F.lit(True)
+    scored = (
+        doc_codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .where(cond)
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def quantize_sq8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -79,7 +79,7 @@ _PRIORITY_ORDER = [
     # similarity search / ANN
     "ann_cosine_topk",
     "ann_ivf_index",
-    "embedding_centroids",
+    "ann_pq_adc",
     "ivf_assignment",
     "ann_ivf_multiprobe",
     "kmeans_refine",
@@ -116,6 +116,7 @@ _PRIORITY_ORDER = [
     "q22_global_sales_opportunity",  # exists+NOT-IN shape in q4/q16/anti_join (r04 green)
     "dataset_split",  # md5-threshold projection, same mechanism as stratified_sample (r03+r04 green)
     "ann_ivf_topk",  # label-bucket nprobe=1; real-quantizer paths in-window (r04 green)
+    "embedding_centroids",  # per-dim SUM fold, same mechanism inside ivf_assignment/kmeans (r04 green)
     "agg_long_max_min",  # A3 scalar menu, same direct plan as agg_long_sum (r03+r04 green)
     "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
     "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)

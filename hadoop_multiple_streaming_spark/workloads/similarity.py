@@ -559,3 +559,84 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q.where(F.col("id") < 10)
     out = probe_ivf_index(spark, path, queries, nprobe=2, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_PQ_ORACLE = """
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    cb0 AS (SELECT q.label AS code, q.qv AS cw64
+            FROM q JOIN (SELECT label, MIN(id) AS mid FROM q GROUP BY label) s
+              ON q.id = s.mid),
+    cb AS (SELECT code, CAST(j AS INT) AS j,
+                  cw64[j * 8 + 1 : j * 8 + 8] AS cw
+           FROM cb0, UNNEST(range(0, 8)) t(j)),
+    pieces AS (SELECT id, CAST(j AS INT) AS j, qv[j * 8 + 1 : j * 8 + 8] AS sub
+               FROM q, UNNEST(range(0, 8)) t(j)),
+    dists AS (SELECT p.id, p.j, cb.code,
+                     CAST(list_aggregate(list_transform(range(1, 9),
+                         i -> (p.sub[CAST(i AS INT)] - cb.cw[CAST(i AS INT)])
+                            * (p.sub[CAST(i AS INT)] - cb.cw[CAST(i AS INT)])),
+                         'sum') AS BIGINT) AS d2
+              FROM pieces p JOIN cb ON p.j = cb.j),
+    enc AS (SELECT id, j, code FROM (
+                SELECT id, j, code,
+                       row_number() OVER (PARTITION BY id, j
+                                          ORDER BY d2, code) AS rn
+                FROM dists) WHERE rn = 1),
+    adc AS (SELECT d.id AS query_id, e.id AS neighbor_id,
+                   CAST(SUM(d.d2) AS BIGINT) AS adc_dist
+            FROM enc e JOIN dists d ON d.j = e.j AND d.code = e.code
+            WHERE d.id < 10 AND e.id <> d.id
+            GROUP BY d.id, e.id)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rank
+        FROM adc
+    ) t WHERE rank <= 3
+    """
+
+
+@register("ann_pq_adc", oracle=_PQ_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end to end (operators.similarity.pq_encode
+    / pq_adc_topk — the FAISS PQ compressor + ADC scan): 64-dim
+    vectors split into 8 subspaces, each encoded as its nearest
+    codeword id, then top-3 search by asymmetric distance (sum of 8
+    precomputed table lookups, never touching the original vectors).
+    Codebooks are exemplar vectors (each label's minimum-id vector) so
+    every quantity in both engines is an exact bigint — no rounding,
+    no float summation order, hash-exact ranking."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    seeds = q.groupBy("label").agg(F.min("id").alias("mid")).select("mid")
+    # id is unique, so joining on the min-id set alone picks exactly
+    # one exemplar vector per label
+    cb64 = q.join(seeds, q.id == seeds.mid).select(
+        F.col("label").cast("long").alias("code"), F.col("qv").alias("cw64")
+    )
+    cb = cb64.select(
+        "code",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), j -> slice(cw64, j * 8 + 1, 8))")
+        ).alias("subspace", "cw"),
+    ).select("subspace", "code", "cw")
+    vecs = q.select("id", "qv")
+    codes = pq_encode(vecs, cb, m=8, dim=64)
+    out = pq_adc_topk(
+        codes, cb, vecs.where(F.col("id") < 10), k=3, m=8, dim=64
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

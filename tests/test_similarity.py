@@ -196,3 +196,43 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     assert scans and all("dynamicpruning" in l.lower() for l in scans), (
         scans or final
     )
+
+
+def test_pq_encode_and_adc(spark):
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    # dim=4, m=2 subspaces of 2 dims; 2 codewords per subspace
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [0, 0]), (0, 1, [10, 10]),
+            (1, 0, [0, 0]), (1, 1, [10, 10]),
+        ],
+        "subspace int, code long, cw array<long>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0, 0, 10, 10]),
+            (2, [9, 9, 0, 0]),
+            (3, [1, 0, 10, 9]),
+        ],
+        "id long, qv array<long>",
+    )
+    codes = {r.id: r.codes for r in pq_encode(vecs, cb, m=2, dim=4).collect()}
+    assert codes == {1: [0, 1], 2: [1, 0], 3: [0, 1]}
+
+    # ADC from query 1: doc 3 encodes identically (adc 0), doc 2 is
+    # the far corner (200 + 200)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in pq_adc_topk(
+            codes_df=pq_encode(vecs, cb, m=2, dim=4),
+            codebooks=cb,
+            queries=vecs.where("id = 1"),
+            k=2, m=2, dim=4,
+        ).collect()
+    }
+    assert got[(1, 1)] == (3, 0)
+    assert got[(1, 2)] == (2, 400)
