@@ -215,7 +215,10 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """PII redaction — the standard pre-training scrub (emails, phone
     numbers, IPv4 addresses replaced with |||KIND||| placeholder
@@ -235,7 +238,10 @@ def redact_pii(
             F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
         )
         redacted = F.regexp_replace(redacted, pat, f"|||{kind.upper()}|||")
-    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)
+    passthrough = [F.col(c) for c in (keep_cols or [])]
+    return df.select(
+        F.col(id_col), *passthrough, redacted.alias("redacted"), *counts
+    )
 
 
 def duplicate_ngram_ratios(

@@ -185,6 +185,33 @@ def streaming_dedup(
     )
 
 
+def streaming_curation(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    min_quality: float = 0.0,
+) -> DataFrame:
+    """The curation pipeline as a CONTINUOUS query: per micro-batch,
+    score quality (stateless projection), drop low-quality documents,
+    redact PII, and keep only the first arrival per document id within
+    the watermark horizon (bounded stateful dedup). Exactly the batch
+    `curation_pipeline` semantics, re-expressed on a stream — the
+    ingest-time filter that keeps a 100 TB/day crawl from ever landing
+    raw. All the per-row work is the same JVM column expressions the
+    batch path uses; the only state is the dedup key set, watermark-
+    bounded."""
+    from ..operators.text import quality_score, redact_pii
+
+    scored = stream_df.withColumn("quality", quality_score(F.col(text_col)))
+    kept = scored.where(F.col("quality") >= min_quality)
+    redacted = redact_pii(
+        kept, text_col, id_col, keep_cols=[ts_col, "quality"]
+    )
+    return streaming_dedup(redacted, [id_col], ts_col=ts_col, watermark=watermark)
+
+
 def stream_enrich_join(
     stream_df: DataFrame,
     dim_df: DataFrame,

@@ -338,3 +338,47 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         ("scroll", 6.0),
         ("view", 4.0),
     ]
+
+
+def test_streaming_curation_filters_redacts_dedups(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.streaming.fanout import streaming_curation
+
+    indir = tmp_path / "cur_in"
+    indir.mkdir()
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks away "
+        "into the quiet green field while the sun sets slowly tonight"
+    )
+    (indir / "batch.csv").write_text(
+        # doc 1: good text + an email to scrub
+        f"1,2024-01-01 10:00:00,{good} mail me at a.b@example.org now\n"
+        # doc 1 again (later duplicate) — must be dropped by dedup
+        f"1,2024-01-01 10:05:00,{good} duplicate arrival\n"
+        # doc 2: degenerate text -> filtered by the quality gate
+        "2,2024-01-01 10:01:00,zz zz zz zz zz\n"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).csv(str(indir))
+    curated = streaming_curation(
+        stream, watermark="1 hour", min_quality=0.5
+    )
+    out = str(tmp_path / "cur_out")
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1}  # doc 2 quality-filtered, dup dropped
+    assert "|||EMAIL|||" in rows[1].redacted
+    assert "a.b@example.org" not in rows[1].redacted
+    assert rows[1].n_email == 1 and rows[1].quality >= 0.5
