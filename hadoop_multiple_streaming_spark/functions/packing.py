@@ -68,6 +68,7 @@ def assign_packs_global(
     budget: int,
     num_buckets: int = 32,
     pack_col: str = "pack_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """``assign_packs`` semantics under a single GLOBAL order (pack =
     global running total of preceding tokens, div budget) without the
@@ -88,8 +89,14 @@ def assign_packs_global(
     The result is bucket-independent — identical pack ids whatever the
     sampled boundaries — so the sketch's approximation never leaks
     into the output, and a plain global-window SQL replay matches
-    exactly. ``order_col`` must be numeric and should be unique (ties
-    make 'the' global order ambiguous)."""
+    exactly. ``order_col`` must be numeric. If it may contain
+    duplicates, pass ``tiebreak_col`` (any totally-ordered unique
+    column, e.g. the document id): tied rows land in the same bucket
+    either way, but without a tie-break their order INSIDE the bucket
+    window is whatever the shuffle produced, so pack ids near a tie
+    would vary run to run. The tie-break is appended to the window
+    order on the engine side only — a replaying oracle must order by
+    the same (order_col, tiebreak_col) pair."""
     if budget <= 0:
         raise ValueError(
             f"assign_packs_global: budget must be positive, got {budget}"
@@ -114,7 +121,8 @@ def assign_packs_global(
         ).drop("_bs")
     else:
         bucketed = df.withColumn("_b", F.lit(0))
-    w_local = Window.partitionBy("_b").orderBy(order_col)
+    order_keys = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
+    w_local = Window.partitionBy("_b").orderBy(*order_keys)
     local_start = F.coalesce(
         F.sum(F.col(token_col)).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),

@@ -601,21 +601,37 @@ def embedding_cosine_pairs(
     This is the O(n^2) VERIFY stage — its intended caller buckets
     vectors first (embedding_lsh_pairs / similarity.ivf_topk) and
     verifies only candidates with this cosine. Standalone all-pairs use
-    is guarded: past ``max_rows`` input rows it raises instead of
-    planning an n^2 join that can never finish on a 100 TB corpus.
-    Pass ``max_rows=None`` to explicitly opt in to small-scale
-    all-pairs mode. The guard job short-circuits via limit pushdown
-    (scans at most max_rows + 1 rows, not the full input)."""
+    is guarded: past ``max_rows`` input rows the plan raises AT
+    EXECUTION TIME instead of running an n^2 join that can never
+    finish on a 100 TB corpus. Pass ``max_rows=None`` to explicitly
+    opt in to small-scale all-pairs mode. The guard lives IN the plan
+    (a broadcast 1-row count over a ``limit(max_rows + 1)`` subquery
+    checked with ``raise_error`` on each input row before the pair
+    join) — construction stays lazy like every other operator here,
+    and limit pushdown keeps the guard scan at max_rows + 1 rows."""
     if max_rows is not None:
-        n = quantized.limit(max_rows + 1).count()
-        if n > max_rows:
-            raise ValueError(
-                f"embedding_cosine_pairs: input exceeds {max_rows} rows; "
-                "an all-pairs cosine join is O(n^2) and will not scale. "
-                "Bucket first (embedding_lsh_pairs / ivf_topk) and verify "
-                "candidates, or pass max_rows=None to force small-scale "
-                "all-pairs mode."
+        guard_n = quantized.limit(max_rows + 1).agg(
+            F.count(F.lit(1)).alias("_guard_n")
+        )
+        quantized = (
+            quantized.crossJoin(F.broadcast(guard_n))
+            .withColumn(
+                "id",
+                F.when(F.col("_guard_n") <= max_rows, F.col("id")).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"embedding_cosine_pairs: input exceeds "
+                            f"{max_rows} rows; an all-pairs cosine join is "
+                            "O(n^2) and will not scale. Bucket first "
+                            "(embedding_lsh_pairs / ivf_topk) and verify "
+                            "candidates, or pass max_rows=None to force "
+                            "small-scale all-pairs mode."
+                        )
+                    )
+                ),
             )
+            .drop("_guard_n")
+        )
     a, b = quantized.alias("a"), quantized.alias("b")
     cos = (_dot("a.qv", "b.qv").cast("double") / (
         F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))

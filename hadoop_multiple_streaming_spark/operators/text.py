@@ -223,9 +223,14 @@ def redact_pii(
     """PII redaction — the standard pre-training scrub (emails, phone
     numbers, IPv4 addresses replaced with |||KIND||| placeholder
     tokens, Dolma-style) plus per-kind match counts for curation
-    stats. Shuffle-free single projection; counts are taken on the
-    ORIGINAL text (patterns are mutually non-overlapping), so they are
-    independent of redaction order. Uses the pyspark function API (not
+    stats. Shuffle-free single projection. Counts are defined as
+    "matches of each pattern in the ORIGINAL text" — NOT "placeholders
+    emitted": replacement applies the patterns in sequence, so a span
+    consumed by an earlier kind (e.g. the `1.2.3.4` inside
+    `1.2.3.4@example.com`, eaten by the email rule) still counts for
+    the later kind even though no later placeholder appears. Both the
+    engine and the oracle compute counts this way, so cross-engine
+    parity holds by construction. Uses the pyspark function API (not
     expr) so the regexes never pass through a SQL string literal and
     need no double-escaping."""
     t = F.col(text_col)

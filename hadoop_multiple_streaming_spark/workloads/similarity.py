@@ -15,6 +15,23 @@ from .tables import load
 
 _DIM = 64
 
+# Per-process private scratch dirs for persisted-index queries, keyed
+# by sf_dir. tempfile.mkdtemp gives an unpredictable, 0700, owned-by-us
+# directory — two concurrent sessions on the same sf_dir (bench +
+# correctness) each get their own index, and no world-shared
+# predictable /tmp name exists to symlink-squat.
+_INDEX_ROOTS: dict[str, str] = {}
+
+
+def _ivf_index_root(sf_dir: str) -> str:
+    root = _INDEX_ROOTS.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="hms_ivf_index_")
+        _INDEX_ROOTS[sf_dir] = root
+    return root
+
 
 def _centroid_sums(q: DataFrame, group: str, out_group: str, n_name: str) -> DataFrame:
     """groupBy(group) -> (out_group, n_name, sums array<long>).
@@ -524,7 +541,6 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: hash equality proves the build -> partitioned write ->
     pruned probe round-trip is lossless, not just the in-memory
     algebra."""
-    import hashlib as _hl
     import os as _os
 
     from ..operators.similarity import (
@@ -552,9 +568,7 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
-    path = _os.path.join(
-        "/tmp", "hms_ivf_index_" + _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    path = _os.path.join(_ivf_index_root(sf_dir), "index")
     write_ivf_index(assign_centroids(q, cent), cent, path)
     queries = q.where(F.col("id") < 10)
     out = probe_ivf_index(spark, path, queries, nprobe=2, k=3)
@@ -567,7 +581,10 @@ _PQ_ORACLE = """
                                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
                                                AS BIGINT)) AS qv
                FROM embeddings),
-    cb0 AS (SELECT q.label AS code, q.qv AS cw64
+    -- code cast to BIGINT so the ORDER BY d2, code tie-break below
+    -- compares the same type as the engine side (which casts label to
+    -- long), even if the testdata label type drifts to string.
+    cb0 AS (SELECT CAST(q.label AS BIGINT) AS code, q.qv AS cw64
             FROM q JOIN (SELECT label, MIN(id) AS mid FROM q GROUP BY label) s
               ON q.id = s.mid),
     cb AS (SELECT code, CAST(j AS INT) AS j,

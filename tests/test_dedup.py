@@ -126,9 +126,11 @@ def test_embedding_cosine_pairs_guard(spark):
         [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
     )
     q = quantize_embeddings(df, "embedding", "vec_id")
-    # past max_rows the O(n^2) plan must be unreachable
-    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
-        embedding_cosine_pairs(q, 0.5, max_rows=4)
+    # construction is LAZY (no driver-side job) ...
+    guarded = embedding_cosine_pairs(q, 0.5, max_rows=4)
+    # ... but past max_rows the O(n^2) plan must be unexecutable
+    with pytest.raises(Exception, match="O\\(n\\^2\\)"):
+        guarded.count()
     # explicit opt-in still works
     assert embedding_cosine_pairs(q, 0.5, max_rows=None).count() == 10
 

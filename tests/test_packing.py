@@ -109,6 +109,38 @@ def test_assign_packs_global_matches_naive_global_window(spark):
         assert got == naive, f"num_buckets={buckets}"
 
 
+def test_assign_packs_global_tiebreak_deterministic(spark):
+    # duplicate order values: with tiebreak_col the pack ids must be
+    # exactly those of a (order, tiebreak)-ordered sequential fill,
+    # regardless of bucket count / shuffle order
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        assign_packs_global,
+    )
+
+    # 40 rows, only 4 distinct order values, 10-way ties each
+    rows = [(i, i % 4, 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long, n_tokens long")
+    # sequential fill in (grp, doc_id) order, budget 100
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    start, expect = 0, {}
+    for doc_id, _, tok in ordered:
+        expect[doc_id] = start // 100
+        start += tok
+    for buckets in (1, 3, 8):
+        got = {
+            r.doc_id: r.pack_id
+            for r in assign_packs_global(
+                df,
+                "grp",
+                "n_tokens",
+                budget=100,
+                num_buckets=buckets,
+                tiebreak_col="doc_id",
+            ).collect()
+        }
+        assert got == expect, f"num_buckets={buckets}"
+
+
 def test_assign_packs_global_no_corpus_sized_global_window(spark):
     # the corpus-sized window must be PARTITIONED (by the range bucket);
     # the only unpartitioned window may run over the num_buckets-row
