@@ -1,0 +1,267 @@
+"""Batch-replay equivalence for the streaming family: every query in
+streaming/fanout.py runs over a DETERMINISTIC MULTI-micro-batch input
+(file source, maxFilesPerTrigger=1, files mtime-ordered) with outputs
+captured via foreachBatch, and the union of emitted rows must equal
+the batch twin's result EXACTLY — value-checked streaming, not just
+"produces rows".
+
+The watermark-flush trick: append-mode aggregations only emit windows
+the watermark has passed, so each aggregation input ends with a
+SENTINEL file whose single event sits far enough in the future
+(> watermark + window) that every real window closes; the sentinel's
+own window never emits (no later data) and is excluded from the batch
+twin. This makes streaming-vs-batch equality exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.streaming.fanout import (
+    running_counts,
+    session_rollup,
+    streaming_curation,
+    streaming_dedup,
+    windowed_rollup,
+)
+from hadoop_multiple_streaming_spark.workloads.tables import (
+    load,
+    normalize_events_ts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stage_files(spark, dfs, outdir):
+    """Write each DataFrame as one parquet file with ascending mtimes
+    so the file source replays them in this exact order."""
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for i, df in enumerate(dfs):
+        tmp = os.path.join(outdir, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(outdir, f"batch-{i:03d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 1000, 1_700_000_000 + i * 1000))
+        paths.append(dst)
+    # drop the stage dirs so the source sees only the data files
+    import shutil
+
+    for i in range(len(dfs)):
+        shutil.rmtree(os.path.join(outdir, f"_stage{i}"), ignore_errors=True)
+    return paths
+
+
+def _read_stream(spark, indir, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+
+
+def _run_collect(stream_out, tmp_path, mode):
+    """Drive the streaming query to completion via foreachBatch,
+    returning every (batch_id, Row) emitted."""
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        stream_out.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return collected
+
+
+def _events_in_batches(spark, n_files=4):
+    """Real events table, ts-sorted and split into n contiguous files
+    (monotone event time across batches -> no late-data drops), plus a
+    watermark-flush sentinel 10 h past the last real event."""
+    ev = normalize_events_ts(load(spark, SF_DIR, "events"))
+    rows = ev.orderBy("ts").collect()
+    chunk = (len(rows) + n_files - 1) // n_files
+    frames = [
+        spark.createDataFrame(rows[i : i + chunk], ev.schema)
+        for i in range(0, len(rows), chunk)
+    ]
+    max_ts = rows[-1].ts
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, "__sentinel__", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    frames.append(sentinel.select(*[f.name for f in ev.schema.fields]))
+    return ev, frames
+
+
+def test_windowed_rollup_equals_batch(spark, tmp_path):
+    ev, frames = _events_in_batches(spark)
+    indir = str(tmp_path / "in")
+    _stage_files(spark, frames, indir)
+    stream = _read_stream(spark, indir, frames[0].schema)
+    out = windowed_rollup(stream, ts_col="ts", key_col="event_type", window="1 hour")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 9))
+        for _, r in _run_collect(out, tmp_path, "append")
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, round(r.sum_value, 9))
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("double")).alias("sum_value"),
+            )
+            .select(F.col("win.start").alias("window_start"), "event_type", "cnt", "sum_value")
+        ).collect()
+    }
+    assert got == want  # every real window emitted, all values exact
+
+
+def test_session_rollup_equals_batch(spark, tmp_path):
+    ev, frames = _events_in_batches(spark)
+    indir = str(tmp_path / "in")
+    _stage_files(spark, frames, indir)
+    stream = _read_stream(spark, indir, frames[0].schema)
+    out = session_rollup(stream, ts_col="ts", key_col="user_id", gap="30 minutes")
+    got = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for _, r in _run_collect(out, tmp_path, "append")
+    }
+    want = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_counts_equals_batch(spark, tmp_path):
+    ev, frames = _events_in_batches(spark)
+    real_frames = frames[:-1]  # stateless of watermarks; no sentinel needed
+    indir = str(tmp_path / "in")
+    _stage_files(spark, real_frames, indir)
+    stream = _read_stream(spark, indir, real_frames[0].schema).select(
+        F.col("event_type").alias("key")
+    )
+    out = running_counts(stream, key_col="key")
+    rows = _run_collect(out, tmp_path, "update")
+    assert len({b for b, _ in rows}) >= 2, "state must span several micro-batches"
+    final = {}
+    for batch_id, r in sorted(rows, key=lambda t: t[0]):
+        final[r.key] = r.total  # last update per key wins
+    want = {
+        r.event_type: r.cnt
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert final == want
+
+
+def _docs_in_batches(spark, n_keys=10):
+    """Documents replayed with forced cross-batch duplicates: key =
+    doc_id % n_keys, one row per key per file, ts strictly increasing
+    with file order, so 'first arrival per key' is exactly the rows of
+    file 0 — a deterministic batch twin."""
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    docs = sorted(docs, key=lambda r: r.doc_id)
+    base = "2024-03-01 00:00:00"
+    rows = [
+        (int(r.doc_id % n_keys), r.text, int(r.doc_id))
+        for r in docs
+    ]
+    frames = []
+    for start in range(0, len(rows), n_keys):
+        chunk = rows[start : start + n_keys]
+        frames.append(
+            spark.createDataFrame(
+                chunk, "doc_id long, text string, seq long"
+            ).withColumn(
+                "ts",
+                F.to_timestamp(F.lit(base)) + F.make_interval(secs=F.col("seq")),
+            ).drop("seq")
+        )
+    return frames
+
+
+def test_streaming_dedup_equals_batch_first_arrival(spark, tmp_path):
+    frames = _docs_in_batches(spark)
+    indir = str(tmp_path / "in")
+    _stage_files(spark, frames, indir)
+    stream = _read_stream(spark, indir, frames[0].schema)
+    out = streaming_dedup(stream, ["doc_id"], ts_col="ts", watermark="1 hour")
+    got = sorted(
+        (r.doc_id, r.text, r.ts) for _, r in _run_collect(out, tmp_path, "append")
+    )
+    # batch twin: earliest-ts row per key
+    from pyspark.sql import Window
+
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    want = sorted(
+        (r.doc_id, r.text, r.ts)
+        for r in union.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    )
+    assert got == want
+
+
+def test_streaming_curation_equals_batch(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.operators.text import (
+        quality_score,
+        redact_pii,
+    )
+
+    frames = _docs_in_batches(spark)
+    indir = str(tmp_path / "in")
+    _stage_files(spark, frames, indir)
+    stream = _read_stream(spark, indir, frames[0].schema)
+    # median-ish gate so the filter genuinely drops documents
+    out = streaming_curation(
+        stream, text_col="text", id_col="doc_id", ts_col="ts",
+        watermark="1 hour", min_quality=0.5,
+    )
+    got = sorted(
+        tuple(r) for _, r in _run_collect(out, tmp_path, "append")
+    )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    scored = union.withColumn("quality", quality_score(F.col("text")))
+    kept = scored.where(F.col("quality") >= 0.5)
+    redacted = redact_pii(kept, "text", "doc_id", keep_cols=["ts", "quality"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ts")
+    want = sorted(
+        tuple(r)
+        for r in redacted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    )
+    assert got, "curation stream produced no rows"
+    assert got == want

@@ -1,0 +1,96 @@
+"""Generate LARGER documents tables for the dedup crossover benchmark.
+
+The driver ships sf <= 0.1 only; the dedup floor analysis (DEPLOY.md
+"stage floor, not plan") predicts Spark's wall-clock crosses under
+2x DuckDB's once real work dominates the ~1.4 s scheduling constant,
+which needs sf ~0.5-1.0. This script extends the driver's synthetic
+documents distribution to those scales, deterministically (seed 42):
+
+  * n_docs = 50_000 * sf (driver: 5_000 at sf0.1)
+  * vocab  = the exact 31-token vocabulary observed in
+    /root/testdata/sf0.1/documents.parquet (all 5 langs share it)
+  * doc length ~ Uniform[10, 100] tokens (observed mean 54.1/std 25.7)
+  * source  = f"src{doc_id % 20}" (exact observed rule)
+  * lang    ~ {en: .41, zh/es/de/fr: ~.1475} (observed mix)
+  * ~5% of docs duplicate a random earlier doc with 0-3 token edits
+    (observed at sf0.1: 8 exact-dup pairs + 256 pairs at 3-gram
+    jaccard >= 0.8 over 5000 docs)
+
+Output dir gets documents.parquet plus COPIES of the other 9 driver
+tables from sf0.1 so every harness that registers all views still
+works (only `documents` is actually read by the crossover queries).
+
+    python tools/gen_scaled_docs.py 0.5 1.0   # -> .localdata/sf{X}/
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = "/root/testdata/sf0.1"
+OUT_ROOT = os.path.join(REPO, ".localdata")
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "de", "fr"]
+LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events embeddings"
+).split()
+
+
+def gen_documents(sf: float, seed: int = 42) -> pa.Table:
+    n = round(50_000 * sf)
+    rng = random.Random(seed)
+    texts: list[str] = []
+    langs: list[str] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.05:
+            # near-duplicate of an earlier doc: 0-3 token edits
+            base = texts[rng.randrange(len(texts))].split(" ")
+            for _ in range(rng.randint(0, 3)):
+                base[rng.randrange(len(base))] = rng.choice(VOCAB)
+            texts.append(" ".join(base))
+        else:
+            nw = rng.randint(10, 100)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(nw)))
+        langs.append(rng.choices(LANGS, weights=LANG_W)[0])
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def main() -> int:
+    sfs = [float(a) for a in sys.argv[1:]] or [0.5, 1.0]
+    for sf in sfs:
+        out = os.path.join(OUT_ROOT, f"sf{sf}")
+        os.makedirs(out, exist_ok=True)
+        tbl = gen_documents(sf)
+        pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+        for t in OTHER_TABLES:
+            dst = os.path.join(out, f"{t}.parquet")
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(SRC_SF, f"{t}.parquet"), dst)
+        print(f"sf{sf}: {tbl.num_rows} docs -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
