@@ -277,3 +277,93 @@ def test_split_confs_restored_on_bad_input(spark, tmp_path):
     with _pytest.raises(Exception):
         run_job(spark, spec)
     assert spark.conf.get("spark.sql.files.openCostInBytes", None) == before
+
+
+def test_materialize_crash_restart_exactly_once(spark, tmp_path):
+    """Job-level crash recovery (the restartability story the
+    materialize intermediate layout exists for; reference parity:
+    MultiStreamJobRunner.java:48-83 resubmits the job and completed
+    phase-1 outputs are reused): a run KILLED mid-phase-1 by a crashing
+    subprocess mapper leaves a completed (_SUCCESS) intermediate for
+    one branch and a partial dir (stray part file planted, no _SUCCESS)
+    for the other. The resume run must (a) NOT re-invoke the completed
+    branch's mapper subprocess — proven by an on-disk invocation log
+    the subprocess itself appends to (local mode: executors share the
+    FS), not by content inspection — and (b) produce exactly the
+    output of a never-crashed run, with the planted garbage gone:
+    exactly-once, job-level."""
+    import shutil
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "data.txt").write_text("alpha\nbeta\ngamma\n")
+    out = str(tmp_path / "out")
+    invlog = tmp_path / "good_invocations.log"
+    marker = tmp_path / "flaky_crashed_once"
+
+    good = tmp_path / "good_map.py"
+    good.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        f"open({str(invlog)!r}, 'a').write('call\\n')\n"
+        "for line in sys.stdin:\n"
+        "    w = line.strip()\n"
+        "    if w: print(w + '\\tG')\n"
+    )
+    flaky = tmp_path / "flaky_map.py"
+    flaky.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, os\n"
+        f"if not os.path.exists({str(marker)!r}):\n"
+        f"    open({str(marker)!r}, 'w').close()\n"
+        "    print('partial\\tJUNK')\n"  # half-written output, then die
+        "    sys.exit(1)\n"
+        "for line in sys.stdin:\n"
+        "    w = line.strip()\n"
+        "    if w: print(w + '\\tF')\n"
+    )
+
+    def spec(resume):
+        return JobSpec(
+            inputs=[str(indir)],
+            output=out,
+            branches=[
+                Branch("GOOD", mapper=f"{sys.executable} {good}"),
+                Branch("FLAKY", mapper=f"{sys.executable} {flaky}"),
+            ],
+            share_mode="materialize",
+            overwrite=True,
+            resume=resume,
+        )
+
+    # run 1: FLAKY's subprocess exits non-zero -> phase 1 raises (the
+    # "kill"); GOOD's intermediate completed concurrently
+    with pytest.raises(Exception):
+        run_job(spark, spec(resume=False))
+    assert os.path.exists(f"{out}/mapoutput/GOOD/_SUCCESS")
+    assert not os.path.exists(f"{out}/mapoutput/FLAKY/_SUCCESS")
+    calls_run1 = invlog.read_text().count("call")
+    assert calls_run1 > 0
+
+    # make FLAKY's dir genuinely partial: a stray half-written part
+    # file a real kill could leave behind
+    os.makedirs(f"{out}/mapoutput/FLAKY", exist_ok=True)
+    with open(f"{out}/mapoutput/FLAKY/part-00099", "w") as fh:
+        fh.write("stale\tGARBAGE\n")
+
+    # restart with resume: must succeed end to end
+    assert run_job(spark, spec(resume=True)).succeeded
+
+    # (a) completed branch NOT recomputed: zero new subprocess calls
+    assert invlog.read_text().count("call") == calls_run1
+    # (b) exactly-once final output — the planted garbage is gone and
+    # every branch matches the never-crashed result
+    assert read_out(f"{out}/GOOD") == sorted(
+        ["alpha\tG", "beta\tG", "gamma\tG"]
+    )
+    assert read_out(f"{out}/FLAKY") == sorted(
+        ["alpha\tF", "beta\tF", "gamma\tF"]
+    )
+    assert read_out(f"{out}/mapoutput/FLAKY") == sorted(
+        ["alpha\tF", "beta\tF", "gamma\tF"]
+    )
