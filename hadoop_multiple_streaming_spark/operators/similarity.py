@@ -318,6 +318,91 @@ def pq_encode(
     )
 
 
+def pq_train(
+    quantized: DataFrame,
+    k: int = 6,
+    m: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    init_codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Train PQ codebooks with per-subspace Lloyd k-means (the FAISS
+    `ProductQuantizer::train` step) -> (subspace, code, cw array<long>),
+    ready for pq_encode/pq_adc_topk. Exemplar codebooks (one codeword
+    per coarse label) only work when labels happen to tile the space;
+    training moves each subspace's codewords to the actual data means,
+    cutting quantization error and raising ADC recall.
+
+    Determinism contract (what makes a trained quantizer
+    oracle-checkable): a deterministic init — the ``k`` smallest-id
+    vectors' subvectors by default, or an explicit ``init_codebooks``
+    (subspace, code, cw) such as the per-label exemplars (``k`` is then
+    ignored; seeding with the exemplars makes training a strict
+    refinement of the exemplar quantizer) — all-bigint distances
+    (_L2_INT), argmin ties to the smaller code, and INTEGER centroid
+    updates — each new
+    codeword coordinate is ``sum div count`` on exact bigint sums
+    (both Spark's ``div`` and DuckDB's ``//`` truncate toward zero),
+    so there is not a single float anywhere in training and the
+    codebooks are bit-identical cross-engine. Integer truncation loses
+    < 1 ulp of the 1e6-scaled coordinates — noise relative to the
+    quantization error PQ accepts by design. Codes that lose all
+    members drop out (like kmeans_lloyd), matching the SQL replay.
+
+    Scale shape per iteration: codebooks are m x k rows -> broadcast
+    to the (corpus x m)-row subvector explode; the argmin is a
+    groupBy(id, subspace) with a constant-size min-struct buffer; the
+    update is a groupBy(subspace, code) with dim/m SUM buffers —
+    map-side partials throughout, no corpus-sized window, same
+    per-round cost profile as kmeans_lloyd."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_train: dim={dim} not divisible by m={m}")
+    pieces = quantized.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(qv, j * {sub} + 1, {sub}))"
+            )
+        ).alias("subspace", "sub_qv"),
+    )
+    if init_codebooks is not None:
+        cb = init_codebooks.select("subspace", "code", "cw")
+    else:
+        init_ids = quantized.select("id").orderBy("id").limit(k)
+        w_init = Window.partitionBy("subspace").orderBy("id")
+        cb = (
+            pieces.join(F.broadcast(init_ids), "id")
+            .withColumn("code", F.row_number().over(w_init) - 1)
+            .select("subspace", "code", F.col("sub_qv").alias("cw"))
+        )
+    d2 = F.expr(_L2_INT.format(a="sub_qv", b="cw"))
+    for _ in range(iters):
+        assigned = (
+            pieces.join(F.broadcast(cb), "subspace")
+            .select("id", "subspace", "sub_qv", "code", d2.alias("d2"))
+            .groupBy("id", "subspace")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("_m"),
+                # sub_qv is functionally determined by (id, subspace),
+                # so first() is value-deterministic
+                F.first("sub_qv").alias("sub_qv"),
+            )
+            .select("subspace", F.col("_m.code").alias("code"), "sub_qv")
+        )
+        sums = assigned.groupBy("subspace", "code").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("sub_qv")[i]).alias(f"_s{i}") for i in range(sub)],
+        )
+        cb = sums.select(
+            "subspace",
+            "code",
+            F.array(*[F.expr(f"_s{i} div n") for i in range(sub)]).alias("cw"),
+        )
+    return cb
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     codebooks: DataFrame,

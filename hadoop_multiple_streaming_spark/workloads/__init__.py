@@ -80,6 +80,7 @@ _PRIORITY_ORDER = [
     "ann_cosine_topk",
     "ann_ivf_index",
     "ann_pq_adc",
+    "ann_pq_train_recall",
     "ivf_assignment",
     "ann_ivf_multiprobe",
     "kmeans_refine",

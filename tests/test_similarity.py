@@ -236,3 +236,75 @@ def test_pq_encode_and_adc(spark):
     }
     assert got[(1, 1)] == (3, 0)
     assert got[(1, 2)] == (2, 400)
+
+
+def test_pq_train_converges_to_subspace_means(spark):
+    from hadoop_multiple_streaming_spark.operators.similarity import pq_train
+
+    # dim=4, m=2: two tight clusters per subspace; k-means from the
+    # 2-smallest-id exemplar init must land each codeword on its
+    # cluster's integer mean (sum div count)
+    vecs = spark.createDataFrame(
+        [
+            (1, [0, 1, 100, 101]),
+            (2, [2, 3, 102, 103]),
+            (3, [100, 101, 0, 1]),
+            (4, [102, 103, 2, 3]),
+        ],
+        "id long, qv array<long>",
+    )
+    cb = {
+        (r.subspace, r.code): r.cw
+        for r in pq_train(vecs, k=2, m=2, dim=4, iters=2).collect()
+    }
+    # subspace 0: cluster {ids 1,2} mean (1,2); cluster {3,4} mean (101,102)
+    assert sorted(cb[(0, 0)]) == [1, 2]
+    assert sorted(cb[(0, 1)]) == [101, 102]
+    # subspace 1: the init exemplars (ids 1,2) both sit in the high
+    # cluster, so Lloyd pulls code 0 down to the low cluster and code 1
+    # keeps the high one
+    assert sorted(cb[(1, 0)]) == [1, 2]
+    assert sorted(cb[(1, 1)]) == [101, 102]
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    import random
+
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        _L2_INT,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randint(-1000, 1000) for _ in range(8)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "id long, qv array<long>")
+    pieces = vecs.select(
+        "id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 1), j -> slice(qv, j * 4 + 1, 4))")
+        ).alias("subspace", "sub_qv"),
+    )
+
+    def quant_err(cb):
+        d2 = F.expr(_L2_INT.format(a="sub_qv", b="cw"))
+        return (
+            pieces.join(F.broadcast(cb), "subspace")
+            .select("id", "subspace", d2.alias("d2"))
+            .groupBy("id", "subspace")
+            .agg(F.min("d2").alias("m"))
+            .agg(F.sum("m"))
+            .collect()[0][0]
+        )
+
+    cb0 = pq_train(vecs, k=4, m=2, dim=8, iters=0)  # raw exemplar init
+    cb2 = pq_train(vecs, k=4, m=2, dim=8, iters=2)
+    # training from the same init must strictly cut total error on
+    # random data (Lloyd monotonicity, integer truncation notwithstanding)
+    assert quant_err(cb2) < quant_err(cb0)
+    # explicit init path: seeding with the trained book and training
+    # further cannot increase error
+    cb3 = pq_train(vecs, m=2, dim=8, iters=1, init_codebooks=cb2)
+    assert quant_err(cb3) <= quant_err(cb2)
