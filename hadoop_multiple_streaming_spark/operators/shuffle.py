@@ -106,6 +106,54 @@ def salted_aggregate(
     return stage1.groupBy(*key_cols).agg(*merged)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join, the join twin of ``salted_aggregate``:
+    the FACT side gets a per-partition salt, the DIM side is replicated
+    ``salt_buckets`` times (one copy per salt value), and the join runs
+    on (key, salt) — a hot fact key's rows spread across salt_buckets
+    reducers instead of crushing one. The salt is dropped from the
+    output, so the result is row-identical to a plain join.
+
+    When to reach for this (and when NOT to): AQE's skew-join handling
+    (spark.sql.adaptive.skewJoin.*) already splits oversized SORT-MERGE
+    partitions at runtime and needs no code change — prefer it. The
+    manual salt is for the cases AQE can't fix: a single key too hot
+    for partition-splitting to help (splits of one key still sort into
+    one stream per split — AQE caps at splitting the map outputs, and
+    with extreme single-key skew the post-split partitions are STILL
+    that key), joins feeding a downstream operator that defeats AQE's
+    re-plan, or engines/configs with AQE off. Cost: the dim side is
+    shuffled x salt_buckets — use only when dim << fact (but too big
+    to broadcast) and size salt_buckets to the observed hot-key row
+    count, not higher.
+
+    ``how`` may be "inner" or "left" (fact-preserving: an unmatched
+    fact row carries one salt value, so it appears exactly once).
+    "right"/"full" would surface each unmatched DIM row salt_buckets
+    times and are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — an outer-dim join "
+            "would duplicate unmatched dim rows across salt replicas"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_fact = fact.withColumn(
+        "_salt", (F.spark_partition_id() % F.lit(salt_buckets)).cast("int")
+    )
+    # sequence of INT literals so the salt types match the fact side
+    # (a generator column can't be wrapped in cast)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, cast({salt_buckets - 1} as int))"))
+    )
+    return salted_fact.join(replicated_dim, [*keys, "_salt"], how).drop("_salt")
+
+
 def parse_key_field_options(options: str) -> list[tuple[int, bool]]:
     """Parse the ``-k pos1[,pos2][opts]`` subset of
     mapred.text.key.comparator.options, e.g. "-k1,1 -k2,2nr" ->

@@ -101,6 +101,7 @@ _PRIORITY_ORDER = [
     "agg_long_sum_native",
     "agg_uniq_count",
     "agg_value_histogram",
+    "salted_join_revenue",
     "contamination_rate",
     # dedup family
     "dedup_exact",

@@ -209,3 +209,45 @@ def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.col("max_user").cast("long").alias("max_user"),
     )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join (operators.shuffle.salted_join, the join
+    twin of salted_aggregate): lineitem joins supplier on (suppkey,
+    salt) — the fact side salted per partition, the dim side
+    replicated once per salt value — so a hot supplier's rows spread
+    over 8 reducers instead of one. Row-identical to the plain join
+    (the oracle IS the plain form); revenue through DECIMAL for exact
+    cross-engine sums. Use when AQE's sort-merge skew splitting can't
+    help (extreme single-key skew, AQE off) and the dim is too big to
+    broadcast — see the operator docstring for the decision rule."""
+    from ..operators.shuffle import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, "suppkey", salt_buckets=8)
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2)) "
+            "* (1 - cast(l_discount as decimal(18,2)))) as double)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
