@@ -8,6 +8,14 @@ ONE JSON line:
 Each query is fully executed via the noop sink (all columns computed,
 nothing collected to the driver). Use sf0.01/sf0.001 locally while
 iterating:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+
+The JSON also carries a per-query PLAN FINGERPRINT ("plans": operator
+-> count, taken from the truly-final AQE plan after an untimed
+execution) so a round-over-round diff of the bench files shows plan
+regressions — an extra Exchange, a lost ReusedExchange, a join
+strategy flip — without reading 28 full plans. Disable with
+SPARK_GRAFT_PLAN_FINGERPRINTS=0 (the fingerprint pass re-executes each
+query once outside the timed window).
 """
 
 from __future__ import annotations
@@ -55,6 +63,64 @@ HEADLINE = [
     "text_boilerplate_removal",
     "text_pii_redact",
 ]
+
+
+#: operators worth fingerprinting: shuffles, joins, aggregates, sorts,
+#: windows, and the AQE runtime artifacts (ReusedExchange appearing =
+#: a shared stage; AQEShuffleRead = coalesced/skew-split reads)
+_PLAN_OPS = (
+    "Exchange",
+    "ReusedExchange",
+    "AQEShuffleRead",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "ShuffledHashJoin",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "Sort",
+    "Generate",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+
+def plan_fingerprint(df) -> dict[str, int]:
+    """Operator counts from the FINAL AQE plan: execute the DataFrame
+    (its own QueryExecution, so AQE finalizes in place — the noop-write
+    path above plans a separate command), then parse the formatted
+    explain. Pre-execution explain would OVERSTATE stages
+    (isFinalPlan=false keeps exchanges AQE later reuses or elides)."""
+    import contextlib
+    import io as _io
+
+    # collect() runs THIS Dataset's QueryExecution (count()/noop-write
+    # would plan a separate command and leave this one un-finalized);
+    # headline outputs are aggregate-sized, so the driver transfer is
+    # trivial
+    df.collect()
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    # the executed AQE tree prints "== Final Plan ==" then
+    # "== Initial Plan ==" — fingerprint the FINAL section only (the
+    # initial tree keeps exchanges AQE later reused or broadcast away)
+    if "== Initial Plan ==" in text:
+        text = text.split("== Initial Plan ==", 1)[0]
+    # tree lines look like "+- SortMergeJoin Inner (12)" / "(12)" refs;
+    # count the tree section's operator mentions by node name
+    counts: dict[str, int] = {}
+    for line in text.splitlines():
+        s = line.strip().lstrip("+-:* ")
+        op = s.split(" ", 1)[0].split("(", 1)[0].strip()
+        for want in _PLAN_OPS:
+            if op == want:
+                counts[want] = counts.get(want, 0) + 1
+    return counts
 
 
 def main() -> int:
@@ -108,17 +174,24 @@ def main() -> int:
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             times[name] = -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINTS", "1") != "0":
+        plans: dict[str, dict[str, int]] = {}
+        for name in names:
+            try:
+                plans[name] = plan_fingerprint(
+                    workloads.QUERIES[name](spark, sf_dir)
+                )
+            except Exception as e:
+                print(f"[bench] fingerprint {name} FAILED: {str(e)[:200]}", file=sys.stderr)
+        payload["plans"] = plans
+    print(json.dumps(payload))
     return 0
 
 
