@@ -95,6 +95,84 @@ def quota_sample(
     )
 
 
+#: integer weight scale for temperature_sample: quotas come from exact
+#: bigint (target * w) div W arithmetic, so the only float is the
+#: per-group n^alpha, frozen to an integer once via floor(. * 1000)
+_W_SCALE = 1000
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-based source re-balancing — the standard LLM
+    data-mixing resampler (multilingual training mixes sample language
+    s with p(s) ∝ n_s^alpha; alpha < 1 flattens dominant sources and
+    lifts the tail): per-group keep quotas are
+    ``min(n_s, (target * w_s) div W)`` with integer weights
+    ``w_s = floor(n_s^alpha * 1000)``, ``W = Σ w_s``, and membership
+    inside each group decided by hash rank (same mechanism as
+    quota_sample — stable across runs, engines, cluster sizes).
+    ``target_total`` defaults to the corpus size (pure re-balancing:
+    dominant groups shrink, tail groups keep everything).
+
+    Determinism: alpha = 0.5 routes through sqrt (IEEE correctly
+    rounded — bit-identical in every engine); other alphas use pow,
+    where a last-ulp cross-engine difference could shift one quota by
+    a row — pin alpha to 0.5 when an external oracle must replay the
+    quota arithmetic. All arithmetic after the single power is exact
+    bigint (the quota product needs target * w < 2^63 — holds through
+    billions of rows at this weight scale).
+
+    Scale shape: the weight/quota table is |groups| rows (broadcast
+    both ways); ranking is one window over hashpartitioning(group) —
+    the quota_sample caveat about a single dominant group applies, and
+    that group is exactly what the temperature flattens."""
+    if alpha < 0:
+        raise ValueError(f"temperature_sample: alpha must be >= 0, got {alpha}")
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    power = (
+        F.sqrt(F.col("_n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    weights = counts.withColumn(
+        "_w", F.floor(power * F.lit(_W_SCALE)).cast("long")
+    )
+    totals = weights.agg(
+        F.sum("_n").alias("_tot_n"), F.sum("_w").alias("_tot_w")
+    )
+    target = (
+        F.lit(int(target_total)).cast("long")
+        if target_total is not None
+        else F.col("_tot_n")
+    )
+    quotas = (
+        weights.crossJoin(F.broadcast(totals))
+        .withColumn("_target", target)
+        .select(
+            group_col,
+            F.least(
+                F.col("_n"), F.expr("(_target * _w) div _tot_w")
+            ).alias("_quota"),
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        hash_value(key_col), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
 ) -> DataFrame:

@@ -43,6 +43,32 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    store: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup — the arriving-data form every rolling
+    100 TB corpus needs: drop rows whose content key ALREADY exists in
+    the persisted corpus ``store`` (left-anti join on ``key_cols``),
+    then dedup within the batch itself (min-id representative, like
+    exact_dedup). Returns one row per NEW distinct key:
+    (key_cols..., keep_id, dup_cnt). Append the returned keys to the
+    store and the invariant "store holds exactly one row per distinct
+    key ever seen" is maintained batch over batch — no re-scan of the
+    historical corpus beyond the join.
+
+    Scale shape: the anti join shuffles the NEW batch (small) against
+    the store's key column only — keep the store as a key-only parquet
+    table, bucketed on the key (sources.io.write_table(bucket_by=...))
+    so repeated daily batches join without re-shuffling the store
+    side. The within-batch dedup rides the same hashpartitioning
+    (ReusedExchange when key_cols match the join key)."""
+    fresh = new_batch.join(store.select(*key_cols), key_cols, "left_anti")
+    return exact_dedup(fresh, key_cols, id_col)
+
+
 # ------------------------------------------------------------- shingling
 
 

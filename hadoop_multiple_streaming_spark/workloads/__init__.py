@@ -60,6 +60,8 @@ _PRIORITY_ORDER = [
     # round-6 NEW operators (first driver evidence this round)
     "ann_pq_train_recall",
     "salted_join_revenue",
+    "temperature_sample",
+    "incremental_dedup",
     # round-6 plan-touched queries (in-plan O(n^2) guard, private index
     # path, PQ-oracle BIGINT tie-break, packing tie-break param)
     "dedup_embedding_cosine",
@@ -98,8 +100,6 @@ _PRIORITY_ORDER = [
     # similarity search / ANN
     "ann_cosine_topk",
     "ann_ivf_multiprobe",
-    "kmeans_refine",
-    "ivf_assignment",
     # join surfaces (as-of, interval, outer-join distribution)
     "asof_click_attribution",
     "interval_click_errors",
@@ -119,6 +119,8 @@ _PRIORITY_ORDER = [
     "q5_local_supplier_volume",
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
     "pipe_identity_cat",  # r05 green; P3 identity elision unchanged
+    "kmeans_refine",  # r05 green
+    "ivf_assignment",  # r05 green
     "q22_global_sales_opportunity",  # r04 green
     "dataset_split",  # r03+r04 green
     "ann_ivf_topk",  # r04 green

@@ -371,3 +371,35 @@ def contamination_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.where(F.col("id") % 97 != 0)
     probes = sh.where(F.col("id") % 97 == 0)
     return ngram_contamination_rate(corpus, probes)
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    WITH store AS (SELECT md5(text) AS content_hash FROM documents
+                   WHERE doc_id % 2 = 0),
+    batch AS (SELECT md5(text) AS content_hash, doc_id FROM documents
+              WHERE doc_id % 2 = 1),
+    fresh AS (SELECT b.content_hash, b.doc_id FROM batch b
+              WHERE NOT EXISTS (SELECT 1 FROM store s
+                                WHERE s.content_hash = b.content_hash))
+    SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+    FROM fresh GROUP BY content_hash
+    """,
+)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.incremental_dedup):
+    even doc_ids play the persisted corpus store, odd doc_ids the
+    arriving batch — batch rows whose content hash already exists in
+    the store are dropped via one left-anti join on the hash, the
+    survivors deduped within the batch (min-id representative). The
+    batch-over-batch pattern that keeps a rolling corpus exact-unique
+    without ever re-scanning history."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_hash"), "doc_id"
+    )
+    store = docs.where(F.col("doc_id") % 2 == 0).select("content_hash")
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, store, ["content_hash"], "doc_id")

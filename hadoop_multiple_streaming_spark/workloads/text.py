@@ -867,3 +867,65 @@ def pack_texts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "n_tokens", budget=2048, partition_cols=["lang"]
     )
     return pack_texts(packed, "text", "doc_id", ["lang"])
+
+
+def _temperature_oracle() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    weights AS (SELECT lang, n,
+                       CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
+                FROM counts),
+    totals AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+                      CAST(SUM(w) AS BIGINT) AS tot_w FROM weights),
+    quotas AS (SELECT lang, least(n, (tot_n * w) // tot_w) AS quota
+               FROM weights, totals),
+    hashed AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY {nibbles}, doc_id) AS rk
+               FROM hashed),
+    kept AS (SELECT r.doc_id, r.lang
+             FROM ranked r JOIN quotas q ON r.lang = q.lang
+             WHERE r.rk <= q.quota)
+    SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(c.n) AS BIGINT) AS n_before,
+           CAST(SUM(k.doc_id) AS BIGINT) AS id_sum
+    FROM kept k JOIN counts c ON k.lang = c.lang
+    GROUP BY k.lang
+    """
+
+
+@register("temperature_sample", oracle=_temperature_oracle())
+def temperature_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing
+    (functions.sampling.temperature_sample, alpha = 0.5): per-language
+    keep quotas ∝ sqrt(n) — the multilingual data-mixing rule that
+    flattens dominant languages and keeps the tail whole — with
+    membership decided by hash rank. Output = per-language (kept,
+    before, id checksum), so the hash check pins BOTH the quota
+    arithmetic (exact bigint after one correctly-rounded sqrt) and the
+    exact membership set."""
+    from ..functions.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    kept = temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .join(counts, "lang")
+        .select(
+            "lang",
+            "n_kept",
+            F.col("n_before").cast("long").alias("n_before"),
+            "id_sum",
+        )
+    )

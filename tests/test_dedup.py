@@ -239,3 +239,31 @@ def test_ngram_contamination_rate(spark):
     # doc 2: duplicates collapse to 2 distinct, none contaminated
     assert (got[2].n_shingles, got[2].n_contaminated) == (2, 0)
     assert got[2].contamination_rate == 0.0
+
+
+def test_incremental_dedup_drops_store_hits_and_batch_dups(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import incremental_dedup
+
+    store = spark.createDataFrame(
+        [("h1",), ("h2",)], "content_hash string"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("h1", 10),  # already in store -> dropped
+            ("h3", 11),  # new
+            ("h3", 12),  # within-batch dup of 11
+            ("h4", 13),  # new
+        ],
+        "content_hash string, doc_id long",
+    )
+    got = {
+        r.content_hash: (r.keep_id, r.dup_cnt)
+        for r in incremental_dedup(batch, store, ["content_hash"], "doc_id").collect()
+    }
+    assert got == {"h3": (11, 2), "h4": (13, 1)}
+    # append-the-result invariant: the union store stays one-per-key
+    new_store = store.unionByName(
+        spark.createDataFrame([("h3",), ("h4",)], "content_hash string")
+    )
+    empty = incremental_dedup(batch, new_store, ["content_hash"], "doc_id")
+    assert empty.count() == 0

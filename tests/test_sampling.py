@@ -82,3 +82,64 @@ def test_quota_sample(spark):
     assert quota_sample(df, "doc_id", "lang", quota=100).count() == 40
     with pytest.raises(ValueError, match="quota"):
         quota_sample(df, "doc_id", "lang", quota=0)
+
+
+def test_temperature_sample_flattens_dominant_group(spark):
+    import math
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    # one dominant group (800) + two tail groups (100, 50)
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_sample(df, "doc_id", "grp", alpha=0.5).collect()
+    by_grp = {}
+    for r in kept:
+        by_grp[r.grp] = by_grp.get(r.grp, 0) + 1
+    # replay the documented integer quota arithmetic
+    ns = {"big": 800, "mid": 100, "small": 50}
+    ws = {g: math.floor(math.sqrt(n) * 1000) for g, n in ns.items()}
+    W, T = sum(ws.values()), sum(ns.values())
+    want = {g: min(ns[g], (T * ws[g]) // W) for g in ns}
+    assert by_grp == want
+    # the whole point: dominant group downsampled, tail kept whole
+    assert by_grp["big"] < 800
+    assert by_grp["mid"] == 100 and by_grp["small"] == 50
+    # determinism: same rows on a rerun
+    kept2 = temperature_sample(df, "doc_id", "grp", alpha=0.5).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in kept2)
+
+
+def test_temperature_sample_explicit_target(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(90)] + [(100 + i, "b") for i in range(10)],
+        "doc_id long, grp string",
+    )
+    kept = temperature_sample(df, "doc_id", "grp", alpha=0.5, target_total=20)
+    # alpha=0.5: w_a = 9486, w_b = 3162 -> quotas (20*w) div W = 15, 5
+    by_grp = {}
+    for r in kept.collect():
+        by_grp[r.grp] = by_grp.get(r.grp, 0) + 1
+    assert by_grp == {"a": 15, "b": 5}
+
+
+def test_temperature_sample_rejects_negative_alpha(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "doc_id", "grp", alpha=-1.0)
