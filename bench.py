@@ -62,6 +62,10 @@ HEADLINE = [
     "pack_sequences_global",
     "text_boilerplate_removal",
     "text_pii_redact",
+    # round-6 extension surface
+    "salted_join_revenue",
+    "temperature_sample",
+    "incremental_dedup",
 ]
 
 
