@@ -49,9 +49,20 @@ def stream_fanout(
     Branch mappers may be native callables OR subprocess commands
     (pipe semantics, like the batch runner). Caveat: a subprocess is
     rerun on micro-batch replay, so exactly-once holds only if the
-    executable is deterministic."""
+    executable is deterministic.
+
+    Sink framing matches the BATCH runner byte for byte (asserted by
+    tests/test_streaming_equivalence.py::test_stream_fanout_equals_
+    batch_run_job): (key, value) and single-column branch outputs are
+    written as Hadoop-faithful ``key SEP value`` text lines — the
+    separator always present, empty value included — so a consumer can
+    switch a branch between run_job and stream_fanout without a format
+    change. Other multi-column outputs write parquet."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.kv import join_key_val, with_key_val
+        from ..operators.pipe import pipe_map
+
         shared = batch_df.persist()
         try:
             for branch in branches:
@@ -60,20 +71,21 @@ def stream_fanout(
                     if callable(branch.mapper):
                         out = branch.mapper(out)
                     else:  # subprocess pipe branch (P1), per micro-batch
-                        from ..functions.kv import join_key_val
-                        from ..operators.pipe import pipe_map
-
                         lines = out.withColumnRenamed(out.columns[0], "line")
-                        kv = pipe_map(lines, branch.mapper)
-                        out = kv.select(join_key_val("key", "value").alias("value"))
+                        out = pipe_map(lines, branch.mapper)
                 if branch.reducer is not None and callable(branch.reducer):
                     out = branch.reducer(out)
-                (
-                    out.write.mode("append")
-                    .text(f"{output}/{branch.dir_key}")
-                    if len(out.columns) == 1
-                    else out.write.mode("append").parquet(f"{output}/{branch.dir_key}")
-                )
+                path = f"{output}/{branch.dir_key}"
+                if len(out.columns) == 1:  # normalize like the batch runner
+                    out = with_key_val(
+                        out.withColumnRenamed(out.columns[0], "line"), "line"
+                    )
+                if set(out.columns) == {"key", "value"}:
+                    out.select(
+                        join_key_val("key", "value").alias("value")
+                    ).write.mode("append").text(path)
+                else:
+                    out.write.mode("append").parquet(path)
         finally:
             shared.unpersist()
 

@@ -57,16 +57,20 @@ def test_stream_fanout_two_branches(spark, tmp_path):
         "cherry\t",
     ]
 
+    # native branches use the same Hadoop-faithful key\tvalue framing
+    # as the batch runner (separator always written, empty value kept)
     upper = spark.read.text(str(tmp_path / "out" / "UPPER"))
     assert sorted(r.value for r in upper.collect()) == [
-        "APPLE",
-        "APPLE",
-        "APPLE",
-        "BANANA",
-        "CHERRY",
+        "APPLE\t",
+        "APPLE\t",
+        "APPLE\t",
+        "BANANA\t",
+        "CHERRY\t",
     ]
     nob = spark.read.text(str(tmp_path / "out" / "NOBANANA"))
-    assert sorted(r.value for r in nob.collect()) == ["apple", "apple", "apple", "cherry"]
+    assert sorted(r.value for r in nob.collect()) == [
+        "apple\t", "apple\t", "apple\t", "cherry\t"
+    ]
 
 
 EVENT_SCHEMA = StructType(

@@ -265,3 +265,65 @@ def test_streaming_curation_equals_batch(spark, tmp_path):
     )
     assert got, "curation stream produced no rows"
     assert got == want
+
+
+def test_stream_fanout_equals_batch_run_job(spark, tmp_path):
+    """The fan-out itself, streaming vs batch: the SAME Branch specs
+    (a subprocess pipe mapper and a native callable) run through the
+    batch runner and through stream_fanout over a multi-micro-batch
+    replay of the same files — per-branch output multisets must be
+    identical."""
+    import sys as _sys
+
+    from hadoop_multiple_streaming_spark.plans.model import Branch, JobSpec
+    from hadoop_multiple_streaming_spark.plans.runner import run_job
+    from hadoop_multiple_streaming_spark.streaming.fanout import stream_fanout
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "f0.txt").write_text("the quick fox\nthe lazy dog\n")
+    (indir / "f1.txt").write_text("the fox\n")
+    (indir / "f2.txt").write_text("quick quick fox\n")
+    for i in range(3):
+        os.utime(indir / f"f{i}.txt", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    wc_map = tmp_path / "wc_map.py"
+    wc_map.write_text(
+        "#!/usr/bin/env python3\nimport sys\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        print(w + '\\t1')\n"
+    )
+
+    def upper_mapper(df):
+        return df.select(F.upper(df.columns[0]).alias("value"))
+
+    def branches():
+        return [
+            Branch("WC", mapper=f"{_sys.executable} {wc_map}"),
+            Branch("UP", mapper=upper_mapper),
+        ]
+
+    # batch twin
+    bout = str(tmp_path / "bout")
+    assert run_job(
+        spark,
+        JobSpec(inputs=[str(indir)], output=bout, branches=branches(), overwrite=True),
+    ).succeeded
+
+    # streaming run, one file per micro-batch
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(indir))
+    )
+    sout = str(tmp_path / "sout")
+    q = stream_fanout(
+        stream, branches(), output=sout, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    for key in ("WC", "UP"):
+        got = sorted(r.value for r in spark.read.text(f"{sout}/{key}").collect())
+        want = sorted(r.value for r in spark.read.text(f"{bout}/{key}").collect())
+        assert got == want, key
