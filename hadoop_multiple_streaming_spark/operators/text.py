@@ -320,3 +320,55 @@ def duplicate_ngram_ratios(
         id_col,
         *[c for n in ns for c in (f"dup_{n}gram_ratio", f"top_{n}gram_share")],
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    blocklist,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style token blocklist screening ("bad words" filtering): per
+    document, whether ANY whitespace token is on the blocklist plus the
+    count of DISTINCT blocked tokens present -> (id_col, blocked,
+    n_blocked). Token-exact matching, not substring (the classic
+    Scunthorpe false positive).
+
+    Two scale paths:
+      * ``blocklist`` as a Python list (the usual few-hundred-entry
+        word list): one literal array, ``array_intersect`` per row —
+        stateless projection, no shuffle, scan speed at 100 TB.
+      * ``blocklist`` as a single-column DataFrame (URL/domain lists
+        reaching millions of entries, where a literal would bloat the
+        plan): tokens explode and LEFT JOIN the (broadcastable) list,
+        then re-aggregate per document — one exchange over the token
+        stream.
+    Both paths produce identical output."""
+    if isinstance(blocklist, DataFrame):
+        bl_col = blocklist.columns[0]
+        toks = df.select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(words(F.col(text_col)))).alias("_tok"),
+        )
+        hits = toks.join(
+            F.broadcast(blocklist.select(F.col(bl_col).alias("_tok")).distinct()),
+            "_tok",
+            "left_semi",
+        )
+        counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_blocked"))
+        return (
+            df.select(id_col)
+            .join(counts, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_blocked") > 0, F.lit(False)).alias("blocked"),
+                F.coalesce(F.col("n_blocked"), F.lit(0)).cast("long").alias("n_blocked"),
+            )
+        )
+    lit_list = F.array(*[F.lit(str(w)) for w in blocklist])
+    inter = F.array_intersect(F.array_distinct(words(F.col(text_col))), lit_list)
+    return df.select(
+        F.col(id_col),
+        (F.size(inter) > 0).alias("blocked"),
+        F.size(inter).cast("long").alias("n_blocked"),
+    )

@@ -62,6 +62,7 @@ _PRIORITY_ORDER = [
     "salted_join_revenue",
     "temperature_sample",
     "incremental_dedup",
+    "blocklist_screen",
     # round-6 plan-touched queries (in-plan O(n^2) guard, private index
     # path, PQ-oracle BIGINT tie-break, packing tie-break param)
     "dedup_embedding_cosine",
@@ -95,7 +96,6 @@ _PRIORITY_ORDER = [
     "text_profile",
     "text_boilerplate_removal",
     "curation_pipeline",
-    "quota_sample",
     "multimodal_features",
     # similarity search / ANN
     "ann_cosine_topk",
@@ -121,6 +121,7 @@ _PRIORITY_ORDER = [
     "pipe_identity_cat",  # r05 green; P3 identity elision unchanged
     "kmeans_refine",  # r05 green
     "ivf_assignment",  # r05 green
+    "quota_sample",  # r05 green
     "q22_global_sales_opportunity",  # r04 green
     "dataset_split",  # r03+r04 green
     "ann_ivf_topk",  # r04 green

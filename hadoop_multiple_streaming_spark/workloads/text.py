@@ -929,3 +929,30 @@ def temperature_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_sum",
         )
     )
+
+
+@register(
+    "blocklist_screen",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_distinct(list_filter(string_split(text, ' '),
+                                                   t -> t <> '')) AS w
+                  FROM documents)
+    SELECT doc_id,
+           len(list_intersect(w, ['dup', 'slow', 'vector'])) > 0 AS blocked,
+           CAST(len(list_intersect(w, ['dup', 'slow', 'vector'])) AS BIGINT)
+               AS n_blocked
+    FROM toks
+    """,
+)
+def blocklist_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style token blocklist screening
+    (operators.text.blocklist_flags): per document, whether any
+    whitespace token is on the blocklist and how many distinct blocked
+    tokens appear — token-exact, not substring. The literal-array scale
+    path (stateless projection); the DataFrame-blocklist join path is
+    asserted output-identical in tests."""
+    from ..operators.text import blocklist_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_flags(docs, ["dup", "slow", "vector"])

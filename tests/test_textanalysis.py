@@ -148,3 +148,30 @@ def test_remove_frequent_segments(spark):
 
     with pytest.raises(ValueError, match="segment_tokens"):
         remove_frequent_segments(df, segment_tokens=0)
+
+
+def test_blocklist_flags_both_paths_identical(spark):
+    from hadoop_multiple_streaming_spark.operators.text import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "contains badword in middle"),
+            (3, "badword and otherbad badword twice"),  # 2 distinct hits
+            (4, "scunthorpe badwordish is not a token match"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    want = {1: (False, 0), 2: (True, 1), 3: (True, 2), 4: (False, 0), 5: (False, 0)}
+    lit_path = {
+        r.doc_id: (r.blocked, r.n_blocked)
+        for r in blocklist_flags(docs, ["badword", "otherbad"]).collect()
+    }
+    assert lit_path == want
+    bl_df = spark.createDataFrame([("badword",), ("otherbad",)], "tok string")
+    join_path = {
+        r.doc_id: (r.blocked, r.n_blocked)
+        for r in blocklist_flags(docs, bl_df).collect()
+    }
+    assert join_path == want
