@@ -177,3 +177,56 @@ def pack_texts(
             F.transform(members, lambda s: s.getField("t")), joiner
         ).alias("packed_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed token windows with optional overlap —
+    the chunking step before embedding/indexing (RAG) or
+    fixed-context-training prep: window i covers tokens
+    [i*stride, i*stride + chunk_tokens). ``stride`` defaults to
+    ``chunk_tokens`` (disjoint chunks); stride < chunk_tokens overlaps
+    consecutive chunks (standard for retrieval, so no answer span is
+    ever cut in half). The final window may be short; windows starting
+    past the end are not produced; an empty document yields no chunks.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens). Stateless
+    projection — transform/slice over the token array, explode, no
+    shuffle, scan speed at 100 TB. Tokenization = the pipeline-wide
+    single-space contract (operators.text.words)."""
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"chunk_documents: chunk_tokens must be >= 1, got {chunk_tokens}"
+        )
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"chunk_documents: stride must be >= 1, got {stride}")
+    k, st = int(chunk_tokens), int(stride)
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    n_chunks = (
+        # ceil((n_tokens - chunk) / stride) + 1 for non-empty docs
+        F.expr(
+            f"greatest(cast(ceil((size(_tk) - {k}) / {st}.0) as int), 0) + 1"
+        )
+    )
+    chunks = F.when(
+        F.size(F.col("_tk")) > 0,
+        F.expr(
+            f"transform(sequence(0, _nc - 1), "
+            f"i -> array_join(slice(_tk, i * {st} + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .withColumn("_nc", n_chunks)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.expr("filter(split(chunk_text, ' '), t -> t != '')")),
+        )
+    )

@@ -63,6 +63,7 @@ _PRIORITY_ORDER = [
     "temperature_sample",
     "incremental_dedup",
     "blocklist_screen",
+    "chunk_documents",
     # round-6 plan-touched queries (in-plan O(n^2) guard, private index
     # path, PQ-oracle BIGINT tie-break, packing tie-break param)
     "dedup_embedding_cosine",
@@ -84,8 +85,8 @@ _PRIORITY_ORDER = [
     "q21_sole_failing_supplier",
     "part_supplier_topn",
     # dedup family (the floor pair stays in-window while the CROSSOVER.md
-    # performance claim rides on them)
-    "dedup_exact",
+    # performance claim rides on them; exact_dedup's mechanism is inside
+    # the in-window incremental_dedup)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -122,6 +123,7 @@ _PRIORITY_ORDER = [
     "kmeans_refine",  # r05 green
     "ivf_assignment",  # r05 green
     "quota_sample",  # r05 green
+    "dedup_exact",  # r05 green
     "q22_global_sales_opportunity",  # r04 green
     "dataset_split",  # r03+r04 green
     "ann_ivf_topk",  # r04 green

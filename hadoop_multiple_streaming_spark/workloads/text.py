@@ -956,3 +956,37 @@ def blocklist_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return blocklist_flags(docs, ["dup", "slow", "vector"])
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), t -> t <> '') AS t
+                  FROM documents),
+    nch AS (SELECT doc_id, t,
+                   greatest(CAST(ceil((len(t) - 32) / 16.0) AS INT), 0) + 1 AS nc
+            FROM toks WHERE len(t) > 0),
+    ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                  array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ') AS chunk_text
+           FROM nch, UNNEST(range(0, nc)) u(i))
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))
+                AS INT) AS n_tokens
+    FROM ch
+    """,
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking
+    (functions.packing.chunk_documents): 32-token chunks, stride 16
+    (50% overlap — the standard RAG/embedding-index prep so no span is
+    cut at a boundary). Stateless transform/slice + explode, no
+    shuffle; the oracle replays window arithmetic and reassembly
+    exactly."""
+    from ..functions.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=32, stride=16)
+    return out.withColumn("chunk_id", F.col("chunk_id").cast("int")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("int")
+    )

@@ -182,3 +182,40 @@ def test_pack_texts_materialization(spark):
     }
     assert got[("en", 0)] == (2, "first\n\nsecond")  # doc-id order, not input order
     assert got[("en", 1)] == (1, "third")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from hadoop_multiple_streaming_spark.functions.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens
+            (2, "x y"),            # shorter than one chunk
+            (3, ""),               # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    # chunk=4, stride=2: doc1 windows [a b c d][c d e f][e f g]
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs, "text", "doc_id", 4, 2).collect()
+    }
+    assert got == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e f", 4),
+        (1, 2): ("e f g", 3),
+        (2, 0): ("x y", 2),
+    }
+    # disjoint default stride: doc1 -> [a b c d][e f g]
+    got2 = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(docs, "text", "doc_id", 4).collect()
+    }
+    assert got2 == {(1, 0): "a b c d", (1, 1): "e f g", (2, 0): "x y"}
+    # every token of every doc appears in some chunk (coverage)
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "text", "doc_id", 0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, "text", "doc_id", 4, 0)
