@@ -174,6 +174,57 @@ def minhash_seed_rows(signatures: DataFrame) -> DataFrame:
     )
 
 
+def minhash_band_buckets(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Band a signature array into LSH bucket keys -> (id, band,
+    bucket): band b = signature elements [b*r, (b+1)*r), bucket =
+    md5 of the band's values joined with ','. The shared banding step
+    under lsh_candidate_pairs (within-corpus pairing) and
+    minhash_store_hits (incremental batch-vs-store probing) — one
+    definition so both sides of an incremental pipeline always bucket
+    identically."""
+    return signatures.select(
+        "id",
+        F.expr(
+            f"posexplode(transform(sequence(0, size(sig) div {rows_per_band} - 1), "
+            f"b -> md5(array_join(transform("
+            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"v -> cast(v as string)), ','))))"
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_store_hits(
+    new_sigs: DataFrame,
+    store_buckets: DataFrame,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental NEAR-dup screening — the fuzzy twin of
+    incremental_dedup: which arriving documents LSH-collide with the
+    already-ingested corpus? ``store_buckets`` is the persisted (band,
+    bucket) key set of everything seen so far (write
+    minhash_band_buckets output per batch and append); a new document
+    sharing ANY band bucket with the store is a near-dup suspect ->
+    (id, n_hit_bands), n_hit_bands in [1, num_bands] doubling as a
+    crude confidence. Run lsh_candidate_pairs on the batch itself for
+    within-batch pairs; append the batch's own buckets to the store
+    afterward and the invariant holds batch over batch.
+
+    Scale shape: one left-semi join of the batch's exploded buckets
+    against the store keys — at rest, keep the store parquet bucketed
+    on `bucket` so daily batches probe without re-shuffling the store
+    side; the store never needs the signatures themselves, only the
+    (band, bucket) keys (16 bytes + band int per band per doc)."""
+    nb = minhash_band_buckets(new_sigs, rows_per_band)
+    hits = nb.join(
+        store_buckets.select("band", "bucket").distinct(),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hit_bands"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     rows_per_band: int = 2,
@@ -198,15 +249,7 @@ def lsh_candidate_pairs(
     dedup pipeline, by the connected-components pass; monitor the
     dropped-bucket count via a `size(ids) > K` aggregation if recall
     accounting matters."""
-    buckets = signatures.select(
-        "id",
-        F.expr(
-            f"posexplode(transform(sequence(0, size(sig) div {rows_per_band} - 1), "
-            f"b -> md5(array_join(transform("
-            f"slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
-            f"v -> cast(v as string)), ','))))"
-        ).alias("band", "bucket"),
-    )
+    buckets = minhash_band_buckets(signatures, rows_per_band)
     grouped = buckets.groupBy("band", "bucket").agg(
         F.expr("array_sort(collect_list(id))").alias("ids")
     )

@@ -64,6 +64,7 @@ _PRIORITY_ORDER = [
     "incremental_dedup",
     "blocklist_screen",
     "chunk_documents",
+    "incremental_minhash_dedup",
     # round-6 plan-touched queries (in-plan O(n^2) guard, private index
     # path, PQ-oracle BIGINT tie-break, packing tie-break param)
     "dedup_embedding_cosine",
@@ -89,7 +90,6 @@ _PRIORITY_ORDER = [
     # the in-window incremental_dedup)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_lsh",
     # text / sampling / multimodal / curation representatives
@@ -124,6 +124,7 @@ _PRIORITY_ORDER = [
     "ivf_assignment",  # r05 green
     "quota_sample",  # r05 green
     "dedup_exact",  # r05 green
+    "dedup_simhash",  # r05 green (pair twin dedup_simhash_pairs also tail)
     "q22_global_sales_opportunity",  # r04 green
     "dataset_split",  # r03+r04 green
     "ann_ivf_topk",  # r04 green

@@ -403,3 +403,45 @@ def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = docs.where(F.col("doc_id") % 2 == 0).select("content_hash")
     batch = docs.where(F.col("doc_id") % 2 == 1)
     return incremental_dedup(batch, store, ["content_hash"], "doc_id")
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, seed,
+                   MIN(substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 16)) AS mh
+            FROM sh, UNNEST(range(0, 16)) s(seed) GROUP BY id, seed),
+    buckets AS (SELECT id, seed // 2 AS band,
+                       md5(array_to_string(array_agg(CAST(mh AS VARCHAR) ORDER BY seed),
+                                           ',')) AS bucket
+                FROM sig GROUP BY id, seed // 2),
+    store AS (SELECT DISTINCT band, bucket FROM buckets WHERE id % 2 = 0),
+    hits AS (SELECT b.id, b.band FROM buckets b
+             JOIN store s ON b.band = s.band AND b.bucket = s.bucket
+             WHERE b.id % 2 = 1)
+    SELECT id, COUNT(*) AS n_hit_bands FROM hits GROUP BY id
+    """,
+)
+def incremental_minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening (operators.dedup.
+    minhash_store_hits, the fuzzy twin of incremental_dedup): even
+    doc_ids play the already-ingested corpus — persisted only as LSH
+    (band, bucket) keys — and odd doc_ids the arriving batch; a batch
+    document sharing any band bucket with the store is flagged with
+    its hit-band count. One left-semi join of exploded batch buckets
+    against the key store; the store never holds signatures, just
+    16-byte bucket keys."""
+    from ..operators.dedup import minhash_band_buckets, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    sig = minhash_signatures(sh, num_hashes=16)
+    store = minhash_band_buckets(
+        sig.where(F.col("id") % 2 == 0), rows_per_band=2
+    )
+    from ..operators.dedup import minhash_store_hits
+
+    return minhash_store_hits(
+        sig.where(F.col("id") % 2 == 1), store, rows_per_band=2
+    )

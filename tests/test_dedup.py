@@ -267,3 +267,31 @@ def test_incremental_dedup_drops_store_hits_and_batch_dups(spark):
     )
     empty = incremental_dedup(batch, new_store, ["content_hash"], "doc_id")
     assert empty.count() == 0
+
+
+def test_minhash_store_hits_flags_near_dups_of_store(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        minhash_store_hits,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog today"
+    store_docs = docs_df(spark, [(0, text), (2, "completely different store doc here now ok")])
+    batch_docs = docs_df(
+        spark,
+        [
+            (1, text),  # near-dup (exact copy) of store doc 0
+            (3, "novel words that match nothing in the store at all"),
+        ],
+    )
+    mk = lambda d: minhash_signatures(  # noqa: E731
+        word_shingles(d, "text", "doc_id"), num_hashes=8
+    )
+    store = minhash_band_buckets(mk(store_docs), rows_per_band=2)
+    hits = {
+        r.id: r.n_hit_bands
+        for r in minhash_store_hits(mk(batch_docs), store, rows_per_band=2).collect()
+    }
+    # doc 1 collides on every band (identical text); doc 3 on none
+    assert hits == {1: 4}
