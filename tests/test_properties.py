@@ -84,3 +84,70 @@ def test_join_then_split_roundtrip(spark, pairs):
     out = df.select("key", "value", k2.alias("k"), v2.alias("v")).collect()
     for r in out:
         assert (r.k, r.v) == (r.key, r.value)
+
+
+# ---- round-6 operator properties ----
+
+token_word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(token_word, min_size=0, max_size=30),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunk_documents_cover_and_stride_property(spark, toks, chunk, stride):
+    """Every chunk equals the reference window slice, chunks jointly
+    cover all tokens, and disjoint-stride chunks concatenate back to
+    the original token sequence."""
+    from hadoop_multiple_streaming_spark.functions.packing import chunk_documents
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(df, "text", "doc_id", chunk, stride).collect()
+    )
+    # python reference
+    if toks:
+        import math
+
+        nc = max(math.ceil((len(toks) - chunk) / stride), 0) + 1
+        want = [
+            (i, " ".join(toks[i * stride : i * stride + chunk])) for i in range(nc)
+        ]
+    else:
+        want = []
+    assert got == want
+    if toks and stride >= chunk:
+        # disjoint windows at stride == chunk reassemble the doc
+        if stride == chunk:
+            assert " ".join(t for _, t in got).split() == toks
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=6), st.integers(min_value=0, max_value=9)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_salted_join_identity_property(spark, fact_rows, buckets):
+    """salted_join == plain join for any fact multiset / salt count."""
+    from hadoop_multiple_streaming_spark.operators.shuffle import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, v) for k, v in fact_rows], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 5)], "k long, name string"
+    )
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(fact, dim, "k", salt_buckets=buckets).collect()
+    )
+    want = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
+    assert got == want
