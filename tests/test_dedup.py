@@ -295,3 +295,30 @@ def test_minhash_store_hits_flags_near_dups_of_store(spark):
     }
     # doc 1 collides on every band (identical text); doc 3 on none
     assert hits == {1: 4}
+
+
+def test_embedding_lsh_sig_impls_identical(spark):
+    """The Arrow matmul signature path must produce exactly the pairs
+    of the pure-expression path (bit-identical sign bits)."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base = rng.normal(size=16)
+    for i in range(30):
+        v = base + 0.02 * rng.normal(size=16) if i % 5 == 0 else rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    kw = dict(threshold=0.5, num_planes=16, rows_per_band=4, dim=16)
+    arrow = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(q, sig_impl="arrow", **kw).collect()
+    )
+    expr = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(q, sig_impl="expr", **kw).collect()
+    )
+    assert arrow == expr and arrow

@@ -29,6 +29,61 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 QUERIES = ["dedup_minhash_lsh", "dedup_ngram_jaccard"]
+
+# The catalog's dedup_embedding_lsh is parameterized for the DRIVER
+# corpus (2k vectors, weak 0.45 similarity): 8 bands x 4 sign bits =
+# 1/16 random-pair collision per band, i.e. candidates ~ n^2/4 — fine
+# at 2k, quadratic death at 20k+ on BOTH engines (measured: DuckDB
+# 494 s at sf1.0; Spark ran out of broadcast memory). The scale rule
+# (DEPLOY.md): collision = 2^-bits_per_band, so GROW bits with the
+# corpus. This tool therefore benches a scale-parameterized variant
+# (64 planes, 8 bands x 8 bits -> 1/256 per band, threshold 0.8 to
+# match the generated near-dup cosine) built from the same operator +
+# oracle builder the catalog query uses.
+
+
+def _scaled_embedding_lsh():
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        embedding_lsh_pairs,
+        planes_duckdb_literal,
+        quantize_embeddings,
+        rademacher_planes,
+    )
+    from hadoop_multiple_streaming_spark.workloads.dedup import _QUANT_CTE
+    from hadoop_multiple_streaming_spark.workloads.tables import load
+
+    def q(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        qz = quantize_embeddings(emb, "embedding", "vec_id")
+        return embedding_lsh_pairs(
+            qz, threshold=0.8, num_planes=64, rows_per_band=8, dim=64
+        )
+
+    pl = planes_duckdb_literal(rademacher_planes(64, 64))
+    sql = f"""
+    WITH {_QUANT_CTE},
+    bits AS (SELECT id, p,
+                    CASE WHEN list_inner_product(qv, ({pl})[p + 1]) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM n, UNNEST(range(0, 64)) t(p)),
+    sig AS (SELECT id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY id),
+    bands AS (SELECT id, b, substr(sig, CAST(b * 8 + 1 AS INT), 8) AS bucket
+              FROM sig, UNNEST(range(0, 8)) t(b)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM cand c
+    JOIN n na ON na.id = c.id_a
+    JOIN n nb ON nb.id = c.id_b
+    WHERE CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+              / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+    """
+    return q, sql
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -90,9 +145,13 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
-        for name in QUERIES:
-            s = time_spark(spark, workloads.QUERIES[name], sf_dir)
-            d = time_duck(con, workloads.ORACLES[name])
+        scaled_q, scaled_sql = _scaled_embedding_lsh()
+        for name, qfn, sql in [
+            *[(n, workloads.QUERIES[n], workloads.ORACLES[n]) for n in QUERIES],
+            ("dedup_embedding_lsh_scaled", scaled_q, scaled_sql),
+        ]:
+            s = time_spark(spark, qfn, sf_dir)
+            d = time_duck(con, sql)
             ratio = round(s / d, 2) if d > 0 else -1.0
             rec = {
                 "sf": sf,

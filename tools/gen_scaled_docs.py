@@ -16,9 +16,17 @@ documents distribution to those scales, deterministically (seed 42):
     (observed at sf0.1: 8 exact-dup pairs + 256 pairs at 3-gram
     jaccard >= 0.8 over 5000 docs)
 
-Output dir gets documents.parquet plus COPIES of the other 9 driver
-tables from sf0.1 so every harness that registers all views still
-works (only `documents` is actually read by the crossover queries).
+Also generates embeddings.parquet at 20_000 * sf rows matching the
+driver distribution (isotropic unit-norm 64-dim vectors — observed
+per-dim std 0.123 ~ 1/sqrt(64), norm 1.0 — labels uniform over 0..9,
+~1% near-duplicates: copy of an earlier vector + 5% gaussian noise,
+renormalized; the driver data shows 13 cosine>=threshold pairs per
+2000 vectors and zero exact copies).
+
+Output dir gets documents.parquet + embeddings.parquet plus COPIES of
+the other 8 driver tables from sf0.1 so every harness that registers
+all views still works (only documents/embeddings are actually read by
+the crossover queries).
 
     python tools/gen_scaled_docs.py 0.5 1.0   # -> .localdata/sf{X}/
 """
@@ -46,8 +54,34 @@ VOCAB = [
 LANGS = ["en", "zh", "es", "de", "fr"]
 LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
 OTHER_TABLES = (
-    "region nation customer supplier part orders lineitem events embeddings"
+    "region nation customer supplier part orders lineitem events"
 ).split()
+
+
+def gen_embeddings(sf: float, seed: int = 4242) -> "pa.Table":
+    import numpy as np
+
+    n = round(20_000 * sf)
+    rng = np.random.default_rng(seed)
+    vecs = np.empty((n, 64), dtype=np.float32)
+    for i in range(n):
+        if i > 0 and rng.random() < 0.01:
+            base = vecs[rng.integers(0, i)]
+            v = base + 0.05 * rng.standard_normal(64).astype(np.float32)
+        else:
+            v = rng.standard_normal(64).astype(np.float32)
+        vecs[i] = v / np.linalg.norm(v)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.integers(0, 10, size=n).tolist(), pa.int32()
+            ),
+        }
+    )
 
 
 def gen_documents(sf: float, seed: int = 42) -> pa.Table:
@@ -84,6 +118,8 @@ def main() -> int:
         os.makedirs(out, exist_ok=True)
         tbl = gen_documents(sf)
         pq.write_table(tbl, os.path.join(out, "documents.parquet"))
+        emb = gen_embeddings(sf)
+        pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
         for t in OTHER_TABLES:
             dst = os.path.join(out, f"{t}.parquet")
             if not os.path.exists(dst):
