@@ -372,3 +372,46 @@ def blocklist_flags(
         (F.size(inter) > 0).alias("blocked"),
         F.size(inter).cast("long").alias("n_blocked"),
     )
+
+
+def rare_word_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency quality signal (the integer-exact stand-in for
+    unigram-LM perplexity): per document, the mean corpus frequency of
+    its tokens -> (id_col, n_tokens, mean_freq_ppb). Documents of rare
+    tokens score LOW (specialist/noisy text), stopword soup scores
+    HIGH — the rare-word-density filter corpus curation runs next to
+    quality_score.
+
+    Exactness contract: token frequencies are corpus counts (exact
+    bigints); each token contributes floor(freq * 1e9 / total_tokens)
+    (integer div — parts-per-billion, exact in any engine), the
+    per-doc mean is another integer div. No floats anywhere, so the
+    score is hash-exact cross-engine — unlike a log-based perplexity,
+    whose libm last-ulp differences can flip a rounding boundary.
+
+    Scale shape: one corpus-wide groupBy(token) count (map-side
+    combined), re-joined to the exploded token stream on the same key
+    (the exchange feeds both sides -> runtime ReusedExchange, same
+    pattern as remove_frequent_segments), then a per-doc aggregation.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_tok")
+    )
+    freqs = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_freq"))
+    total = freqs.agg(F.sum("_freq").alias("_total"))
+    scored = (
+        toks.join(freqs, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.expr("(_freq * 1000000000L) div _total").alias("_ppb"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.expr("sum(_ppb) div count(1)").alias("mean_freq_ppb"),
+    )

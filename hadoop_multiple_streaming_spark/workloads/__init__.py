@@ -65,6 +65,7 @@ _PRIORITY_ORDER = [
     "blocklist_screen",
     "chunk_documents",
     "incremental_minhash_dedup",
+    "text_rare_words",
     # round-6 plan-touched queries (in-plan O(n^2) guard, private index
     # path, PQ-oracle BIGINT tie-break, packing tie-break param)
     "dedup_embedding_cosine",
@@ -103,7 +104,6 @@ _PRIORITY_ORDER = [
     "ann_ivf_multiprobe",
     # join surfaces (as-of, interval, outer-join distribution)
     "asof_click_attribution",
-    "interval_click_errors",
     "q13_customer_distribution",
     # events family (ts-normalization path)
     "events_hourly_rollup",
@@ -125,6 +125,7 @@ _PRIORITY_ORDER = [
     "quota_sample",  # r05 green
     "dedup_exact",  # r05 green
     "dedup_simhash",  # r05 green (pair twin dedup_simhash_pairs also tail)
+    "interval_click_errors",  # r05 green
     "q22_global_sales_opportunity",  # r04 green
     "dataset_split",  # r03+r04 green
     "ann_ivf_topk",  # r04 green

@@ -990,3 +990,32 @@ def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("chunk_id", F.col("chunk_id").cast("int")).withColumn(
         "n_tokens", F.col("n_tokens").cast("int")
     )
+
+
+@register(
+    "text_rare_words",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                    t -> t <> '')) AS tok
+                  FROM documents),
+    freqs AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freqs),
+    scored AS (SELECT t.doc_id,
+                      (f.freq * 1000000000) // total.total AS ppb
+               FROM toks t JOIN freqs f ON t.tok = f.tok, total)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ppb) // COUNT(*) AS BIGINT) AS mean_freq_ppb
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_rare_words_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-word-density quality signal (operators.text.
+    rare_word_scores): per document, the mean corpus frequency of its
+    tokens in parts-per-billion — the integer-exact stand-in for
+    unigram perplexity (log-based scores aren't hash-stable across
+    libms; integer divisions are). One corpus groupBy(token) feeding
+    both the frequency table and the join probe."""
+    from ..operators.text import rare_word_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return rare_word_scores(docs, "text", "doc_id")

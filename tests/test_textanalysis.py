@@ -175,3 +175,24 @@ def test_blocklist_flags_both_paths_identical(spark):
         for r in blocklist_flags(docs, bl_df).collect()
     }
     assert join_path == want
+
+
+def test_rare_word_scores_exact_integer_math(spark):
+    from hadoop_multiple_streaming_spark.operators.text import rare_word_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    # ppb: a -> 2e9//5 = 400000000, b -> 400000000, c -> 200000000
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_freq_ppb)
+        for r in rare_word_scores(docs).collect()
+    }
+    assert got == {
+        1: (3, (400000000 * 2 + 400000000) // 3),
+        2: (2, (400000000 + 200000000) // 2),
+        # empty doc: no tokens -> no row (same as the SQL replay)
+    }
+    assert 3 not in got
