@@ -9,11 +9,16 @@ Each query is fully executed via the noop sink (all columns computed,
 nothing collected to the driver). Use sf0.01/sf0.001 locally while
 iterating:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
 
-The JSON also carries a per-query PLAN FINGERPRINT ("plans": operator
--> count, taken from the truly-final AQE plan after an untimed
-execution) so a round-over-round diff of the bench files shows plan
+Per-query PLAN FINGERPRINTS (operator -> count, taken from the
+truly-final AQE plan after an untimed execution) are written to a
+SIDECAR file (default BENCH_PLANS.json next to this script; override
+with SPARK_GRAFT_PLAN_FILE) so a round-over-round diff shows plan
 regressions — an extra Exchange, a lost ReusedExchange, a join
-strategy flip — without reading 28 full plans. Disable with
+strategy flip — without reading 28 full plans. They are deliberately
+NOT embedded in the stdout JSON: the driver tail-captures stdout and
+the fingerprint payload pushed round 6's single line past the capture
+window (BENCH_r06.json parsed:null). The compact metric JSON must
+stay the final — and short — stdout line. Disable fingerprints with
 SPARK_GRAFT_PLAN_FINGERPRINTS=0 (the fingerprint pass re-executes each
 query once outside the timed window).
 """
@@ -194,7 +199,18 @@ def main() -> int:
                 )
             except Exception as e:
                 print(f"[bench] fingerprint {name} FAILED: {str(e)[:200]}", file=sys.stderr)
-        payload["plans"] = plans
+        # sidecar file, NOT stdout: the driver tail-captures stdout and
+        # the fingerprints overflowed it in round 6 (parsed:null)
+        plan_file = os.environ.get(
+            "SPARK_GRAFT_PLAN_FILE", os.path.join(REPO, "BENCH_PLANS.json")
+        )
+        try:
+            with open(plan_file, "w") as fh:
+                json.dump({"sf": sf, "plans": plans}, fh, indent=1, sort_keys=True)
+            print(f"[bench] plan fingerprints -> {plan_file}", file=sys.stderr)
+        except OSError as e:
+            print(f"[bench] plan file write FAILED: {e}", file=sys.stderr)
+    # the compact metric JSON is the FINAL stdout line — keep it that way
     print(json.dumps(payload))
     return 0
 

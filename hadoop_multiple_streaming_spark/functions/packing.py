@@ -209,9 +209,13 @@ def chunk_documents(
     k, st = int(chunk_tokens), int(stride)
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
     n_chunks = (
-        # ceil((n_tokens - chunk) / stride) + 1 for non-empty docs
+        # ceil((n_tokens - chunk) / stride) + 1 for non-empty docs,
+        # capped at the count of starts strictly below n_tokens
+        # (floor((n-1)/stride) + 1) — without the cap, stride > chunk
+        # with the last start past the end would emit an empty chunk
         F.expr(
-            f"greatest(cast(ceil((size(_tk) - {k}) / {st}.0) as int), 0) + 1"
+            f"least(greatest(cast(ceil((size(_tk) - {k}) / {st}.0) as int), 0) + 1, "
+            f"cast(floor((size(_tk) - 1) / {st}) as int) + 1)"
         )
     )
     chunks = F.when(

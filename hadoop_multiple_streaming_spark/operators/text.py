@@ -367,10 +367,13 @@ def blocklist_flags(
         )
     lit_list = F.array(*[F.lit(str(w)) for w in blocklist])
     inter = F.array_intersect(F.array_distinct(words(F.col(text_col))), lit_list)
+    # coalesce: NULL text must yield (false, 0) exactly like the
+    # DataFrame path's explode_outer + coalesce, not NULL flags
+    n_hits = F.coalesce(F.size(inter), F.lit(0))
     return df.select(
         F.col(id_col),
-        (F.size(inter) > 0).alias("blocked"),
-        F.size(inter).cast("long").alias("n_blocked"),
+        (n_hits > 0).alias("blocked"),
+        n_hits.cast("long").alias("n_blocked"),
     )
 
 

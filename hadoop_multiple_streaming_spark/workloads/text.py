@@ -965,7 +965,8 @@ def blocklist_screen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          list_filter(string_split(text, ' '), t -> t <> '') AS t
                   FROM documents),
     nch AS (SELECT doc_id, t,
-                   greatest(CAST(ceil((len(t) - 32) / 16.0) AS INT), 0) + 1 AS nc
+                   least(greatest(CAST(ceil((len(t) - 32) / 16.0) AS INT), 0) + 1,
+                         CAST(floor((len(t) - 1) / 16) AS INT) + 1) AS nc
             FROM toks WHERE len(t) > 0),
     ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
                   array_to_string(t[i * 16 + 1 : i * 16 + 32], ' ') AS chunk_text

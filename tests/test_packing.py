@@ -212,7 +212,17 @@ def test_chunk_documents_windows_and_overlap(spark):
         for r in chunk_documents(docs, "text", "doc_id", 4).collect()
     }
     assert got2 == {(1, 0): "a b c d", (1, 1): "e f g", (2, 0): "x y"}
-    # every token of every doc appears in some chunk (coverage)
+    # stride > chunk (sampled windows): 8 tokens, chunk=2, stride=5
+    # -> starts 0 and 5 only; the ceil formula alone would also emit an
+    # EMPTY window at start 10 >= 8 (the round-6 ADVICE bug)
+    docs8 = spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id long, text string"
+    )
+    got3 = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(docs8, "text", "doc_id", 2, 5).collect()
+    }
+    assert got3 == {(9, 0): ("a b", 2), (9, 1): ("f g", 2)}
     import pytest
 
     with pytest.raises(ValueError, match="chunk_tokens"):

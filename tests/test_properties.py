@@ -113,13 +113,19 @@ def test_chunk_documents_cover_and_stride_property(spark, toks, chunk, stride):
     if toks:
         import math
 
-        nc = max(math.ceil((len(toks) - chunk) / stride), 0) + 1
+        nc = min(
+            max(math.ceil((len(toks) - chunk) / stride), 0) + 1,
+            (len(toks) - 1) // stride + 1,  # starts strictly below n only
+        )
         want = [
             (i, " ".join(toks[i * stride : i * stride + chunk])) for i in range(nc)
         ]
     else:
         want = []
     assert got == want
+    # no chunk is ever empty (stride > chunk must not emit a window
+    # starting past the last token)
+    assert all(t for _, t in got)
     if toks and stride >= chunk:
         # disjoint windows at stride == chunk reassemble the doc
         if stride == chunk:

@@ -160,10 +160,18 @@ def test_blocklist_flags_both_paths_identical(spark):
             (3, "badword and otherbad badword twice"),  # 2 distinct hits
             (4, "scunthorpe badwordish is not a token match"),
             (5, ""),
+            (6, None),  # NULL text -> (false, 0) on BOTH paths
         ],
         "doc_id long, text string",
     )
-    want = {1: (False, 0), 2: (True, 1), 3: (True, 2), 4: (False, 0), 5: (False, 0)}
+    want = {
+        1: (False, 0),
+        2: (True, 1),
+        3: (True, 2),
+        4: (False, 0),
+        5: (False, 0),
+        6: (False, 0),
+    }
     lit_path = {
         r.doc_id: (r.blocked, r.n_blocked)
         for r in blocklist_flags(docs, ["badword", "otherbad"]).collect()
