@@ -601,14 +601,100 @@ def _sign_signature_arrow(planes: list[list[int]]):
     return sig_udf
 
 
+def _bucket_verify_arrow(threshold: float):
+    """Fused in-bucket pairwise verify: ONE Arrow stage per bucket
+    stream replaces the candidate-expand + 2 vector joins + pair-level
+    cosine of the expression path. Each input row is a whole LSH
+    bucket (array of (id, qv int32, n2) members, already size-capped);
+    the kernel sorts members by id, computes the bucket's full pairwise
+    int64 Gram matrix with one numpy matmul, applies the SAME double
+    sqrt/multiply/divide the expression form evaluates (exact integer
+    dots + correctly-rounded IEEE ops -> bit-identical cosines,
+    test-asserted), and returns only the (id_a < id_b, cosine >=
+    threshold) survivors. Transport: each distinct vector crosses the
+    Arrow boundary once per bucket it belongs to — not once per
+    candidate PAIR, which is what made the old join-back path the
+    catalog's Python-fence hotspot (3 ArrowEvalPython nodes -> 2, no
+    verify joins at all)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<id_a:bigint,id_b:bigint,cosine:double>>")
+    def verify_udf(members):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for bucket in members:
+            ids = np.asarray([m["id"] for m in bucket], dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = np.vstack([np.asarray(bucket[i]["qv"]) for i in order]).astype(
+                np.int64, copy=False
+            )
+            n2 = np.asarray([bucket[i]["n2"] for i in order], dtype=np.float64)
+            gram = (M @ M.T).astype(np.float64)
+            norms = np.sqrt(n2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            cos = gram[iu, ju] / (norms[iu] * norms[ju])
+            hit = cos >= threshold
+            out.append(
+                [
+                    (int(ids[i]), int(ids[j]), float(c))
+                    for i, j, c in zip(iu[hit], ju[hit], cos[hit])
+                ]
+            )
+        return pd.Series(out)
+
+    return verify_udf
+
+
+def auto_band_params(
+    n_vectors: int,
+    threshold: float,
+    bands: int = 8,
+    cands_per_vector: int = 8,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> tuple[int, int, float]:
+    """Sign-LSH band sizing from the DEPLOY.md collision law: a random
+    pair collides per band with p = 2^-bits, so expected random
+    candidates ~= bands * n^2 * 2^-bits. Pick the smallest bits that
+    keeps that LINEAR in n (<= cands_per_vector * n):
+
+        bits = clamp(ceil_log2(bands * n / cands_per_vector),
+                     min_bits, max_bits)
+
+    — integer-exact (ceil_log2(x) = (x-1).bit_length(), replayable in
+    SQL as length(bin(x-1))), so an oracle can derive the same params
+    from count(*). Returns (num_planes = bands * bits, rows_per_band =
+    bits, expected_recall) where expected_recall is the standard
+    1 - (1 - agree^bits)^bands advisory at ``threshold`` (agree =
+    1 - arccos(t)/pi). Bits GROW with the corpus — the 4-bit default
+    that was quadratic death at 20k vectors (measured: 494 s DuckDB /
+    Spark OOM) is unreachable past n = cands_per_vector * 2^4 / bands.
+    Recall at a fixed bands count falls as bits grow; raise ``bands``
+    (planes cost one linear projection) rather than lowering bits
+    (candidate explosion costs the job)."""
+    import math
+
+    n = max(int(n_vectors), 2)
+    x = max((bands * n) // cands_per_vector, 2)
+    bits = max(min_bits, min(max_bits, (x - 1).bit_length()))
+    t = max(-1.0, min(1.0, float(threshold)))
+    agree = 1.0 - math.acos(t) / math.pi
+    recall = 1.0 - (1.0 - agree**bits) ** bands
+    return bands * bits, bits, recall
+
+
 def embedding_lsh_pairs(
     quantized: DataFrame,
     threshold: float,
-    num_planes: int = 32,
-    rows_per_band: int = 4,
+    num_planes: int | None = None,
+    rows_per_band: int | None = None,
     dim: int = 64,
     max_bucket_size: int | None = None,
-    sig_impl: str = "arrow",
+    sig_impl: str = "expr",
+    n: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH near-dup pairs over embeddings —
     the scale path that replaces embedding_cosine_pairs' O(n²)
@@ -634,21 +720,43 @@ def embedding_lsh_pairs(
     band is 2^-rows_per_band, so the candidate count is
     ~ bands * n^2 * 2^-rows_per_band — bits per band MUST grow with
     the corpus or the pair expansion goes quadratic on any engine
-    (defaults here suit the ~2k-vector test corpus; 20k+ already needs
-    8-bit bands, billions need ~24-bit). Extra planes are one linear
-    projection — always cheaper than candidate explosion.
+    (20k vectors at 4-bit bands was measured at 494 s DuckDB / Spark
+    OOM; billions need ~24-bit). Extra planes are one linear
+    projection — always cheaper than candidate explosion. When
+    ``num_planes``/``rows_per_band`` are NOT given, the sizing is
+    AUTOMATIC via auto_band_params: bits = ceil_log2 of the corpus
+    count (quadratic death unreachable by default), with the count
+    taken from ``n`` if supplied, else ONE cheap count() agg over
+    ``quantized`` (the only eager step in this module — pass ``n`` to
+    keep construction fully lazy). Give BOTH parameters to pin the
+    geometry explicitly (every catalog query does, so its SQL oracle
+    can embed the matching plane literal).
 
     ``max_bucket_size`` is the same viral-bucket skew guard as
     lsh_candidate_pairs (a bucket of m members expands m(m-1)/2 pairs
     in one task).
 
-    ``sig_impl``: "arrow" (default) computes BOTH compute-bound stages
-    — the plane-dot signatures and the candidate verify cosine — as
-    Arrow-batched int64 numpy kernels, measured 20x / 8x faster than
-    the interpreted HOF expressions and bit-identical to them (exact
-    integer dots; correctly-rounded double sqrt/multiply/divide);
-    "expr" keeps the pure-JVM expression forms for plans that must
-    stay Python-free."""
+    ``sig_impl``: "expr" (default) keeps the whole plan pure-JVM
+    expression forms — no Python workers, no pandas/pyarrow executor
+    dependency. "arrow" is the measured scale path the catalog/bench
+    queries opt into: the plane-dot signatures run as one Arrow int64
+    numpy matmul per batch (20x the interpreted HOF dot), and the
+    verify is FUSED into the bucket aggregation — vectors ride the one
+    groupBy shuffle (int32 transport) and each bucket's pairwise
+    cosines come from a single numpy Gram matmul inside one Arrow
+    stage, so the plan has 2 Python fences total (was 3) and ZERO
+    verify joins. Both impls are bit-identical (exact integer dots;
+    correctly-rounded double sqrt/multiply/divide; test-asserted).
+    The arrow fused path requires integral ids (emitted as bigint)."""
+    if (num_planes is None) != (rows_per_band is None):
+        raise ValueError(
+            "embedding_lsh_pairs: give BOTH num_planes and rows_per_band, "
+            "or NEITHER (auto sizing via auto_band_params)"
+        )
+    if num_planes is None:
+        if n is None:
+            n = quantized.count()
+        num_planes, rows_per_band, _recall = auto_band_params(n, threshold)
     planes = rademacher_planes(num_planes, dim)
     bands = num_planes // rows_per_band
     if sig_impl == "arrow":
@@ -664,15 +772,48 @@ def embedding_lsh_pairs(
             f"embedding_lsh_pairs: sig_impl must be 'arrow' or 'expr', "
             f"got {sig_impl!r}"
         )
-    buckets = quantized.select(
-        "id",
-        sig.alias("sig"),
-    ).select(
-        "id",
-        F.expr(
-            f"posexplode(transform(sequence(0, {bands - 1}), "
-            f"b -> substring(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-        ).alias("band", "bucket"),
+    band_expr = F.expr(
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> substring(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    if sig_impl == "arrow":
+        # FUSED scale path: the vectors ride the one groupBy(band,
+        # bucket) shuffle (int32 transport — quantized coordinates are
+        # round(x * 1e6) of unit-normalized floats, so |v| < 2^31
+        # always; the kernel upcasts to int64 before the dot, keeping
+        # it exact), and the whole candidate-expand + verify happens
+        # per bucket inside ONE Arrow stage. Each distinct vector
+        # crosses the Python boundary once per band instead of once
+        # per candidate pair; no verify joins exist at all. Duplicate
+        # pairs from buckets sharing several bands re-verify (~2µs of
+        # deterministic arithmetic, identical row) and collapse in the
+        # tiny post-filter distinct.
+        buckets = quantized.select(
+            "id",
+            F.col("qv").cast("array<int>").alias("qv"),
+            "n2",
+            sig.alias("sig"),
+        ).select("id", "qv", "n2", band_expr.alias("band", "bucket"))
+        grouped = buckets.groupBy("band", "bucket").agg(
+            F.collect_list(F.struct("id", "qv", "n2")).alias("members")
+        )
+        keep = F.size("members") >= 2
+        if max_bucket_size is not None:
+            keep = keep & (F.size("members") <= max_bucket_size)
+        return (
+            grouped.where(keep)
+            .select(
+                F.explode(
+                    _bucket_verify_arrow(threshold)(F.col("members"))
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b", "p.cosine")
+            .distinct()
+        )
+    # pure-JVM path: ids-only bucket shuffle, in-bucket candidate
+    # expansion, join back to the vectors, expression cosine
+    buckets = quantized.select("id", sig.alias("sig")).select(
+        "id", band_expr.alias("band", "bucket")
     )
     grouped = buckets.groupBy("band", "bucket").agg(
         F.expr("array_sort(collect_list(id))").alias("ids")
@@ -692,30 +833,15 @@ def embedding_lsh_pairs(
         )
         .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
     )
-    # int transport for the verify join: quantized coordinates are
-    # round(x * 1e6) of unit-normalized floats, so |v| < 2^31 always —
-    # int32 halves the join payload AND the Arrow boundary bytes; the
-    # kernel upcasts to int64 before the dot, keeping it exact
-    qcol = F.col("qv").cast("array<int>") if sig_impl == "arrow" else F.col("qv")
     a = quantized.select(
-        F.col("id").alias("id_a"), qcol.alias("qa"), F.col("n2").alias("na2")
+        F.col("id").alias("id_a"), F.col("qv").alias("qa"), F.col("n2").alias("na2")
     )
     b = quantized.select(
-        F.col("id").alias("id_b"), qcol.alias("qb"), F.col("n2").alias("nb2")
+        F.col("id").alias("id_b"), F.col("qv").alias("qb"), F.col("n2").alias("nb2")
     )
-    if sig_impl == "arrow":
-        # candidate-count-scaled stage -> same Arrow treatment as the
-        # signature: one exact int64 row-wise dot per batch. Measured
-        # 17 s -> ~2 s over 1.9M candidates at 10k vectors; identical
-        # IEEE result (exact integer dot, correctly-rounded sqrt /
-        # multiply / divide in both paths).
-        cos = _pair_cosine_arrow()(
-            F.col("qa"), F.col("qb"), F.col("na2"), F.col("nb2")
-        )
-    else:
-        cos = _dot("qa", "qb").cast("double") / (
-            F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
-        )
+    cos = _dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
     # dedup of pairs sharing several bands is DEFERRED past the verify:
     # re-verifying a duplicate pair is ~2µs of deterministic arithmetic
     # (identical output row), while distinct-ing the full candidate set
@@ -733,30 +859,103 @@ def embedding_lsh_pairs(
     )
 
 
-def _pair_cosine_arrow():
-    """Arrow-batched exact quantized cosine over candidate pairs:
-    int64 numpy row-wise dot, then the same double sqrt/multiply/divide
-    sequence the expression form evaluates — bit-identical output
-    (covered by test_embedding_lsh_sig_impls_identical, which compares
-    full arrow-vs-expr pipelines including this verify)."""
-    from pyspark.sql.functions import pandas_udf
+def semantic_dedup(
+    quantized: DataFrame,
+    clusters: DataFrame,
+    threshold: float,
+    max_cluster_size: int | None = None,
+    pairs_impl: str = "expr",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public method: Abbas et
+    al. 2023, arXiv:2303.09540 — the standard LLM-corpus curation step
+    after exact/MinHash dedup): k-means the embedding space, then
+    prune near-identical pairs ONLY within clusters, so pairing is
+    O(sum of cluster_size^2) = ~n^2/k instead of O(n^2). The embedding
+    twin of MinHash dedup: clusters play the role of LSH buckets, with
+    the clustering done by ``kmeans_lloyd`` (or any (id, cluster)
+    assignment the caller provides).
 
-    @pandas_udf("double")
-    def cos_udf(qa, qb, na2, nb2):
-        import numpy as np
-        import pandas as pd
+    Inputs: ``quantized`` = (id, qv, n2) from quantize_embeddings;
+    ``clusters`` = (id, cluster). Returns (id, cluster, keep) for
+    EVERY input id: keep = false iff some same-cluster member with a
+    SMALLER id has cosine >= threshold — the deterministic min-id
+    representative rule (the paper keeps low-centroid-similarity
+    exemplars; min-id is the hash-stable equivalent and what
+    exact_dedup uses).
 
-        if len(qa) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.vstack(qa.map(np.asarray).to_numpy()).astype(np.int64, copy=False)
-        B = np.vstack(qb.map(np.asarray).to_numpy()).astype(np.int64, copy=False)
-        dots = np.einsum("ij,ij->i", A, B).astype(np.float64)
-        denom = np.sqrt(na2.to_numpy().astype(np.float64)) * np.sqrt(
-            nb2.to_numpy().astype(np.float64)
+    Plan shape: pairing is keyed by ``cluster`` — the expr path is a
+    same-cluster self-equi-join (shuffle on cluster, never a cartesian
+    product); the arrow path reuses the fused bucket-verify kernel
+    (one groupBy(cluster) shuffle carrying int32 vectors, per-cluster
+    numpy Gram matmul in a single Arrow stage, no joins). Both are
+    bit-identical (exact integer dots, correctly-rounded IEEE verify).
+
+    SCALE RULE: k must grow with the corpus (k ~ n / target_cluster
+    _size; the paper runs 50k clusters on LAION) — in-cluster pairing
+    is quadratic in cluster size, so ``max_cluster_size`` skips
+    pathological clusters entirely (their members all stay keep=true,
+    a skew guard identical in spirit to LSH's max_bucket_size)."""
+    members = quantized.select("id", "qv", "n2").join(clusters, "id")
+    if pairs_impl == "arrow":
+        grouped = members.select(
+            "cluster",
+            F.struct(
+                "id", F.col("qv").cast("array<int>").alias("qv"), "n2"
+            ).alias("_m"),
+        ).groupBy("cluster").agg(F.collect_list("_m").alias("members"))
+        keep_f = F.size("members") >= 2
+        if max_cluster_size is not None:
+            keep_f = keep_f & (F.size("members") <= max_cluster_size)
+        pairs = (
+            grouped.where(keep_f)
+            .select(
+                F.explode(
+                    _bucket_verify_arrow(threshold)(F.col("members"))
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
         )
-        return pd.Series(dots / denom)
-
-    return cos_udf
+    elif pairs_impl == "expr":
+        pool = members
+        if max_cluster_size is not None:
+            sizes = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("_sz"))
+            pool = members.join(
+                sizes.where(F.col("_sz") <= max_cluster_size).select("cluster"),
+                "cluster",
+            )
+        a = pool.select(
+            "cluster",
+            F.col("id").alias("id_a"),
+            F.col("qv").alias("qa"),
+            F.col("n2").alias("na2"),
+        )
+        b = pool.select(
+            "cluster",
+            F.col("id").alias("id_b"),
+            F.col("qv").alias("qb"),
+            F.col("n2").alias("nb2"),
+        )
+        cos = _dot("qa", "qb").cast("double") / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cos >= threshold)
+            .select("id_a", "id_b")
+        )
+    else:
+        raise ValueError(
+            f"semantic_dedup: pairs_impl must be 'arrow' or 'expr', "
+            f"got {pairs_impl!r}"
+        )
+    drops = pairs.select(F.col("id_b").alias("id")).distinct().withColumn(
+        "_drop", F.lit(True)
+    )
+    return members.join(drops, "id", "left").select(
+        "id", "cluster", F.col("_drop").isNull().alias("keep")
+    )
 
 
 def embedding_cosine_pairs(

@@ -57,6 +57,9 @@ _PRIORITY_ORDER = [
     "pipe_wordcount",
     "fanout_two_branches",
     "pipe_grouped_reduce",
+    # round-7 NEW operators (first driver evidence this round)
+    "dedup_embedding_lsh_auto",
+    "semantic_dedup",
     # round-6 NEW operators (first driver evidence this round)
     "ann_pq_train_recall",
     "salted_join_revenue",

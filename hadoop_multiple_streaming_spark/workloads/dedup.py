@@ -259,8 +259,92 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cores. At 100 TB the scan itself yields enough partitions.
     emb = load(spark, sf_dir, "embeddings").repartition(32)
     q = quantize_embeddings(emb, "embedding", "vec_id")
+    # sig_impl="arrow" is the explicit scale-path opt-in (fused
+    # bucket-side verify, 2 Arrow fences, no verify joins); the
+    # operator default stays "expr" so plain callers get a
+    # Python-free plan
     return embedding_lsh_pairs(
-        q, threshold=0.45, num_planes=32, rows_per_band=4, dim=64
+        q, threshold=0.45, num_planes=32, rows_per_band=4, dim=64,
+        sig_impl="arrow",
+    )
+
+
+def _embedding_lsh_auto_oracle() -> str:
+    """Replays auto_band_params IN SQL: bits = clamp(ceil_log2(2 *
+    count(*)), 4, 24) via LENGTH(bin(x - 1)) — integer-exact, so the
+    oracle derives the SAME band geometry from the corpus count at any
+    sf. The plane literal is the 192-plane (= 8 bands x 24 max bits)
+    prefix-stable md5 matrix; only the first 8 * bits planes are
+    unnested."""
+    from ..operators.dedup import planes_duckdb_literal, rademacher_planes
+
+    pl = planes_duckdb_literal(rademacher_planes(192, 64))
+    return f"""
+    WITH q AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+               FROM embeddings),
+    params AS (SELECT GREATEST(4, LEAST(24,
+                      LENGTH(bin(2 * COUNT(*) - 1)))) AS bits
+               FROM embeddings),
+    allq AS (SELECT id, qv FROM q
+             UNION ALL
+             SELECT id + 10000000 AS id,
+                    list_concat([qv[1] + 20000], qv[2:]) AS qv
+             FROM q),
+    n AS (SELECT id, qv, list_inner_product(qv, qv) AS n2 FROM allq),
+    bits AS (SELECT id, p,
+                    CASE WHEN list_inner_product(qv, ({pl})[p + 1]) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM n, params, UNNEST(range(0, 8 * params.bits)) t(p)),
+    sig AS (SELECT id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY id),
+    bands AS (SELECT id, b,
+                     substr(sig, CAST(b * params.bits + 1 AS INT),
+                            CAST(params.bits AS INT)) AS bucket
+              FROM sig, params, UNNEST(range(0, 8)) t(b)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+               / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM cand c
+    JOIN n na ON na.id = c.id_a
+    JOIN n nb ON nb.id = c.id_b
+    WHERE CAST(list_inner_product(na.qv, nb.qv) AS DOUBLE)
+              / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.95
+    """
+
+
+@register("dedup_embedding_lsh_auto", oracle=_embedding_lsh_auto_oracle())
+def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-sized sign-LSH dedup on a corpus with PLANTED near-dup
+    twins — the end-to-end check that auto_band_params' sizing law
+    (bits = ceil_log2(corpus), DEPLOY.md collision rule) yields a
+    working geometry without any hand tuning: every vector gets a twin
+    (id + 10_000_000) whose first quantized coordinate is shifted by
+    +20000 (integer-exact, so both engines replay it bit-for-bit;
+    cosine vs the original ~0.9996 on unit-norm 64-dim data), then
+    pairs at cosine >= 0.95 are recovered through auto-sized buckets.
+    The sign-bit flip probability per plane is ~1.5%, so expected
+    twin recall through 8 auto-sized bands stays >90% while random
+    candidates stay linear in n — the property the auto law exists to
+    guarantee. Eagerness note: the corpus count feeding the law is one
+    cheap count() (documented opt-in; pass n= to stay lazy)."""
+    from ..operators.dedup import embedding_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings").repartition(32)
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    twin = q.select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.expr("concat(array(qv[0] + 20000L), slice(qv, 2, size(qv) - 1))").alias(
+            "qv"
+        ),
+    ).withColumn("n2", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+    allq = q.select("id", "qv", "n2").unionByName(twin.select("id", "qv", "n2"))
+    n0 = emb.count()
+    return embedding_lsh_pairs(
+        allq, threshold=0.95, n=2 * n0, sig_impl="arrow"
     )
 
 

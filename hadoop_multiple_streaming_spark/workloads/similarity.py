@@ -491,6 +491,82 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle="""
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims0 AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM q, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+    cent0 AS (SELECT label AS cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims0 GROUP BY label),
+    d1 AS (SELECT q.id, q.qv, cent0.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent0),
+    a1 AS (SELECT id, qv, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d1) WHERE rn = 1),
+    dims1 AS (SELECT cluster, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM a1, UNNEST(range(1, 65)) t(i) GROUP BY cluster, i),
+    cent1 AS (SELECT cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims1 GROUP BY cluster),
+    d2 AS (SELECT q.id, cent1.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent1),
+    a2 AS (SELECT id, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d2) WHERE rn = 1),
+    mem AS (SELECT a2.id, a2.cluster, q.qv,
+                   list_inner_product(q.qv, q.qv) AS n2
+            FROM a2 JOIN q ON q.id = a2.id),
+    drops AS (SELECT DISTINCT b.id
+              FROM mem a JOIN mem b
+                ON a.cluster = b.cluster AND a.id < b.id
+              WHERE CAST(list_inner_product(a.qv, b.qv) AS DOUBLE)
+                    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
+    SELECT m.id, m.cluster, (d.id IS NULL) AS keep
+    FROM mem m LEFT JOIN drops d ON m.id = d.id
+    """,
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators.dedup.semantic_dedup):
+    2-iteration Lloyd k-means buckets the embedding space (the same
+    oracle-exact clustering as kmeans_refine), then near-identical
+    pairs are pruned WITHIN clusters only — pairing keyed by cluster,
+    never all-pairs — keeping the min-id representative. Output: one
+    row per vector (id, cluster, keep). The fused arrow bucket-verify
+    kernel computes the in-cluster pairwise cosines."""
+    from ..operators.dedup import semantic_dedup
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    init = _centroid_sums(q, "label", "cluster", "n").select(
+        "cluster",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+    )
+    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2)
+    quant = quantize_embeddings(emb, "embedding", "vec_id")
+    return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
+
+
+@register(
     "embedding_sq8",
     oracle="""
     WITH v AS (SELECT vec_id AS id,

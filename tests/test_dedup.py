@@ -322,3 +322,107 @@ def test_embedding_lsh_sig_impls_identical(spark):
         for r in embedding_lsh_pairs(q, sig_impl="expr", **kw).collect()
     )
     assert arrow == expr and arrow
+
+
+def test_auto_band_params_bits_grow_with_corpus():
+    """The sizing law must raise bits-per-band monotonically with the
+    corpus count (the quadratic-death guard), keep num_planes =
+    bands * bits, and clamp to the documented [4, 24] range."""
+    from hadoop_multiple_streaming_spark.operators.dedup import auto_band_params
+
+    prev_bits = 0
+    for n in (10, 1_000, 20_000, 1_000_000, 10**9):
+        planes, bits, recall = auto_band_params(n, 0.9)
+        assert bits >= prev_bits
+        assert planes == 8 * bits
+        assert 4 <= bits <= 24
+        assert 0.0 <= recall <= 1.0
+        prev_bits = bits
+    # the measured-quadratic-death config (4 bits at 20k vectors) is
+    # unreachable: 20k already sizes well past 4 bits
+    assert auto_band_params(20_000, 0.8)[1] >= 14
+    # integer-exact law: bits = ceil_log2(bands * n / cands_per_vector)
+    assert auto_band_params(1024, 0.9)[1] == 10  # 8*1024/8 = 1024 -> 10
+    assert auto_band_params(1025, 0.9)[1] == 11
+    # tiny corpora clamp at the floor
+    assert auto_band_params(2, 0.9)[1] == 4
+
+
+def test_embedding_lsh_auto_mode(spark):
+    """num_planes/rows_per_band omitted -> auto sizing (one count()
+    agg); giving only one of the two raises."""
+    import numpy as np
+    import pytest
+
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        auto_band_params,
+        embedding_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(size=16)
+    for i in range(40):
+        v = base + 0.02 * rng.normal(size=16) if i % 8 == 0 else rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    auto = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(q, threshold=0.5, dim=16).collect()
+    )
+    planes, bits, _ = auto_band_params(40, 0.5)
+    manual = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            q, threshold=0.5, num_planes=planes, rows_per_band=bits, dim=16
+        ).collect()
+    )
+    assert auto == manual
+    with pytest.raises(ValueError, match="BOTH"):
+        embedding_lsh_pairs(q, threshold=0.5, num_planes=32, dim=16)
+
+
+def test_semantic_dedup_impls_and_min_id_rule(spark):
+    """Both pair impls agree; keep=false exactly for members with a
+    smaller-id same-cluster near-duplicate; cross-cluster near-dups
+    are NOT pruned; max_cluster_size skips oversized clusters."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    v1 = rng.normal(size=16)
+    v2 = rng.normal(size=16)
+    rows = [
+        (1, list(v1)),           # cluster A representative
+        (2, list(v1 * 1.001)),   # near-dup of 1, same cluster -> dropped
+        (3, list(v2)),           # cluster B representative
+        (4, list(v1 * 0.999)),   # near-dup of 1 but assigned cluster B
+        (5, list(rng.normal(size=16))),  # unrelated, cluster A
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 0)], "id long, cluster int"
+    )
+    want = {1: (0, True), 2: (0, False), 3: (1, True), 4: (1, True), 5: (0, True)}
+    for impl in ("expr", "arrow"):
+        got = {
+            r.id: (r.cluster, r.keep)
+            for r in semantic_dedup(
+                q, clusters, threshold=0.99, pairs_impl=impl
+            ).collect()
+        }
+        assert got == want, impl
+    # skew guard: cluster 0 (3 members) skipped -> everything kept
+    capped = {
+        r.id: r.keep
+        for r in semantic_dedup(
+            q, clusters, threshold=0.99, max_cluster_size=2, pairs_impl="arrow"
+        ).collect()
+    }
+    assert capped == {1: True, 2: True, 3: True, 4: True, 5: True}

@@ -58,7 +58,8 @@ def _scaled_embedding_lsh():
         emb = load(spark, sf_dir, "embeddings")
         qz = quantize_embeddings(emb, "embedding", "vec_id")
         return embedding_lsh_pairs(
-            qz, threshold=0.8, num_planes=64, rows_per_band=8, dim=64
+            qz, threshold=0.8, num_planes=64, rows_per_band=8, dim=64,
+            sig_impl="arrow",
         )
 
     pl = planes_duckdb_literal(rademacher_planes(64, 64))
