@@ -1012,6 +1012,126 @@ def embedding_cosine_pairs(
     )
 
 
+def substring_matches(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_text: str = "text",
+    corpus_id: str = "doc_id",
+    probe_text: str = "text",
+    probe_id: str = "doc_id",
+    k: int = 8,
+    anchor: str = "rarest",
+) -> DataFrame:
+    """EXACT substring decontamination — the n-gram family's blind
+    spot: detect every position where a probe's FULL token sequence
+    appears contiguously inside a corpus document (overlapping-window
+    containment), not merely whether some whole shingle is shared.
+    This is the verbatim-leak test (benchmark answers, licensed text)
+    that shingle-overlap rate cannot express.
+
+    Method: anchor-k-gram match, then bounded extension. Each probe
+    contributes ONE anchor k-gram; corpus k-gram positions matching
+    the anchor become candidate alignments (match_pos = pos - anchor
+    offset + 1), verified by ONE token-slice equality against the full
+    probe — never a scan of the corpus per probe. Probes shorter than
+    ``k`` tokens are skipped (no anchor exists; lower ``k`` for short
+    probes). Returns (corpus_id, probe_id, match_pos) — one row per
+    occurrence, 1-based token position.
+
+    ``anchor``: "rarest" (default) takes the probe k-gram with the
+    LOWEST corpus frequency (ties by position) — one corpus-gram
+    count aggregation, reused across all probes. "first" skips that
+    pass and anchors on the probe's first k tokens.
+
+    ANCHOR SELECTIVITY AT SCALE: candidate count = sum over probes of
+    corpus_frequency(anchor). With "first" anchors, a probe that
+    starts with boilerplate ("the quick brown...") anchors on a HOT
+    k-gram and floods the verify join — the classic failure. "rarest"
+    makes the candidate count the MINIMUM the probe's own content
+    allows (a probe containing any novel k-gram generates ~0 false
+    candidates; a probe of pure boilerplate degrades gracefully to its
+    least-common window). Raise ``k`` to sharpen selectivity (k=8
+    on web text makes random anchor collisions negligible); the
+    corpus k-gram explode is O(total tokens) either way and the
+    verify is bucketed by anchor then by corpus_id — no stage ever
+    pairs a probe with a non-colliding document.
+
+    Plan: corpus grams explode (stateless) -> [rarest only: one
+    groupBy(kgram) count, probe-side left join] -> anchors equi-join
+    corpus grams on kgram (probe side is benchmark-sized -> AQE
+    broadcasts) -> slice-equality verify joined back on corpus_id."""
+    if k < 1:
+        raise ValueError(f"substring_matches: k must be >= 1, got {k}")
+    ct = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.expr(f"filter(split({corpus_text}, ' '), t -> t != '')").alias("_ct"),
+    )
+    grams = F.when(
+        F.size("_ct") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_ct) - {k - 1}), "
+            f"i -> array_join(slice(_ct, i, {k}), ' '))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    cg = ct.select("corpus_id", F.posexplode(grams).alias("_p0", "kgram")).select(
+        "corpus_id", (F.col("_p0") + 1).cast("long").alias("pos"), "kgram"
+    )
+    pt = probes.select(
+        F.col(probe_id).alias("probe_id"),
+        F.expr(f"filter(split({probe_text}, ' '), t -> t != '')").alias("_pt"),
+    ).where(F.size("_pt") >= k)
+    if anchor == "first":
+        pa = pt.select(
+            "probe_id",
+            "_pt",
+            F.expr(f"array_join(slice(_pt, 1, {k}), ' ')").alias("kgram"),
+            F.lit(1).cast("long").alias("_off"),
+        )
+    elif anchor == "rarest":
+        pgrams = pt.select(
+            "probe_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(_pt) - {k - 1}), "
+                    f"i -> array_join(slice(_pt, i, {k}), ' '))"
+                )
+            ).alias("_p0", "kgram"),
+        ).select("probe_id", (F.col("_p0") + 1).cast("long").alias("_off"), "kgram")
+        freqs = cg.groupBy("kgram").agg(F.count(F.lit(1)).alias("_freq"))
+        scored = pgrams.join(freqs, "kgram", "left").withColumn(
+            "_freq", F.coalesce("_freq", F.lit(0))
+        )
+        best = scored.groupBy("probe_id").agg(
+            F.min(F.struct("_freq", "_off", "kgram")).alias("_m")
+        )
+        pa = best.join(pt, "probe_id").select(
+            "probe_id",
+            "_pt",
+            F.col("_m.kgram").alias("kgram"),
+            F.col("_m._off").alias("_off"),
+        )
+    else:
+        raise ValueError(
+            f"substring_matches: anchor must be 'rarest' or 'first', "
+            f"got {anchor!r}"
+        )
+    cand = cg.join(pa, "kgram").select(
+        "corpus_id",
+        "probe_id",
+        (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
+        "_pt",
+    )
+    return (
+        cand.join(ct, "corpus_id")
+        .where(
+            (F.col("match_pos") >= 1)
+            & (F.col("match_pos") + F.size("_pt") - 1 <= F.size("_ct"))
+            & (F.expr("slice(_ct, int(match_pos), size(_pt))") == F.col("_pt"))
+        )
+        .select("corpus_id", "probe_id", "match_pos")
+    )
+
+
 def ngram_contamination(
     corpus_shingles: DataFrame, probe_shingles: DataFrame
 ) -> DataFrame:

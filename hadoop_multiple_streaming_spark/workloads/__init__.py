@@ -60,6 +60,8 @@ _PRIORITY_ORDER = [
     # round-7 NEW operators (first driver evidence this round)
     "dedup_embedding_lsh_auto",
     "semantic_dedup",
+    "substring_decontamination",
+    "quality_model_score",
     # round-6 NEW operators (first driver evidence this round)
     "ann_pq_train_recall",
     "salted_join_revenue",

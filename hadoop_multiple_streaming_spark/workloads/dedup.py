@@ -458,6 +458,65 @@ def contamination_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_decontamination",
+    oracle="""
+    WITH ct AS (SELECT doc_id AS corpus_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ctk
+                FROM documents),
+    pr AS (SELECT corpus_id AS probe_id, ctk[4:15] AS ptk
+           FROM ct WHERE corpus_id % 17 = 0 AND len(ctk) >= 15),
+    cg AS (SELECT corpus_id, CAST(i AS BIGINT) AS pos,
+                  array_to_string(ctk[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS kgram
+           FROM ct, UNNEST(range(1, len(ctk) - 3)) t(i)
+           WHERE len(ctk) >= 5),
+    freqs AS (SELECT kgram, COUNT(*) AS freq FROM cg GROUP BY kgram),
+    pg AS (SELECT probe_id, ptk, CAST(i AS BIGINT) AS off,
+                  array_to_string(ptk[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS kgram
+           FROM pr, UNNEST(range(1, len(ptk) - 3)) t(i)),
+    scored AS (SELECT pg.probe_id, pg.ptk, pg.off, pg.kgram,
+                      COALESCE(f.freq, 0) AS freq
+               FROM pg LEFT JOIN freqs f USING (kgram)),
+    pa AS (SELECT probe_id, ptk, kgram, off FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY freq, off) AS rn
+             FROM scored) WHERE rn = 1),
+    cand AS (SELECT cg.corpus_id, pa.probe_id,
+                    cg.pos - pa.off + 1 AS match_pos, pa.ptk
+             FROM cg JOIN pa USING (kgram))
+    SELECT c.corpus_id, c.probe_id, c.match_pos
+    FROM cand c JOIN ct ON ct.corpus_id = c.corpus_id
+    WHERE c.match_pos >= 1
+      AND c.match_pos + len(c.ptk) - 1 <= len(ct.ctk)
+      AND ct.ctk[CAST(c.match_pos AS INT):CAST(c.match_pos + len(c.ptk) - 1 AS INT)]
+          = c.ptk
+    """,
+)
+def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring decontamination (operators.dedup.
+    substring_matches): every 17th document donates a 12-token probe
+    (tokens 4-15 of its text — a verbatim "benchmark answer" planted
+    inside the corpus), and the sweep reports every (corpus doc,
+    probe, position) where the probe appears contiguously. Rarest-
+    anchor 5-grams generate the candidates (exercising the corpus-
+    frequency anchor selection), bounded slice-equality extension
+    verifies. Self-matches at position 4 are guaranteed; duplicate
+    documents surface extra hits."""
+    from ..operators.dedup import substring_matches
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    probes = (
+        docs.where(F.col("doc_id") % 17 == 0)
+        .select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= 15)
+        .select(
+            "doc_id", F.expr("array_join(slice(_t, 4, 12), ' ')").alias("text")
+        )
+    )
+    return substring_matches(docs, probes, k=5, anchor="rarest")
+
+
+@register(
     "incremental_dedup",
     oracle="""
     WITH store AS (SELECT md5(text) AS content_hash FROM documents

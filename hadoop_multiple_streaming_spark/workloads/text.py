@@ -1020,3 +1020,68 @@ def text_rare_words_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return rare_word_scores(docs, "text", "doc_id")
+
+
+#: Frozen quality-classifier weights (micro-quantized bigints, order =
+#: quality_model.FEATURE_COLS + intercept). Provenance: trained by
+#: operators.quality_model.train_quality_classifier — pyspark.ml
+#: LogisticRegression (LBFGS, maxIter=50, regParam=0.01,
+#: standardization off) — on the sf0.01 documents table with proxy
+#: labels quality_score >= 0.71 (the heuristic's corpus median), the
+#: standard classifier-distilled-from-heuristic curation setup.
+#: Distillation accuracy 0.904; re-training is deterministic
+#: (test_quality_model_train_deterministic). The model ships as these
+#: 6 integers exactly like the LSH plane matrices ship as literals.
+FROZEN_QUALITY_WEIGHTS_V1 = [-119345, 172202, 38621, 0, -1579, -2289383]
+
+_QM_W = FROZEN_QUALITY_WEIGHTS_V1
+
+
+@register(
+    "quality_model_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS f_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
+             CAST(length(text) AS BIGINT) AS f_chars,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                 AS f_punct,
+             CASE WHEN len(tk) > 0 THEN
+               (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                * 1000) // len(tk)
+             ELSE 0 END AS f_meanwl_ppk
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents))
+    SELECT doc_id,
+           CAST(f_tokens * ({_QM_W[0]}) + f_uniq * ({_QM_W[1]})
+                + f_chars * ({_QM_W[2]}) + f_punct * ({_QM_W[3]})
+                + f_meanwl_ppk * ({_QM_W[4]}) + ({_QM_W[5]}) AS BIGINT)
+               AS score_micro,
+           (f_tokens * ({_QM_W[0]}) + f_uniq * ({_QM_W[1]})
+                + f_chars * ({_QM_W[2]}) + f_punct * ({_QM_W[3]})
+                + f_meanwl_ppk * ({_QM_W[4]}) + ({_QM_W[5]})) >= 0
+               AS predicted
+    FROM feat
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators.quality_model): the
+    frozen distilled classifier applied to every document as a pure
+    integer column expression — (doc_id, score_micro, predicted).
+    score_micro is the exact micro-scaled logit; predicted is the
+    keep/drop decision (logit >= 0 <=> p >= 0.5). Training is the
+    separate train_quality_classifier operator (pyspark.ml LBFGS —
+    iterative float optimization, tested for accuracy and determinism
+    in pytest, not SQL-replayable); scoring at 100 TB is this frozen
+    hash-exact scan."""
+    from ..operators.quality_model import (
+        quality_features,
+        score_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality_classifier(
+        quality_features(docs), FROZEN_QUALITY_WEIGHTS_V1
+    )

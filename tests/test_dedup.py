@@ -426,3 +426,45 @@ def test_semantic_dedup_impls_and_min_id_rule(spark):
         ).collect()
     }
     assert capped == {1: True, 2: True, 3: True, 4: True, 5: True}
+
+
+def test_substring_matches_positions_and_anchors(spark):
+    """Every contiguous occurrence is found at its 1-based token
+    position (both anchor modes), probes shorter than k are skipped,
+    partial overlaps don't match, and leftward out-of-range
+    extensions are rejected."""
+    from hadoop_multiple_streaming_spark.operators.dedup import substring_matches
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x x c d e x c d e f x"),   # "c d e" twice; "c d e f" once
+            (3, "q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, "c d e"),       # 3 tokens: matches doc1@3, doc2@3, doc2@7
+            (101, "c d e f"),     # matches doc1@3, doc2@7
+            (102, "z z z"),       # no match
+            (103, "ab"),          # 1 token < k -> skipped
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (1, 100, 3), (2, 100, 3), (2, 100, 7),
+        (1, 101, 3), (2, 101, 7),
+    }
+    for mode in ("rarest", "first"):
+        got = {
+            (r.corpus_id, r.probe_id, r.match_pos)
+            for r in substring_matches(corpus, probes, k=2, anchor=mode).collect()
+        }
+        assert got == want, mode
+    # k larger than every probe -> empty, not an error
+    assert substring_matches(corpus, probes, k=9).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="anchor"):
+        substring_matches(corpus, probes, k=2, anchor="wat")
