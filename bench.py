@@ -71,6 +71,11 @@ HEADLINE = [
     "salted_join_revenue",
     "temperature_sample",
     "incremental_dedup",
+    # round-7 extension surface
+    "dedup_embedding_lsh_auto",
+    "semantic_dedup",
+    "substring_decontamination",
+    "quality_model_score",
 ]
 
 

@@ -62,117 +62,110 @@ _PRIORITY_ORDER = [
     "semantic_dedup",
     "substring_decontamination",
     "quality_model_score",
-    # round-6 NEW operators (first driver evidence this round)
-    "ann_pq_train_recall",
-    "salted_join_revenue",
-    "temperature_sample",
-    "incremental_dedup",
-    "blocklist_screen",
+    # round-7 plan-touched queries (chunk empty-window fix, blocklist
+    # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
-    "incremental_minhash_dedup",
-    "text_rare_words",
-    # round-6 plan-touched queries (in-plan O(n^2) guard, private index
-    # path, PQ-oracle BIGINT tie-break, packing tie-break param)
-    "dedup_embedding_cosine",
-    "ann_ivf_index",
-    "ann_pq_adc",
-    "pack_sequences_global",
-    # the 12 relational queries de-hinted in r05 (plan changed after
-    # their last driver-green row -> first post-change driver rows)
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_failing_supplier",
-    "part_supplier_topn",
-    # dedup family (the floor pair stays in-window while the CROSSOVER.md
-    # performance claim rides on them; exact_dedup's mechanism is inside
-    # the in-window incremental_dedup)
+    "blocklist_screen",
+    "dedup_embedding_lsh",
+    # dedup family: the crossover perf claim was RE-measured this
+    # round (CROSSOVER.md round-7 table) -> floor pair stays in-window
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "dedup_clusters",
-    "dedup_embedding_lsh",
-    # text / sampling / multimodal / curation representatives
-    "text_pii_redact",
-    "text_profile",
-    "text_boilerplate_removal",
-    "curation_pipeline",
-    "multimodal_features",
-    # similarity search / ANN
-    "ann_cosine_topk",
-    "ann_ivf_multiprobe",
-    # join surfaces (as-of, interval, outer-join distribution)
-    "asof_click_attribution",
-    "q13_customer_distribution",
-    # events family (ts-normalization path)
-    "events_hourly_rollup",
-    "events_sessionize",
-    "secondary_sort_events",
-    "events_exact_profile",
-    # aggregate package parity (A1-A6)
-    "agg_long_sum",
-    "agg_uniq_count",
-    "agg_value_histogram",
-    "contamination_rate",
-    # relational core (scan-agg + star join shapes)
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
+    # evidence-refresh: family representatives whose last driver-green
+    # row is OLDEST (plans unchanged; rotation keeps every family
+    # represented while re-proving the stalest rows first)
+    "dedup_exact",  # last green r05
+    "dedup_simhash",  # r05
+    "decontaminate_docs",  # r05
+    "text_fingerprint",  # r04
+    "text_token_count",  # r04
+    "text_quality_score",  # r05
+    "text_langid",  # r05
+    "text_top_bigrams",  # r04
+    "text_tfidf_top_terms",  # r05
+    "text_sentence_stats",  # r05
+    "text_repetition",  # r05
+    "curation_pipeline",  # r06; kept fresh as the pipeline composite
+    "multimodal_frame_sample",  # r05
+    "pack_sequences",  # r05
+    "pack_texts",  # r05
+    "dataset_split",  # r03+r04
+    "stratified_sample",  # r05
+    "quota_sample",  # r05
+    "ann_ivf_topk",  # r04
+    "embedding_centroids",  # r04
+    "ann_recall",  # r04
+    "kmeans_refine",  # r05; kmeans_lloyd now also feeds semantic_dedup
+    "ivf_assignment",  # r05
+    "embedding_sq8",  # r05
+    "interval_click_errors",  # r05
+    "anti_join_dormant_customers",  # r03+r04
+    "first_event_per_user",  # r05
+    "events_json_props",  # r05
+    "agg_long_max_min",  # r03+r04
+    "agg_double_sum",  # r04
+    "agg_string_max_min",  # r04
+    "agg_salted_sum",  # r04
+    "q3_shipping_priority",  # r03+r04
+    "q6_forecast_revenue",  # r03+r04
+    "q4_order_priority",  # r03+r04
+    "q10_returned_items",  # r03+r04
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
+    "ann_pq_train_recall",  # r06 green
+    "salted_join_revenue",  # r06 green
+    "temperature_sample",  # r06 green
+    "incremental_dedup",  # r06 green
+    "incremental_minhash_dedup",  # r06 green
+    "text_rare_words",  # r06 green
+    "ann_ivf_index",  # r06 green
+    "ann_pq_adc",  # r06 green
+    "pack_sequences_global",  # r06 green
+    "q2_min_cost_supplier",  # r06 green (post-de-hint)
+    "q7_nation_volume",  # r06 green
+    "q8_market_share",  # r06 green
+    "q9_product_profit",  # r06 green
+    "q14_promo_revenue",  # r06 green
+    "q15_top_supplier",  # r06 green
+    "q16_supplier_part_counts",  # r06 green
+    "q17_small_quantity_revenue",  # r06 green
+    "q19_disjunctive_revenue",  # r06 green
+    "q20_heavy_shippers",  # r06 green
+    "q21_sole_failing_supplier",  # r06 green
+    "part_supplier_topn",  # r06 green
+    "text_pii_redact",  # r06 green
+    "text_profile",  # r06 green
+    "text_boilerplate_removal",  # r06 green
+    "multimodal_features",  # r06 green
+    "ann_cosine_topk",  # r06 green
+    "ann_ivf_multiprobe",  # r06 green
+    "asof_click_attribution",  # r06 green
+    "q13_customer_distribution",  # r06 green
+    "events_hourly_rollup",  # r06 green
+    "events_sessionize",  # r06 green
+    "secondary_sort_events",  # r06 green
+    "events_exact_profile",  # r06 green
+    "agg_long_sum",  # r06 green
+    "agg_uniq_count",  # r06 green
+    "agg_value_histogram",  # r06 green
+    "contamination_rate",  # r06 green
+    "q1_pricing_summary",  # r06 green
+    "q5_local_supplier_volume",  # r06 green
     "pipe_identity_cat",  # r05 green; P3 identity elision unchanged
-    "kmeans_refine",  # r05 green
-    "ivf_assignment",  # r05 green
-    "quota_sample",  # r05 green
-    "dedup_exact",  # r05 green
-    "dedup_simhash",  # r05 green (pair twin dedup_simhash_pairs also tail)
-    "interval_click_errors",  # r05 green
+    "dedup_simhash_pairs",  # r04 green + r05/r06 judge re-runs
+    "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile
     "q22_global_sales_opportunity",  # r04 green
-    "dataset_split",  # r03+r04 green
-    "ann_ivf_topk",  # r04 green
-    "embedding_centroids",  # r04 green
-    "agg_long_max_min",  # r03+r04 green
-    "text_token_count",  # r04 green
-    "agg_double_sum",  # r04 green + r05 judge re-run
-    "agg_string_max_min",  # r04 green
-    "agg_salted_sum",  # r04 green
-    "text_fingerprint",  # r04 green
-    "text_top_bigrams",  # r04 green
-    "ann_recall",  # r04 green
-    "dedup_simhash_pairs",  # r04 green + r05 judge re-run
-    "events_approx_profile",  # sketch columns rows-only by nature; exact twin in-window
-    "q3_shipping_priority",  # r03+r04 green
-    "q6_forecast_revenue",  # r03+r04 green
     "customer_order_counts",  # r03+r04 green
     "set_ops_customers",  # r03+r04 green
     "lineitem_rollup",  # r03+r04 green
-    "q10_returned_items",  # r03+r04 green
-    "q18_large_orders",  # r03+r04 green
-    "price_percentiles",  # r03+r04 green
-    "anti_join_dormant_customers",  # r03+r04 green
+    "q18_large_orders",  # r03+r04 green + r06 judge re-run
+    "price_percentiles",  # r03+r04 green + r06 judge re-run
     "lineitem_cube",  # r03+r04 green
     "orders_grouping_sets",  # r03+r04 green
     "orders_priority_pivot",  # r03+r04 green
-    "q4_order_priority",  # r03+r04 green
     "q11_important_parts",  # r03+r04 green
     "q12_priority_by_status",  # r03+r04 green
-    "text_quality_score",  # r05 green
-    "text_langid",  # r05 green
-    "stratified_sample",  # r05 green
-    "multimodal_frame_sample",  # r05 green
-    "text_tfidf_top_terms",  # r05 green
-    "text_sentence_stats",  # r05 green
-    "text_repetition",  # r05 green
-    "pack_sequences",  # r05 green
-    "pack_texts",  # r05 green
-    "decontaminate_docs",  # r05 green
-    "embedding_sq8",  # r05 green
-    "first_event_per_user",  # r05 green
-    "events_json_props",  # r05 green
     "agg_long_sum_native",  # r05 green
 ]
 

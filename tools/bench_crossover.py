@@ -28,7 +28,17 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-QUERIES = ["dedup_minhash_lsh", "dedup_ngram_jaccard"]
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # round-7 additions: the auto-sized sign-LSH (band geometry derived
+    # from count(*) on BOTH engines, so the workload self-scales) and
+    # the two scan-shaped curation ops (substring decon's anchor join,
+    # the frozen-classifier scoring scan)
+    "dedup_embedding_lsh_auto",
+    "substring_decontamination",
+    "quality_model_score",
+]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
 # corpus (2k vectors, weak 0.45 similarity): 8 bands x 4 sign bits =
