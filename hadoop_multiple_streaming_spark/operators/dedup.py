@@ -1097,6 +1097,15 @@ def substring_matches(
                 )
             ).alias("_p0", "kgram"),
         ).select("probe_id", (F.col("_p0") + 1).cast("long").alias("_off"), "kgram")
+        # The frequency groupBy is deliberately UNRESTRICTED (counting
+        # every corpus gram, though only probe grams are read): its
+        # hashpartitioning(kgram) exchange is byte-identical to the one
+        # the candidate join needs, so AQE wires the join to it as a
+        # ReusedExchange and the 2.7M-row gram explode+shuffle runs
+        # ONCE. A probe-side semi-join pre-filter before counting was
+        # measured 1.4-1.8x SLOWER end-to-end at sf0.5/sf1.0: it
+        # shrinks the count shuffle but breaks the exchange reuse, so
+        # the gram stream is exploded and shuffled twice.
         freqs = cg.groupBy("kgram").agg(F.count(F.lit(1)).alias("_freq"))
         scored = pgrams.join(freqs, "kgram", "left").withColumn(
             "_freq", F.coalesce("_freq", F.lit(0))
