@@ -76,6 +76,7 @@ HEADLINE = [
     "semantic_dedup",
     "substring_decontamination",
     "quality_model_score",
+    "duplicate_span_mining",
 ]
 
 

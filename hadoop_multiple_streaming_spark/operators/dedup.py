@@ -1141,6 +1141,67 @@ def substring_matches(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-span mining (public method: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr finding that verbatim spans repeated ACROSS documents
+    are what LMs memorize, and removing them beats whole-doc dedup):
+    every ``span_tokens``-token window occurring in at least
+    ``min_docs`` DISTINCT documents, with its occurrence stats ->
+    (span, n_docs, n_occurrences, min_doc_id). Downstream, matched
+    spans are cut from all-but-one occurrence; this operator is the
+    discovery pass.
+
+    Versus the n-gram family: word_shingles feeds per-DOC similarity
+    (Jaccard/MinHash); this groups the span STREAM itself, so a
+    boilerplate paragraph shared by 10k pages surfaces as one row with
+    n_docs=10k — the memorization hot list, ranked for free by the
+    groupBy counts.
+
+    Scale shape: the window explode is O(total tokens) and stateless;
+    ONE groupBy(span) exchange with map-side combine does everything
+    (count, distinct-doc count via the (span, id) re-aggregation,
+    min-id). The span string itself is the shuffle key — for 100 TB,
+    substitute the span's md5 as the key and keep one example string
+    per group (same plan, 16-byte keys); the text form here keeps the
+    oracle trivially replayable. Suppression of overlapping self-hits:
+    a document repeating a token run internally counts each window
+    occurrence (n_occurrences), but n_docs counts each doc once —
+    min_docs=2 therefore requires a CROSS-document repeat."""
+    if span_tokens < 1:
+        raise ValueError(
+            f"duplicate_spans: span_tokens must be >= 1, got {span_tokens}"
+        )
+    k = int(span_tokens)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+    )
+    spans = F.when(
+        F.size("_tk") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_tk) - {k - 1}), "
+            f"i -> array_join(slice(_tk, i, {k}), ' '))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    occ = toks.select("id", F.explode(spans).alias("span"))
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def ngram_contamination(
     corpus_shingles: DataFrame, probe_shingles: DataFrame
 ) -> DataFrame:

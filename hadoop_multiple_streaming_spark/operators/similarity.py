@@ -114,12 +114,13 @@ def kmeans_lloyd(
     cluster id. Fixed iteration count — no data-dependent stopping —
     so an engine replaying the same math lands on identical clusters.
 
-    Scale shape per round: centroids are tiny (k x dim) -> broadcast
-    cross join + per-id window argmin (no shuffle of the corpus beyond
-    the window's id partitioning); the mean recompute is groupBy
-    (cluster) with 64 per-dim SUM buffers — map-side partial agg,
-    constant memory per group. Empty clusters drop out naturally
-    (no row from the groupBy), matching the SQL replay."""
+    Scale shape per round: centroids are tiny (k x dim) -> they fold
+    into ONE broadcast row (array of (cluster, c) structs) and the
+    argmin is a per-row projection — ZERO corpus shuffle for
+    assignment; the mean recompute is groupBy(cluster) with 64 per-dim
+    SUM buffers — map-side partial agg, constant memory per group, the
+    only exchange each iteration pays. Empty clusters drop out
+    naturally (no row from the groupBy), matching the SQL replay."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
     # the smallest cluster id — fail loudly instead. The check is a
@@ -140,23 +141,30 @@ def kmeans_lloyd(
     )
     cent = init_centroids
     assigned = None
-    dist = F.expr(
-        "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
-        "cast(0 as double), (acc, d) -> acc + d)"
+    # Assignment is a PROJECTION, not a join+aggregate: the k
+    # centroids collapse into ONE broadcast row carrying an
+    # array<struct(cluster, c)>, and the argmin runs inside each data
+    # row — transform computes the same left-to-right L2 fold per
+    # centroid, array_sort orders by (dist, cluster) (lexicographic
+    # struct order == ORDER BY dist, cluster, the oracle's rule) and
+    # element 1 wins. This removes the per-iteration n-row shuffle the
+    # old crossJoin+groupBy(id, qv) argmin paid (hashing 64-element
+    # array keys per row), leaving the centroid-mean groupBy as each
+    # iteration's ONLY exchange. collect_list's nondeterministic order
+    # is irrelevant: the sort is over (dist, cluster) values.
+    argmin = F.expr(
+        "element_at(array_sort(transform(_cents, s -> named_struct("
+        "'dist', aggregate(zip_with(qv, s.c, (x, m) -> "
+        "(cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d), "
+        "'cluster', s.cluster))), 1).cluster"
     )
     for _ in range(iters):
-        scored = quantized.crossJoin(F.broadcast(cent)).select(
-            "id", "qv", "cluster", dist.alias("dist")
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cluster", "c")).alias("_cents")
         )
-        # argmin as min-of-struct, NOT a row_number window: struct
-        # ordering is lexicographic (dist, then cluster — identical to
-        # ORDER BY dist, cluster), and min() partially aggregates on
-        # the map side, so only ~n combiner rows shuffle instead of
-        # the window's n*k scored rows (qv duplicated k times)
-        assigned = (
-            scored.groupBy("id", "qv")
-            .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
-            .select("id", "qv", F.col("_m.cluster").alias("cluster"))
+        assigned = quantized.crossJoin(F.broadcast(cent_arr)).select(
+            "id", "qv", argmin.alias("cluster")
         )
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
@@ -179,17 +187,23 @@ _L2 = (
 
 def assign_centroids(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (id, qv, n2) x (cluster, c) ->
-    (id, qv, n2, cluster). Broadcast cross join against the k-sized
-    centroid table + min-of-struct argmin (map-side partial agg — the
-    same shape kmeans_lloyd uses; ties break to the smaller cluster
-    id, deterministic)."""
-    scored = quantized.crossJoin(F.broadcast(centroids)).select(
-        "id", "qv", "n2", "cluster", F.expr(_L2).alias("dist")
+    (id, qv, n2, cluster). The k centroids fold into ONE broadcast row
+    (array of (cluster, c) structs) and the argmin runs inside each
+    data row — a pure projection, zero corpus shuffle (the same shape
+    kmeans_lloyd uses; ties break to the smaller cluster id via the
+    lexicographic (dist, cluster) sort, deterministic)."""
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cluster", "c")).alias("_cents")
     )
-    return (
-        scored.groupBy("id", "qv", "n2")
-        .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
-        .select("id", "qv", "n2", F.col("_m.cluster").alias("cluster"))
+    argmin = F.expr(
+        "element_at(array_sort(transform(_cents, s -> named_struct("
+        "'dist', aggregate(zip_with(qv, s.c, (x, m) -> "
+        "(cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d), "
+        "'cluster', s.cluster))), 1).cluster"
+    )
+    return quantized.crossJoin(F.broadcast(cent_arr)).select(
+        "id", "qv", "n2", argmin.alias("cluster")
     )
 
 

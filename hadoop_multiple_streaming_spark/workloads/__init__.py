@@ -62,6 +62,7 @@ _PRIORITY_ORDER = [
     "semantic_dedup",
     "substring_decontamination",
     "quality_model_score",
+    "duplicate_span_mining",
     # round-7 plan-touched queries (chunk empty-window fix, blocklist
     # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
@@ -110,8 +111,7 @@ _PRIORITY_ORDER = [
     "agg_salted_sum",  # r04
     "q3_shipping_priority",  # r03+r04
     "q6_forecast_revenue",  # r03+r04
-    "q4_order_priority",  # r03+r04
-    "q10_returned_items",  # r03+r04
+    "ann_ivf_index",  # r7 plan-touched: assign_centroids argmin projection
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
     "ann_pq_train_recall",  # r06 green
     "salted_join_revenue",  # r06 green
@@ -119,7 +119,6 @@ _PRIORITY_ORDER = [
     "incremental_dedup",  # r06 green
     "incremental_minhash_dedup",  # r06 green
     "text_rare_words",  # r06 green
-    "ann_ivf_index",  # r06 green
     "ann_pq_adc",  # r06 green
     "pack_sequences_global",  # r06 green
     "q2_min_cost_supplier",  # r06 green (post-de-hint)
@@ -166,6 +165,8 @@ _PRIORITY_ORDER = [
     "orders_priority_pivot",  # r03+r04 green
     "q11_important_parts",  # r03+r04 green
     "q12_priority_by_status",  # r03+r04 green
+    "q10_returned_items",  # r03+r04 green
+    "q4_order_priority",  # r03+r04 green
     "agg_long_sum_native",  # r05 green
 ]
 

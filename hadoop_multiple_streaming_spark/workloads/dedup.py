@@ -458,6 +458,37 @@ def contamination_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicate_span_mining",
+    oracle="""
+    WITH tk AS (SELECT doc_id AS id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                FROM documents),
+    occ AS (SELECT id,
+                   array_to_string(tk[CAST(i AS INT):CAST(i + 11 AS INT)], ' ')
+                       AS span
+            FROM tk, UNNEST(range(1, len(tk) - 10)) t(i)
+            WHERE len(tk) >= 12)
+    SELECT span,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(id) AS min_doc_id
+    FROM occ GROUP BY span
+    HAVING COUNT(DISTINCT id) >= 2
+    """,
+)
+def duplicate_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span mining (operators.dedup.
+    duplicate_spans): every 12-token window appearing in >= 2 distinct
+    documents, with doc/occurrence counts and the min-id exemplar —
+    the cross-document verbatim-repeat hot list (Lee et al. 2022). One
+    groupBy(span) exchange over the window stream."""
+    from ..operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    return duplicate_spans(docs, "text", "doc_id", span_tokens=12, min_docs=2)
+
+
+@register(
     "substring_decontamination",
     oracle="""
     WITH ct AS (SELECT doc_id AS corpus_id,

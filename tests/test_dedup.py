@@ -468,3 +468,38 @@ def test_substring_matches_positions_and_anchors(spark):
 
     with pytest.raises(ValueError, match="anchor"):
         substring_matches(corpus, probes, k=2, anchor="wat")
+
+
+def test_duplicate_spans_cross_doc_and_counts(spark):
+    """Cross-document repeats surface with exact doc/occurrence
+    counts; a within-doc-only repeat is excluded by min_docs=2 but its
+    occurrences count when another doc shares the span."""
+    from hadoop_multiple_streaming_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c r"),        # shares "a b c" with 1
+            (3, "z z z z"),          # internal repeat only ("z z" x3)
+            (4, "a b c a b c"),      # shares "a b c" with 1,2 - twice
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.span: (r.n_docs, r.n_occurrences, r.min_doc_id)
+        for r in duplicate_spans(docs, span_tokens=3, min_docs=2).collect()
+    }
+    # "a b c": docs 1,2,4 - doc 4 contributes 2 occurrences
+    assert got["a b c"] == (3, 4, 1)
+    # "z z z" repeats only inside doc 3 -> filtered by min_docs=2
+    assert "z z z" not in got
+    # min_docs=1 exposes the within-doc repeat with its counts
+    solo = {
+        r.span: (r.n_docs, r.n_occurrences)
+        for r in duplicate_spans(docs, span_tokens=3, min_docs=1).collect()
+    }
+    assert solo["z z z"] == (1, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="span_tokens"):
+        duplicate_spans(docs, span_tokens=0)
