@@ -237,3 +237,90 @@ def stream_enrich_join(
     broadcast rules: keep dims broadcast-sized or pre-bucket both
     sides."""
     return stream_df.join(dim_df, on, how)
+
+
+def streaming_incremental_minhash(
+    stream_df: DataFrame,
+    store_path: str,
+    output_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup ingestion screen — the foreachBatch form of
+    the incremental MinHash store (operators.dedup.minhash_store_hits
+    batch twin, equivalence test-asserted). Per micro-batch:
+
+      1. compute the batch's LSH (band, bucket) keys (shingle ->
+         16-hash MinHash -> banded md5 buckets, identical math to the
+         batch path by construction — one shared banding function);
+      2. drop every document that collides with the PERSISTED bucket
+         store (near-dup of already-ingested content) OR shares a
+         bucket with a smaller-id batch member (within-batch near-dup;
+         a doc whose only collision partner was itself dropped for a
+         store hit is dropped too — its partner being a near-dup of
+         stored content makes it one transitively, the conservative
+         choice for dedup);
+      3. append the SURVIVORS to ``output_path`` and their bucket keys
+         to ``store_path`` — so the store always holds exactly the
+         ingested corpus's buckets, batch over batch, no signatures at
+         rest (16-byte keys + band int).
+
+    Replay/exactly-once: re-running a micro-batch re-appends the same
+    bucket KEYS — duplicates in a key set probed by left-semi join are
+    harmless — and re-appends output rows, the standard at-least-once
+    parquet append (dedupe on read by id, or point output at the demux
+    sink's idempotent layout). At 100 TB/day, bucket the store parquet
+    on `bucket` so the per-batch probe joins without re-shuffling the
+    store side."""
+    from ..operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = word_shingles(batch_df, text_col, id_col, n=shingle_n, distinct=False)
+        sig = minhash_signatures(sh, num_hashes=num_hashes)
+        buckets = minhash_band_buckets(sig, rows_per_band=rows_per_band)
+        try:
+            store = spark.read.parquet(store_path).select("band", "bucket")
+        except Exception:
+            store = None  # first batch: no store yet
+        cross = (
+            buckets.join(store, ["band", "bucket"], "left_semi").select("id")
+            if store is not None
+            else buckets.select("id").limit(0)
+        )
+        rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
+        within = (
+            buckets.join(rep, ["band", "bucket"])
+            .where(F.col("id") != F.col("_keep"))
+            .select("id")
+        )
+        dropped = cross.unionByName(within).distinct()
+        survivors = batch_df.join(
+            dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
+        )
+        survivors.write.mode("append").parquet(output_path)
+        (
+            buckets.join(
+                survivors.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+            )
+            .select("band", "bucket")
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

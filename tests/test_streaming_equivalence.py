@@ -327,3 +327,83 @@ def test_stream_fanout_equals_batch_run_job(spark, tmp_path):
         got = sorted(r.value for r in spark.read.text(f"{sout}/{key}").collect())
         want = sorted(r.value for r in spark.read.text(f"{bout}/{key}").collect())
         assert got == want, key
+
+
+def test_streaming_incremental_minhash_equals_batch(spark, tmp_path):
+    """The foreachBatch incremental MinHash screen must equal the
+    BATCH composition of the same operators applied batch-after-batch:
+    identical surviving doc ids per batch AND an identical final
+    bucket store (as a key set)."""
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+    from hadoop_multiple_streaming_spark.streaming.fanout import (
+        streaming_incremental_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, "completely different words about spark shuffles and joins"),
+        (3, base + " tail"),              # near-dup of 1, SAME batch -> dropped
+        (10, base + " trailing extra"),   # near-dup of 1, NEXT batch -> dropped
+        (11, "novel second batch content nothing like the others"),
+        (12, "novel second batch content nothing like the others ok"),  # near-dup of 11
+    ]
+    b1 = spark.createDataFrame(docs[:3], "doc_id long, text string")
+    b2 = spark.createDataFrame(docs[3:], "doc_id long, text string")
+    indir = str(tmp_path / "in")
+    _stage_files(spark, [b1, b2], indir)
+
+    store_path = str(tmp_path / "store")
+    out_path = str(tmp_path / "out")
+    q = streaming_incremental_minhash(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store_path,
+        out_path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    # batch twin, replayed sequentially with the batch operators
+    def batch_step(batch_df, store_df):
+        sh = word_shingles(batch_df, "text", "doc_id", n=3, distinct=False)
+        sig = minhash_signatures(sh, num_hashes=16)
+        buckets = minhash_band_buckets(sig, rows_per_band=2)
+        cross = (
+            buckets.join(store_df, ["band", "bucket"], "left_semi").select("id")
+            if store_df is not None
+            else buckets.select("id").limit(0)
+        )
+        rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
+        within = (
+            buckets.join(rep, ["band", "bucket"])
+            .where(F.col("id") != F.col("_keep"))
+            .select("id")
+        )
+        dropped = cross.unionByName(within).distinct()
+        surv = batch_df.join(
+            dropped.withColumnRenamed("id", "doc_id"), ["doc_id"], "left_anti"
+        )
+        surv_buckets = buckets.join(
+            surv.select(F.col("doc_id").alias("id")), ["id"], "left_semi"
+        ).select("band", "bucket")
+        return surv, surv_buckets
+
+    s1, k1 = batch_step(b1, None)
+    s2, k2 = batch_step(b2, k1)
+    want_ids = {r.doc_id for r in s1.collect()} | {r.doc_id for r in s2.collect()}
+    want_store = {(r.band, r.bucket) for r in k1.collect()} | {
+        (r.band, r.bucket) for r in k2.collect()
+    }
+
+    got_ids = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    got_store = {
+        (r.band, r.bucket) for r in spark.read.parquet(store_path).collect()
+    }
+    assert got_ids == want_ids
+    assert got_store == want_store
+    # the screen actually dropped the planted near-dups
+    assert got_ids == {1, 2, 11}
