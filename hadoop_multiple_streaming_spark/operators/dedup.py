@@ -1141,6 +1141,61 @@ def substring_matches(
     )
 
 
+def remove_spans(
+    df: DataFrame,
+    matches: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    match_id_col: str = "corpus_id",
+    pos_col: str = "match_pos",
+    len_col: str = "span_tokens",
+) -> DataFrame:
+    """Cut matched token spans OUT of documents — the remediation step
+    that follows substring_matches/duplicate_spans discovery (ExactSubstr
+    dedup removes the repeated span from all-but-one occurrence;
+    benchmark decontamination removes it everywhere). ``matches`` rows
+    are (match_id_col, pos_col, len_col): a 1-based token start and a
+    token count per hit. Returns EVERY input document as
+    (id_col, clean_text, n_tokens, n_removed) — unmatched docs pass
+    through with n_removed = 0.
+
+    Overlapping/adjacent hits need NO interval merging: a token
+    survives iff NO hit interval covers its position (an exists()
+    probe per token against the doc's interval list — O(tokens x
+    hits_per_doc), and hits per doc are few by construction).
+    Tokens rejoin with single spaces (the pipeline-wide tokenization
+    contract), so cut output re-tokenizes cleanly downstream.
+
+    Scale shape: one groupBy(doc) over the MATCH set (tiny — hits,
+    not tokens), a left join back to the corpus (match side
+    aggregates broadcast under AQE), then a stateless projection."""
+    ivs = matches.groupBy(F.col(match_id_col).alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col(pos_col).cast("long").alias("s"),
+                (F.col(pos_col) + F.col(len_col) - 1).cast("long").alias("e"),
+            )
+        ).alias("_ivs")
+    )
+    empty_ivs = F.expr("array()").cast("array<struct<s:bigint,e:bigint>>")
+    base = df.join(ivs, id_col, "left").select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+        F.coalesce(F.col("_ivs"), empty_ivs).alias("_ivs"),
+    )
+    kept = F.expr(
+        # Spark filter lambda index i is 0-based; positions are 1-based
+        "filter(_tk, (t, i) -> "
+        "NOT exists(_ivs, iv -> iv.s <= i + 1 AND i + 1 <= iv.e))"
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

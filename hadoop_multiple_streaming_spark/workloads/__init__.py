@@ -63,6 +63,7 @@ _PRIORITY_ORDER = [
     "substring_decontamination",
     "quality_model_score",
     "duplicate_span_mining",
+    "decontaminate_cut_spans",
     # round-7 plan-touched queries (chunk empty-window fix, blocklist
     # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
@@ -108,7 +109,6 @@ _PRIORITY_ORDER = [
     "agg_long_max_min",  # r03+r04
     "agg_double_sum",  # r04
     "agg_string_max_min",  # r04
-    "agg_salted_sum",  # r04
     "q3_shipping_priority",  # r03+r04
     "q6_forecast_revenue",  # r03+r04
     "ann_ivf_index",  # r7 plan-touched: assign_centroids argmin projection
@@ -167,6 +167,7 @@ _PRIORITY_ORDER = [
     "q12_priority_by_status",  # r03+r04 green
     "q10_returned_items",  # r03+r04 green
     "q4_order_priority",  # r03+r04 green
+    "agg_salted_sum",  # r04 green + r06 judge re-run
     "agg_long_sum_native",  # r05 green
 ]
 

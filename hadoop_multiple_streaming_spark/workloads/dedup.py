@@ -488,12 +488,12 @@ def duplicate_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "text", "doc_id", span_tokens=12, min_docs=2)
 
 
-@register(
-    "substring_decontamination",
-    oracle="""
-    WITH ct AS (SELECT doc_id AS corpus_id,
-                       list_filter(string_split(text, ' '), t -> t <> '') AS ctk
-                FROM documents),
+# shared oracle CTE chain: rarest-anchor 5-gram substring matching of
+# the planted 12-token probes (every 17th doc, tokens 4-15) -> `hits`
+_SUBSTR_HITS_CTES = """
+    ct AS (SELECT doc_id AS corpus_id,
+                list_filter(string_split(text, ' '), t -> t <> '') AS ctk
+         FROM documents),
     pr AS (SELECT corpus_id AS probe_id, ctk[4:15] AS ptk
            FROM ct WHERE corpus_id % 17 = 0 AND len(ctk) >= 15),
     cg AS (SELECT corpus_id, CAST(i AS BIGINT) AS pos,
@@ -513,13 +513,21 @@ def duplicate_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM scored) WHERE rn = 1),
     cand AS (SELECT cg.corpus_id, pa.probe_id,
                     cg.pos - pa.off + 1 AS match_pos, pa.ptk
-             FROM cg JOIN pa USING (kgram))
-    SELECT c.corpus_id, c.probe_id, c.match_pos
-    FROM cand c JOIN ct ON ct.corpus_id = c.corpus_id
-    WHERE c.match_pos >= 1
-      AND c.match_pos + len(c.ptk) - 1 <= len(ct.ctk)
-      AND ct.ctk[CAST(c.match_pos AS INT):CAST(c.match_pos + len(c.ptk) - 1 AS INT)]
-          = c.ptk
+             FROM cg JOIN pa USING (kgram)),
+    hits AS (SELECT c.corpus_id, c.probe_id, c.match_pos
+             FROM cand c JOIN ct ON ct.corpus_id = c.corpus_id
+             WHERE c.match_pos >= 1
+               AND c.match_pos + len(c.ptk) - 1 <= len(ct.ctk)
+               AND ct.ctk[CAST(c.match_pos AS INT):CAST(c.match_pos + len(c.ptk) - 1 AS INT)]
+                   = c.ptk)
+"""
+
+
+@register(
+    "substring_decontamination",
+    oracle=f"""
+    WITH {_SUBSTR_HITS_CTES}
+    SELECT corpus_id, probe_id, match_pos FROM hits
     """,
 )
 def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +553,54 @@ def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return substring_matches(docs, probes, k=5, anchor="rarest")
+
+
+@register(
+    "decontaminate_cut_spans",
+    oracle=f"""
+    WITH {_SUBSTR_HITS_CTES},
+    ivs AS (SELECT corpus_id AS doc_id,
+                   array_agg({{'s': match_pos, 'e': match_pos + 11}}) AS ivs
+            FROM hits GROUP BY corpus_id),
+    cut AS (SELECT ct.corpus_id AS doc_id,
+                   list_filter(ct.ctk, (t, i) ->
+                       len(list_filter(COALESCE(ivs.ivs, []),
+                                       iv -> iv.s <= i AND i <= iv.e)) = 0)
+                       AS kept,
+                   ct.ctk AS ctk
+            FROM ct LEFT JOIN ivs ON ivs.doc_id = ct.corpus_id)
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_tokens,
+           CAST(len(ctk) - len(kept) AS BIGINT) AS n_removed
+    FROM cut
+    """,
+)
+def decontaminate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-then-CUT decontamination (operators.dedup.remove_spans
+    composing substring_matches): the matched 12-token probe spans are
+    excised from every document they occur in — including the probe's
+    own source (it IS the contamination) — returning the whole corpus
+    as (doc_id, clean_text, n_tokens, n_removed), unmatched docs
+    passing through untouched. Overlap-safe per-token coverage test,
+    no interval merging. The ExactSubstr remediation step done
+    end-to-end."""
+    from ..operators.dedup import remove_spans, substring_matches
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    probes = (
+        docs.where(F.col("doc_id") % 17 == 0)
+        .select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= 15)
+        .select(
+            "doc_id", F.expr("array_join(slice(_t, 4, 12), ' ')").alias("text")
+        )
+    )
+    matches = substring_matches(docs, probes, k=5, anchor="rarest").withColumn(
+        "span_tokens", F.lit(12)
+    )
+    return remove_spans(docs, matches)
 
 
 @register(

@@ -503,3 +503,29 @@ def test_duplicate_spans_cross_doc_and_counts(spark):
 
     with pytest.raises(ValueError, match="span_tokens"):
         duplicate_spans(docs, span_tokens=0)
+
+
+def test_remove_spans_cut_and_passthrough(spark):
+    """Covered tokens are excised (1-based positions, overlap-safe),
+    unmatched docs pass through untouched, and counts reconcile."""
+    from hadoop_multiple_streaming_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "u v w"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    matches = spark.createDataFrame(
+        [
+            (1, 2, 2),  # cut tokens 2-3 ("b c")
+            (1, 3, 2),  # overlaps: tokens 3-4 ("c d") -> union 2-4
+            (3, 1, 3),  # cut the whole doc
+        ],
+        "corpus_id long, match_pos long, span_tokens long",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_spans(docs, matches).collect()
+    }
+    assert got[1] == ("a e f", 3, 3)
+    assert got[2] == ("u v w", 3, 0)
+    assert got[3] == ("", 0, 3)
