@@ -173,6 +173,64 @@ def temperature_sample(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Weighted-epoch source mixing WITH repetition — the execution
+    step of a data-mixing recipe (the DoReMi / LLaMA-style "source s
+    is seen w_s times per training epoch" table): every row of source
+    s is emitted floor(w_s) times, plus once more for the stable
+    hash-chosen fraction frac(w_s) of its rows, so the expected
+    multiplicity is exactly w_s with NO RNG — the repetition set is a
+    deterministic function of the id, reproducible across runs,
+    engines, and cluster sizes. w < 1 downsamples (w = 0 drops the
+    source entirely); sources absent from ``weights`` get
+    ``default_weight``. Output = input columns + ``epoch`` (1-based
+    repetition index, so downstream can e.g. shuffle-seed per epoch).
+
+    Fractional law (engine-exact): repeat row r an extra time iff
+    hash_value(id) < floor(frac(w) * 16^6) — the threshold integer is
+    computed ONCE here and embedded as a literal in the plan (and in
+    any SQL oracle), so no float arithmetic crosses engines.
+
+    Scale shape: one stateless projection + explode — no shuffle, scan
+    speed; output volume is sum(w_s * n_s) rows by construction."""
+    import math
+
+    def _parts(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"upsample_epochs: weight must be >= 0, got {w}")
+        fl = int(math.floor(w))
+        return fl, int((w - fl) * SPACE)
+
+    hv = hash_value(F.col(id_col))
+    reps = None
+    for src, w in weights.items():
+        fl, th = _parts(float(w))
+        r = F.lit(fl) + (hv < F.lit(th)).cast("int")
+        cond = F.col(source_col) == F.lit(src)
+        reps = F.when(cond, r) if reps is None else reps.when(cond, r)
+    fl_d, th_d = _parts(float(default_weight))
+    default_r = F.lit(fl_d) + (hv < F.lit(th_d)).cast("int")
+    reps = default_r if reps is None else reps.otherwise(default_r)
+    return (
+        df.withColumn("_reps", reps)
+        # guard BEFORE sequence(): sequence(1, 0) is a DESCENDING range
+        # in Spark, not empty
+        .where(F.col("_reps") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.expr("sequence(1L, cast(_reps as bigint))")
+            ).alias("epoch"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
 ) -> DataFrame:

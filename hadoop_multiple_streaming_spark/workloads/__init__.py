@@ -64,6 +64,7 @@ _PRIORITY_ORDER = [
     "quality_model_score",
     "duplicate_span_mining",
     "decontaminate_cut_spans",
+    "upsample_epochs",
     # round-7 plan-touched queries (chunk empty-window fix, blocklist
     # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
@@ -110,7 +111,6 @@ _PRIORITY_ORDER = [
     "agg_double_sum",  # r04
     "agg_string_max_min",  # r04
     "q3_shipping_priority",  # r03+r04
-    "q6_forecast_revenue",  # r03+r04
     "ann_ivf_index",  # r7 plan-touched: assign_centroids argmin projection
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
     "ann_pq_train_recall",  # r06 green
@@ -168,6 +168,7 @@ _PRIORITY_ORDER = [
     "q10_returned_items",  # r03+r04 green
     "q4_order_priority",  # r03+r04 green
     "agg_salted_sum",  # r04 green + r06 judge re-run
+    "q6_forecast_revenue",  # r03+r04 green
     "agg_long_sum_native",  # r05 green
 ]
 

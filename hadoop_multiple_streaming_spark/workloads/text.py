@@ -1085,3 +1085,48 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_classifier(
         quality_features(docs), FROZEN_QUALITY_WEIGHTS_V1
     )
+
+
+def _upsample_oracle() -> str:
+    from ..functions.sampling import SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    # same fractional thresholds the Spark plan embeds: floor(frac * 16^6)
+    th_half = int(0.5 * SPACE)        # src0 -> 2.5 epochs
+    th_third = int(0.3 * SPACE)       # src1 -> 0.3 epochs
+    return f"""
+    WITH v AS (SELECT doc_id, source,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    reps AS (SELECT doc_id, source,
+                    CASE WHEN source = 'src0'
+                             THEN 2 + CASE WHEN {nibbles} < {th_half} THEN 1 ELSE 0 END
+                         WHEN source = 'src1'
+                             THEN CASE WHEN {nibbles} < {th_third} THEN 1 ELSE 0 END
+                         WHEN source = 'src2' THEN 0
+                         ELSE 1 END AS r
+             FROM v)
+    SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+    FROM reps, UNNEST(range(1, r + 1)) t(e)
+    """
+
+
+@register("upsample_epochs", oracle=_upsample_oracle())
+def upsample_epochs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-epoch source mixing (functions.sampling.
+    upsample_epochs): src0 is seen 2.5x per epoch (every doc twice, a
+    stable hash-chosen half a third time), src1 is downsampled to a
+    0.3 fraction, src2 is dropped outright, every other source passes
+    through once — the deterministic execution step of a data-mixing
+    table, (doc_id, source, epoch) out. Stateless projection +
+    explode; the fractional thresholds are integer literals embedded
+    identically in the plan and the oracle."""
+    from ..functions.sampling import upsample_epochs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_epochs(
+        docs, {"src0": 2.5, "src1": 0.3, "src2": 0.0}, "source", "doc_id"
+    )

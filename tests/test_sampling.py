@@ -143,3 +143,38 @@ def test_temperature_sample_rejects_negative_alpha(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "doc_id", "grp", alpha=-1.0)
+
+
+def test_upsample_epochs_multiplicities(spark):
+    """Integer weights repeat exactly; fractional weights repeat the
+    hash-chosen subset one extra time (expected multiplicity = w);
+    weight 0 drops the source; default passes through once."""
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        SPACE,
+        hash_value,
+        upsample_epochs,
+    )
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 60 else ("c" if i < 80 else "d")))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_epochs(df, {"a": 2.5, "b": 0.5, "c": 0.0}, "source", "doc_id")
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    # per-row check against the stated law
+    hv = {r.doc_id: r.v for r in df.select(
+        "doc_id", hash_value(F.col("doc_id")).alias("v")).collect()}
+    th = int(0.5 * SPACE)
+    want_a = sum(2 + (1 if hv[i] < th else 0) for i in range(40))
+    want_b = sum(1 if hv[i] < th else 0 for i in range(40, 60))
+    assert counts.get("a") == want_a
+    assert counts.get("b", 0) == want_b
+    assert "c" not in counts
+    assert counts.get("d") == 20  # default weight 1.0
+    # epoch index is 1-based and dense per row
+    epochs = {r.epoch for r in out.where(F.col("source") == "a").collect()}
+    assert epochs == {1, 2, 3} or epochs == {1, 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="weight"):
+        upsample_epochs(df, {"a": -1.0})
