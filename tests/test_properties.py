@@ -157,3 +157,77 @@ def test_salted_join_identity_property(spark, fact_rows, buckets):
     )
     want = sorted((r.k, r.v, r.name) for r in fact.join(dim, "k").collect())
     assert got == want
+
+
+# ---- round-7 operator properties ----
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(token_word, min_size=2, max_size=25),
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=3),
+)
+def test_substring_matches_finds_planted_slice_property(
+    spark, toks, start, length, k
+):
+    """A probe cut verbatim from a document is ALWAYS found at its
+    position (both anchor modes), and every reported match verifies
+    against a plain-Python containment scan."""
+    from hadoop_multiple_streaming_spark.operators.dedup import substring_matches
+
+    start = min(start, len(toks) - 1)
+    probe_toks = toks[start : start + length]
+    if len(probe_toks) < k:
+        return  # probe shorter than the anchor: operator skips it
+    corpus = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame(
+        [(9, " ".join(probe_toks))], "doc_id long, text string"
+    )
+    # python reference: all 1-based positions where the probe occurs
+    want = {
+        (1, 9, i + 1)
+        for i in range(len(toks) - len(probe_toks) + 1)
+        if toks[i : i + len(probe_toks)] == probe_toks
+    }
+    for mode in ("rarest", "first"):
+        got = {
+            (r.corpus_id, r.probe_id, r.match_pos)
+            for r in substring_matches(corpus, probes, k=k, anchor=mode).collect()
+        }
+        assert got == want, (mode, toks, probe_toks, k)
+        assert (1, 9, start + 1) in got  # the planted occurrence itself
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(token_word, min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(1, 5)),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_remove_spans_complement_property(spark, toks, ivs):
+    """remove_spans keeps exactly the tokens NO interval covers, in
+    order, with exact removal accounting."""
+    from hadoop_multiple_streaming_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    matches = spark.createDataFrame(
+        [(1, s, l) for s, l in ivs],
+        "corpus_id long, match_pos long, span_tokens long",
+    )
+    covered = {
+        i
+        for s, l in ivs
+        for i in range(s, s + l)
+    }
+    want = [t for j, t in enumerate(toks, start=1) if j not in covered]
+    r = remove_spans(docs, matches).collect()[0]
+    assert r.clean_text == " ".join(want)
+    assert r.n_tokens == len(want)
+    assert r.n_removed == len(toks) - len(want)
