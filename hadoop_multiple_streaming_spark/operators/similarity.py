@@ -91,11 +91,46 @@ def ivf_topk(
     )
 
 
+def _kmeans_assign_arrow(cent_rows: list, dim: int):
+    """Arrow-batched nearest-centroid assignment with BIT-IDENTICAL
+    results to the expression form: the squared-L2 accumulation runs
+    dim-by-dim, left-to-right (``acc += (x_d - m_d)^2`` — vectorized
+    across rows, SEQUENTIAL across dims), i.e. the exact IEEE
+    operation sequence the zip_with/aggregate fold evaluates, so even
+    near-tie argmins agree to the last ulp. ``cent_rows`` is sorted by
+    cluster id; np.argmin takes the FIRST minimum = the smallest
+    cluster id on exact ties, matching the (dist, cluster)
+    lexicographic rule (test-asserted impl equivalence)."""
+    from pyspark.sql.functions import pandas_udf
+
+    clusters = [c for c, _ in cent_rows]
+    cents = [list(map(float, v)) for _, v in cent_rows]
+
+    @pandas_udf("long")
+    def assign_udf(qv):
+        import numpy as np
+        import pandas as pd
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.float64)
+        C = np.asarray(cents, dtype=np.float64)  # k x dim
+        ids = np.asarray(clusters, dtype=np.int64)
+        dists = np.zeros((M.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):  # sequential over dims: exact fold order
+            diff = M[:, d : d + 1] - C[None, :, d]
+            dists += diff * diff
+        return pd.Series(ids[np.argmin(dists, axis=1)])
+
+    return assign_udf
+
+
 def kmeans_lloyd(
     quantized: DataFrame,
     init_centroids: DataFrame,
     iters: int = 2,
     dim: int = 64,
+    impl: str = "expr",
 ) -> DataFrame:
     """Lloyd's k-means over quantized embedding vectors: ``iters``
     rounds of (assign every vector to its nearest centroid by squared
@@ -120,7 +155,20 @@ def kmeans_lloyd(
     assignment; the mean recompute is groupBy(cluster) with 64 per-dim
     SUM buffers — map-side partial agg, constant memory per group, the
     only exchange each iteration pays. Empty clusters drop out
-    naturally (no row from the groupBy), matching the SQL replay."""
+    naturally (no row from the groupBy), matching the SQL replay.
+
+    ``impl``: "expr" (default) keeps the whole plan LAZY and pure-JVM
+    (zero jobs at construction — test-asserted). The distance fold is
+    an interpreted higher-order function though, which at 20k+ vectors
+    dominates wall-clock (n x k x dim interpreted lambda steps).
+    "arrow" is the measured scale path and the MLlib pattern: the
+    centroids live on the DRIVER between iterations (iters-1 small
+    aggregate jobs run at CALL time — eager by design, like
+    pyspark.ml's own KMeans) and the assignment is an Arrow numpy
+    kernel whose dim-sequential accumulation replays the expression
+    fold's exact IEEE operation order — bit-identical clusters,
+    test-asserted; requires integral cluster ids (emitted as bigint).
+    The returned assignment frame itself stays lazy in both impls."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
     # the smallest cluster id — fail loudly instead. The check is a
@@ -139,6 +187,34 @@ def kmeans_lloyd(
             )
         ),
     )
+    if impl == "arrow":
+        cent_rows = sorted(
+            (r["cluster"], list(r["c"])) for r in init_centroids.collect()
+        )
+        for _ in range(iters - 1):
+            assigned_it = quantized.select(
+                "id",
+                "qv",
+                _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+            )
+            sums = assigned_it.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
+            ).collect()
+            # driver-side means: exact bigint sums / count — the same
+            # correctly-rounded double division the SQL replay performs
+            cent_rows = sorted(
+                (r["cluster"], [r[f"_s{i}"] / r["n"] for i in range(dim)])
+                for r in sums
+            )
+        return quantized.select(
+            "id",
+            _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+        )
+    if impl != "expr":
+        raise ValueError(
+            f"kmeans_lloyd: impl must be 'expr' or 'arrow', got {impl!r}"
+        )
     cent = init_centroids
     assigned = None
     # Assignment is a PROJECTION, not a join+aggregate: the k

@@ -561,7 +561,10 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
-    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2)
+    # impl="arrow": the MLlib-style driver-side-centroid scale path —
+    # the interpreted HOF argmin was the measured wall-clock bottleneck
+    # past 10k vectors (bit-identical results, test-asserted)
+    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl="arrow")
     quant = quantize_embeddings(emb, "embedding", "vec_id")
     return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
 

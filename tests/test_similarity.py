@@ -308,3 +308,41 @@ def test_pq_train_reduces_quantization_error(spark):
     # further cannot increase error
     cb3 = pq_train(vecs, m=2, dim=8, iters=1, init_codebooks=cb2)
     assert quant_err(cb3) <= quant_err(cb2)
+
+
+def test_kmeans_lloyd_impls_identical(spark):
+    """impl='arrow' (driver-side centroids + dim-sequential numpy
+    fold) must reproduce impl='expr' (lazy interpreted fold)
+    bit-for-bit, including the smaller-cluster-id tie rule."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        center = 1000 if i % 2 == 0 else -1000
+        rows.append((i, [int(center + x) for x in rng.integers(-400, 400, 8)]))
+    q = spark.createDataFrame(rows, "id long, qv array<long>")
+    init = spark.createDataFrame(
+        [(0, [500.0] * 8), (1, [-500.0] * 8)], "cluster long, c array<double>"
+    )
+    expr = {r.id: r.cluster for r in kmeans_lloyd(q, init, iters=3, dim=8).collect()}
+    arrow = {
+        r.id: r.cluster
+        for r in kmeans_lloyd(q, init, iters=3, dim=8, impl="arrow").collect()
+    }
+    assert arrow == expr and len(set(expr.values())) == 2
+    # exact-tie: equidistant vector goes to the SMALLER cluster id in
+    # both impls
+    tie_q = spark.createDataFrame([(7, [0] * 8)], "id long, qv array<long>")
+    tie_init = spark.createDataFrame(
+        [(3, [2.0] * 8), (9, [-2.0] * 8)], "cluster long, c array<double>"
+    )
+    for impl in ("expr", "arrow"):
+        got = kmeans_lloyd(tie_q, tie_init, iters=1, dim=8, impl=impl).collect()
+        assert got[0].cluster == 3, impl
+    import pytest
+
+    with pytest.raises(ValueError, match="impl"):
+        kmeans_lloyd(q, init, impl="wat")

@@ -38,6 +38,7 @@ QUERIES = [
     "dedup_embedding_lsh_auto",
     "substring_decontamination",
     "quality_model_score",
+    "semantic_dedup",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
