@@ -261,13 +261,36 @@ _L2 = (
 )
 
 
-def assign_centroids(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_centroids(
+    quantized: DataFrame, centroids: DataFrame, impl: str = "expr"
+) -> DataFrame:
     """Nearest-centroid assignment: (id, qv, n2) x (cluster, c) ->
     (id, qv, n2, cluster). The k centroids fold into ONE broadcast row
     (array of (cluster, c) structs) and the argmin runs inside each
     data row — a pure projection, zero corpus shuffle (the same shape
     kmeans_lloyd uses; ties break to the smaller cluster id via the
-    lexicographic (dist, cluster) sort, deterministic)."""
+    lexicographic (dist, cluster) sort, deterministic).
+
+    ``impl="arrow"``: same trade as kmeans_lloyd — collects the
+    centroid table (eager, k rows) and assigns via the bit-identical
+    dim-sequential numpy kernel; use it for corpus-scale index builds
+    where the interpreted fold dominates (integral cluster ids,
+    emitted as bigint)."""
+    if impl == "arrow":
+        cent_rows = sorted(
+            (r["cluster"], list(r["c"])) for r in centroids.collect()
+        )
+        dim = len(cent_rows[0][1]) if cent_rows else 0
+        return quantized.select(
+            "id",
+            "qv",
+            "n2",
+            _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+        )
+    if impl != "expr":
+        raise ValueError(
+            f"assign_centroids: impl must be 'expr' or 'arrow', got {impl!r}"
+        )
     cent_arr = centroids.agg(
         F.collect_list(F.struct("cluster", "c")).alias("_cents")
     )

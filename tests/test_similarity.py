@@ -346,3 +346,26 @@ def test_kmeans_lloyd_impls_identical(spark):
 
     with pytest.raises(ValueError, match="impl"):
         kmeans_lloyd(q, init, impl="wat")
+
+
+def test_assign_centroids_impls_identical(spark):
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        assign_centroids,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (i, [int(x) for x in rng.integers(-900, 900, 4)], 0) for i in range(30)
+    ]
+    q = spark.createDataFrame(rows, "id long, qv array<long>, n2 long")
+    cent = spark.createDataFrame(
+        [(0, [400.0] * 4), (1, [-400.0] * 4), (2, [0.0] * 4)],
+        "cluster long, c array<double>",
+    )
+    expr = {r.id: r.cluster for r in assign_centroids(q, cent).collect()}
+    arrow = {
+        r.id: r.cluster for r in assign_centroids(q, cent, impl="arrow").collect()
+    }
+    assert arrow == expr and len(set(expr.values())) >= 2
