@@ -1073,8 +1073,19 @@ def substring_matches(
             f"i -> array_join(slice(_ct, i, {k}), ' '))"
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
+    # the gram EXCHANGE key is xxhash64(kgram), not the ~k*w-byte gram
+    # string: candidates from a (vanishingly rare) 64-bit collision are
+    # killed by the slice-equality verify, and the verified OUTPUT is
+    # anchor-invariant — every true occurrence matches under ANY anchor
+    # the probe could pick, and only true occurrences survive — so the
+    # result is byte-identical to the string-keyed form (and to a SQL
+    # oracle that stays string-keyed) while the shuffle carries 8-byte
+    # keys. Measured at sf1.0 the gram exchange was the one stage whose
+    # cost grew faster than the baseline engine's.
     cg = ct.select("corpus_id", F.posexplode(grams).alias("_p0", "kgram")).select(
-        "corpus_id", (F.col("_p0") + 1).cast("long").alias("pos"), "kgram"
+        "corpus_id",
+        (F.col("_p0") + 1).cast("long").alias("pos"),
+        F.xxhash64("kgram").alias("gh"),
     )
     pt = probes.select(
         F.col(probe_id).alias("probe_id"),
@@ -1084,7 +1095,9 @@ def substring_matches(
         pa = pt.select(
             "probe_id",
             "_pt",
-            F.expr(f"array_join(slice(_pt, 1, {k}), ' ')").alias("kgram"),
+            F.xxhash64(
+                F.expr(f"array_join(slice(_pt, 1, {k}), ' ')")
+            ).alias("gh"),
             F.lit(1).cast("long").alias("_off"),
         )
     elif anchor == "rarest":
@@ -1096,7 +1109,11 @@ def substring_matches(
                     f"i -> array_join(slice(_pt, i, {k}), ' '))"
                 )
             ).alias("_p0", "kgram"),
-        ).select("probe_id", (F.col("_p0") + 1).cast("long").alias("_off"), "kgram")
+        ).select(
+            "probe_id",
+            (F.col("_p0") + 1).cast("long").alias("_off"),
+            F.xxhash64("kgram").alias("gh"),
+        )
         # The frequency groupBy is deliberately UNRESTRICTED (counting
         # every corpus gram, though only probe grams are read): its
         # hashpartitioning(kgram) exchange is byte-identical to the one
@@ -1106,17 +1123,17 @@ def substring_matches(
         # measured 1.4-1.8x SLOWER end-to-end at sf0.5/sf1.0: it
         # shrinks the count shuffle but breaks the exchange reuse, so
         # the gram stream is exploded and shuffled twice.
-        freqs = cg.groupBy("kgram").agg(F.count(F.lit(1)).alias("_freq"))
-        scored = pgrams.join(freqs, "kgram", "left").withColumn(
+        freqs = cg.groupBy("gh").agg(F.count(F.lit(1)).alias("_freq"))
+        scored = pgrams.join(freqs, "gh", "left").withColumn(
             "_freq", F.coalesce("_freq", F.lit(0))
         )
         best = scored.groupBy("probe_id").agg(
-            F.min(F.struct("_freq", "_off", "kgram")).alias("_m")
+            F.min(F.struct("_freq", "_off", "gh")).alias("_m")
         )
         pa = best.join(pt, "probe_id").select(
             "probe_id",
             "_pt",
-            F.col("_m.kgram").alias("kgram"),
+            F.col("_m.gh").alias("gh"),
             F.col("_m._off").alias("_off"),
         )
     else:
@@ -1124,7 +1141,7 @@ def substring_matches(
             f"substring_matches: anchor must be 'rarest' or 'first', "
             f"got {anchor!r}"
         )
-    cand = cg.join(pa, "kgram").select(
+    cand = cg.join(pa, "gh").select(
         "corpus_id",
         "probe_id",
         (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
