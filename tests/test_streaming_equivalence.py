@@ -407,3 +407,56 @@ def test_streaming_incremental_minhash_equals_batch(spark, tmp_path):
     assert got_store == want_store
     # the screen actually dropped the planted near-dups
     assert got_ids == {1, 2, 11}
+
+
+def test_streaming_incremental_minhash_restart_no_reprocess(spark, tmp_path):
+    """Stopping after batch 1 and restarting with the SAME checkpoint
+    must process only the newly-arrived file: batch-1 survivors appear
+    exactly once in the output, and the second run still screens
+    against the store built by the first."""
+    from hadoop_multiple_streaming_spark.streaming.fanout import (
+        streaming_incremental_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "unrelated first batch words entirely")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " tail"), (11, "fresh second batch content")],
+        "doc_id long, text string",
+    )
+    indir = str(tmp_path / "in")
+    store_path = str(tmp_path / "store")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _stage_files(spark, [b1], indir)
+    q = streaming_incremental_minhash(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store_path, out_path, ckpt,
+    )
+    q.awaitTermination(300)
+    first = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert first == [1, 2]
+
+    # new file arrives; RESTART from the same checkpoint
+    import os
+
+    df2_dir = str(tmp_path / "stage2")
+    b2.coalesce(1).write.mode("overwrite").parquet(df2_dir)
+    part = next(
+        f for f in os.listdir(df2_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.rename(os.path.join(df2_dir, part), os.path.join(indir, "batch-001.parquet"))
+    q2 = streaming_incremental_minhash(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store_path, out_path, ckpt,
+    )
+    q2.awaitTermination(300)
+    final = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    # batch 1 NOT reprocessed (1, 2 appear once); 10 dropped as a
+    # near-dup of stored doc 1; 11 survives
+    assert final == [1, 2, 11]
