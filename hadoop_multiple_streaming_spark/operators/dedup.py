@@ -623,6 +623,12 @@ def _bucket_verify_arrow(threshold: float):
         import numpy as np
         import pandas as pd
 
+        # Gram rows are computed in CHUNKS so peak memory is
+        # O(chunk * m), not O(m^2): a 100k-member bucket would need an
+        # 80 GB full Gram — chunked it is ~3 GB transient per 4096-row
+        # block. Within a chunk, only columns j > i survive (upper
+        # triangle), so each pair is emitted exactly once.
+        CHUNK = 4096
         out = []
         for bucket in members:
             ids = np.asarray([m["id"] for m in bucket], dtype=np.int64)
@@ -632,17 +638,21 @@ def _bucket_verify_arrow(threshold: float):
                 np.int64, copy=False
             )
             n2 = np.asarray([bucket[i]["n2"] for i in order], dtype=np.float64)
-            gram = (M @ M.T).astype(np.float64)
             norms = np.sqrt(n2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            cos = gram[iu, ju] / (norms[iu] * norms[ju])
-            hit = cos >= threshold
-            out.append(
-                [
-                    (int(ids[i]), int(ids[j]), float(c))
-                    for i, j, c in zip(iu[hit], ju[hit], cos[hit])
-                ]
-            )
+            m = len(ids)
+            pairs = []
+            for lo in range(0, m, CHUNK):
+                hi = min(lo + CHUNK, m)
+                # rows lo..hi-1 against ALL columns, then mask j > i
+                block = (M[lo:hi] @ M.T).astype(np.float64)
+                cos = block / (norms[lo:hi, None] * norms[None, :])
+                bi, bj = np.nonzero(cos >= threshold)
+                keep = bj > (bi + lo)
+                pairs.extend(
+                    (int(ids[i + lo]), int(ids[j]), float(cos[i, j]))
+                    for i, j in zip(bi[keep], bj[keep])
+                )
+            out.append(pairs)
         return pd.Series(out)
 
     return verify_udf
