@@ -162,9 +162,31 @@ def main() -> int:
             *[(n, workloads.QUERIES[n], workloads.ORACLES[n]) for n in QUERIES],
             ("dedup_embedding_lsh_scaled", scaled_q, scaled_sql),
         ]:
-            s = time_spark(spark, qfn, sf_dir)
-            d = time_duck(con, sql)
-            ratio = round(s / d, 2) if d > 0 else -1.0
+            # engines are allowed to FAIL a scale point (e.g. DuckDB
+            # OOM on the sf2.0 sign-LSH oracle) — record -1 and keep
+            # going; a dead engine is the most honest ratio there is
+            try:
+                s = time_spark(spark, qfn, sf_dir)
+            except Exception as e:
+                print(f"[crossover] spark {name}@{sf}: {str(e)[:150]}",
+                      file=sys.stderr)
+                s = -1.0
+            try:
+                d = time_duck(con, sql)
+            except Exception as e:
+                print(f"[crossover] duckdb {name}@{sf}: {str(e)[:150]}",
+                      file=sys.stderr)
+                # a failed warm/timing leaves the connection in an
+                # unknown state — reopen for the next query
+                con.close()
+                con = duckdb.connect()
+                con.execute(f"SET threads TO {cpus}")
+                for t in TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                    )
+                d = -1.0
+            ratio = round(s / d, 2) if d > 0 and s > 0 else -1.0
             rec = {
                 "sf": sf,
                 "query": name,
