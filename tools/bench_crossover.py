@@ -96,6 +96,96 @@ def _scaled_embedding_lsh():
               / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
     """
     return q, sql
+def _scaled_semantic_dedup():
+    """SemDeDup with SCALE-APPROPRIATE k (the DEPLOY.md rule: k grows
+    with the corpus so in-cluster pairing stays bounded): k = 100
+    clusters seeded from (label, hash(id) % 10) group means instead of
+    the catalog query's k = 10 labels — at 40k vectors that cuts the
+    in-cluster pair space ~10x on BOTH engines. Same operators, same
+    math, same oracle construction as the catalog query."""
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.sampling import hash_value
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        quantize_embeddings,
+        semantic_dedup,
+    )
+    from hadoop_multiple_streaming_spark.operators.similarity import kmeans_lloyd
+    from hadoop_multiple_streaming_spark.workloads.similarity import _centroid_sums
+    from hadoop_multiple_streaming_spark.workloads.tables import load
+
+    def q(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        base = emb.select(
+            F.col("vec_id").alias("id"),
+            "label",
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            ).alias("qv"),
+        ).withColumn("grp", F.col("label") * 10 + hash_value(F.col("id")) % 10)
+        init = _centroid_sums(base, "grp", "cluster", "n").select(
+            "cluster",
+            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+        )
+        assigned = kmeans_lloyd(
+            base.select("id", "qv"), init, iters=2, impl="arrow"
+        )
+        quant = quantize_embeddings(emb, "embedding", "vec_id")
+        return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    sql = f"""
+    WITH q AS (SELECT vec_id AS id,
+                      label * 10 + ({nibbles}) % 10 AS grp,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims0 AS (SELECT grp, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM q, UNNEST(range(1, 65)) t(i) GROUP BY grp, i),
+    cent0 AS (SELECT grp AS cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims0 GROUP BY grp),
+    d1 AS (SELECT q.id, q.qv, cent0.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent0),
+    a1 AS (SELECT id, qv, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d1) WHERE rn = 1),
+    dims1 AS (SELECT cluster, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM a1, UNNEST(range(1, 65)) t(i) GROUP BY cluster, i),
+    cent1 AS (SELECT cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims1 GROUP BY cluster),
+    d2 AS (SELECT q.id, cent1.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent1),
+    a2 AS (SELECT id, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d2) WHERE rn = 1),
+    mem AS (SELECT a2.id, a2.cluster, q.qv,
+                   list_inner_product(q.qv, q.qv) AS n2
+            FROM a2 JOIN q ON q.id = a2.id),
+    drops AS (SELECT DISTINCT b.id
+              FROM mem a JOIN mem b
+                ON a.cluster = b.cluster AND a.id < b.id
+              WHERE CAST(list_inner_product(a.qv, b.qv) AS DOUBLE)
+                    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
+    SELECT m.id, m.cluster, (d.id IS NULL) AS keep
+    FROM mem m LEFT JOIN drops d ON m.id = d.id
+    """
+    return q, sql
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -158,9 +248,11 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
         scaled_q, scaled_sql = _scaled_embedding_lsh()
+        sem_q, sem_sql = _scaled_semantic_dedup()
         for name, qfn, sql in [
             *[(n, workloads.QUERIES[n], workloads.ORACLES[n]) for n in QUERIES],
             ("dedup_embedding_lsh_scaled", scaled_q, scaled_sql),
+            ("semantic_dedup_scaled_k", sem_q, sem_sql),
         ]:
             # engines are allowed to FAIL a scale point (e.g. DuckDB
             # OOM on the sf2.0 sign-LSH oracle) — record -1 and keep
