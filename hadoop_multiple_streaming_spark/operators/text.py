@@ -31,6 +31,46 @@ def words(text: Column | str) -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style text normalization — the canonicalization every real
+    pipeline runs BEFORE hashing/dedup so trivial variants (case,
+    punctuation, spacing) collapse onto one fingerprint: lowercase,
+    replace every non-alphanumeric run with one space, collapse
+    whitespace, trim. Returns (id_col, norm_text, n_chars, n_norm_chars)
+    so the shrinkage is observable. Feed ``norm_text`` to
+    exact_dedup / word_shingles / duplicate_spans for
+    normalization-invariant matching.
+
+    Determinism contract: ASCII-scope rules ONLY — lowering via
+    translate(A-Z -> a-z) (byte-exact in every engine; .lower()'s
+    unicode case-folding tables can differ by ICU/utf8proc version)
+    and an ENUMERATED ASCII punctuation class (identical in Java regex
+    and RE2). Unicode letters pass through untouched, so multilingual
+    text keeps its content and only spacing/case/punctuation
+    canonicalize. Stateless projection — scan speed at 100 TB, no
+    shuffle."""
+    t = F.col(text_col)
+    upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    punct = r"""[.,;:!?"'()\[\]{}<>@#$%^&*_+=|/~`-]+"""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(t, upper, upper.lower()), punct, " "
+            ),
+            r" +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.coalesce(F.length(t), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(F.length(norm), F.lit(0)).cast("long").alias("n_norm_chars"),
+    )
+
+
 def quantize4(x: Column) -> Column:
     """4-decimal quantization via floor(x*1e4)/1e4 — NOT round(): both
     engines do the same IEEE multiply then an exact floor, so results

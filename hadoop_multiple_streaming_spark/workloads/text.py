@@ -1130,3 +1130,33 @@ def upsample_epochs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_epochs(
         docs, {"src0": 2.5, "src1": 0.3, "src2": 0.0}, "source", "doc_id"
     )
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+                    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    'abcdefghijklmnopqrstuvwxyz'),
+                    '[.,;:!?"''()\[\]{}<>@#$%^&*_+=|/~`-]+', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(trim(regexp_replace(regexp_replace(
+                    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    'abcdefghijklmnopqrstuvwxyz'),
+                    '[.,;:!?"''()\[\]{}<>@#$%^&*_+=|/~`-]+', ' ', 'g'),
+                ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style pre-dedup normalization (operators.text.
+    normalize_text): byte-exact ASCII lowering (translate, not unicode
+    case folding), enumerated-punctuation stripping, whitespace
+    collapse — the canonicalization run before content hashing so
+    trivial variants share a fingerprint. Stateless projection."""
+    from ..operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(docs, "text", "doc_id")

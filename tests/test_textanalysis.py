@@ -204,3 +204,29 @@ def test_rare_word_scores_exact_integer_math(spark):
         # empty doc: no tokens -> no row (same as the SQL replay)
     }
     assert 3 not in got
+
+
+def test_normalize_text_ascii_scope(spark):
+    """Case folds via byte-exact translate, enumerated punctuation
+    becomes space, whitespace collapses, unicode letters survive, and
+    NULL/empty are safe."""
+    from hadoop_multiple_streaming_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   WORLD!!  (test)"),
+            (2, "Déjà-Vu 中文 ok"),
+            (3, ""),
+            (4, None),
+            (5, "a_b+c=d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.norm_text, r.n_chars, r.n_norm_chars)
+           for r in normalize_text(docs).collect()}
+    assert got[1] == ("hello world test", 24, 16)
+    # unicode letters untouched (only the ASCII hyphen and case fold)
+    assert got[2][0] == "déjà vu 中文 ok"
+    assert got[3] == ("", 0, 0)
+    assert got[4][0] is None or got[4] == (None, 0, 0) or got[4][1] == 0
+    assert got[5][0] == "a b c d"
