@@ -1160,3 +1160,53 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return normalize_text(docs, "text", "doc_id")
+
+
+@register(
+    "top_quality_docs",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS f_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
+             CAST(length(text) AS BIGINT) AS f_chars,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                 AS f_punct,
+             CASE WHEN len(tk) > 0 THEN
+               (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                * 1000) // len(tk)
+             ELSE 0 END AS f_meanwl_ppk
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents))
+    SELECT doc_id,
+           CAST(f_tokens * ({_QM_W[0]}) + f_uniq * ({_QM_W[1]})
+                + f_chars * ({_QM_W[2]}) + f_punct * ({_QM_W[3]})
+                + f_meanwl_ppk * ({_QM_W[4]}) + ({_QM_W[5]}) AS BIGINT)
+               AS score_micro
+    FROM feat
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 50
+    """,
+)
+def top_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k curation cut: the 50 highest-scoring documents
+    under the frozen quality classifier, ties by doc_id. The plan is
+    TakeOrderedAndProject — per-partition partial top-k merged on the
+    driver, NO full sort and NO exchange of the corpus — the only
+    correct shape for 'best k of 100 TB' (a global orderBy would
+    range-shuffle everything to rank 50 rows)."""
+    from ..operators.quality_model import (
+        quality_features,
+        score_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality_classifier(
+        quality_features(docs), FROZEN_QUALITY_WEIGHTS_V1
+    )
+    return (
+        scored.select("doc_id", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(50)
+    )

@@ -135,6 +135,16 @@ def test_decontaminate_is_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_top_k_is_take_ordered_not_global_sort(spark, sf_dir):
+    # "best k of 100 TB" must be per-partition partial top-k merged on
+    # the driver (TakeOrderedAndProject) — a global orderBy would
+    # range-shuffle the whole corpus to rank 50 rows
+    df = workloads.QUERIES["top_quality_docs"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
 def test_catalog_plan_hygiene(spark, sf_dir):
     # catalog-wide gate: NO query may plan a CartesianProduct (pair
     # explosion; crossJoins against broadcast centroid tables plan as
