@@ -162,6 +162,75 @@ def fingerprint(text: Column | str) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (public method: Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local fingerprinting algorithm):
+    hash every word k-gram, slide a window of ``window`` consecutive
+    hashes, record the MINIMUM of each window at its position
+    (rightmost occurrence on ties — "robust winnowing", which
+    minimizes fingerprint churn under edits). Guarantee: any shared
+    substring of at least k + window - 1 tokens yields at least one
+    IDENTICAL (hash) fingerprint in both documents — the positional,
+    locality-guaranteed alternative to MinHash (which has no
+    per-match guarantee, only set-similarity statistics).
+
+    Returns (id_col, pos, fp): 1-based token position of each selected
+    k-gram and its 60-bit hash, DISTINCT per document (adjacent
+    windows usually re-select the same minimum — that dedup is the
+    compression winnowing exists for). Docs with fewer than
+    k + window - 1 tokens produce no fingerprints.
+
+    Determinism: hash = first 15 md5 hex digits of the k-gram as a
+    bigint (portable); min/rightmost-tie arithmetic is exact integer.
+    Scale shape: stateless per-document array expressions + one
+    explode — scan speed; pair-finding is then a groupBy(fp) over the
+    fingerprint stream (duplicate_spans-style), never all-pairs."""
+    if k < 1 or window < 1:
+        raise ValueError(
+            f"winnowing_fingerprints: k and window must be >= 1, "
+            f"got k={k} window={window}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+    )
+    # 60-bit k-gram hashes (15 hex digits < 2^60: exact in bigint)
+    hashes = F.when(
+        F.size("_tk") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_tk) - {k - 1}), "
+            f"i -> conv(substring(md5(array_join(slice(_tk, i, {k}), ' ')), 1, 15), "
+            "16, 10))"
+        ).cast("array<long>"),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    w = int(window)
+    # per window j: fp = min(H[j..j+w-1]); pos = rightmost index of fp
+    # (reverse + first-position arithmetic: pos = j + w - rpos)
+    wins = F.when(
+        F.size("_h") >= w,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(_h) - {w - 1}), "
+            f"j -> named_struct("
+            f"'pos', j + {w}L - array_position(reverse(slice(_h, j, {w})), "
+            f"array_min(slice(_h, j, {w}))), "
+            f"'fp', array_min(slice(_h, j, {w})))))"
+        ),
+    ).otherwise(
+        F.expr("array()").cast("array<struct<pos:bigint,fp:bigint>>")
+    )
+    return (
+        toks.select(F.col(id_col), hashes.alias("_h"))
+        .select(F.col(id_col), F.explode(wins).alias("_w"))
+        .select(F.col(id_col), F.col("_w.pos").alias("pos"), F.col("_w.fp").alias("fp"))
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document profile (single projection, no shuffle)."""
     t = F.col(text_col)

@@ -67,6 +67,7 @@ _PRIORITY_ORDER = [
     "upsample_epochs",
     "text_normalize",
     "top_quality_docs",
+    "text_winnowing",
     # round-7 plan-touched queries (chunk empty-window fix, blocklist
     # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
@@ -110,7 +111,6 @@ _PRIORITY_ORDER = [
     "first_event_per_user",  # r05
     "events_json_props",  # r05
     "agg_long_max_min",  # r03+r04
-    "agg_double_sum",  # r04
     "ann_ivf_index",  # r7 plan-touched: assign_centroids argmin projection
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
     "ann_pq_train_recall",  # r06 green
@@ -169,6 +169,7 @@ _PRIORITY_ORDER = [
     "q4_order_priority",  # r03+r04 green
     "q3_shipping_priority",  # r03+r04 green
     "agg_string_max_min",  # r04 green + r06 judge re-run
+    "agg_double_sum",  # r04 green + r05 judge re-run
     "agg_salted_sum",  # r04 green + r06 judge re-run
     "q6_forecast_revenue",  # r03+r04 green
     "agg_long_sum_native",  # r05 green

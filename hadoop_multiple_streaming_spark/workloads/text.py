@@ -1210,3 +1210,38 @@ def top_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "text_winnowing",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, len(tk) - 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            tk[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')),
+                            1, 15))::BIGINT) AS h
+          FROM tk WHERE len(tk) >= 4),
+    w AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+                 h[CAST(j AS INT):CAST(j + 4 AS INT)] AS sl
+          FROM h, UNNEST(range(1, len(h) - 3)) t(j)
+          WHERE len(h) >= 5)
+    SELECT DISTINCT doc_id,
+           j + 5 - list_position(list_reverse(sl), list_min(sl)) AS pos,
+           list_min(sl) AS fp
+    FROM w
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators.text.winnowing_fingerprints,
+    the MOSS algorithm): 4-gram hashes, window 5, rightmost-min
+    selection — every shared run of >= 8 tokens is GUARANTEED to
+    produce an identical fingerprint in both documents (the positional
+    guarantee MinHash lacks). Stateless array expressions + explode;
+    downstream pairing is a groupBy(fp)."""
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)

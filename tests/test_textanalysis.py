@@ -230,3 +230,51 @@ def test_normalize_text_ascii_scope(spark):
     assert got[3] == ("", 0, 0)
     assert got[4][0] is None or got[4] == (None, 0, 0) or got[4][1] == 0
     assert got[5][0] == "a b c d"
+
+
+def test_winnowing_locality_guarantee(spark):
+    """Two documents sharing a run of >= k + window - 1 tokens must
+    share at least one identical fingerprint VALUE; positions are the
+    rightmost in-window minima; short docs yield nothing; edits
+    outside a shared run never remove its fingerprints."""
+    from hadoop_multiple_streaming_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "q w e r t y u i"  # 8 tokens = k + window - 1 for (4, 5)
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),
+            (2, shared + " zz xx yy vv"),
+            (3, "totally different words here nothing shared at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, window=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+    # python reference replay on doc 2 (starts at the shared run)
+    import hashlib
+
+    toks = (shared + " zz xx yy vv").split()
+    hs = [
+        int(hashlib.md5(" ".join(toks[i : i + 4]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - 3)
+    ]
+    want = set()
+    for j in range(len(hs) - 4):
+        sl = hs[j : j + 5]
+        mn = min(sl)
+        rpos = max(i for i, v in enumerate(sl) if v == mn)
+        want.add((j + rpos + 1, mn))
+    got = {(r.pos, r.fp) for r in fps.where(F.col("doc_id") == 2).collect()}
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        winnowing_fingerprints(docs, k=4, window=0)
