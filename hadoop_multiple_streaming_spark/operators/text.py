@@ -231,6 +231,50 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_pairs(
+    fingerprints: DataFrame, min_shared: int = 2, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Document pairs from winnowing fingerprints — the MOSS
+    similarity report: (id_a, id_b, n_shared) for every pair sharing
+    at least ``min_shared`` distinct fingerprint VALUES. Because of
+    the winnowing guarantee, any pair sharing a run of >= k+window-1
+    tokens appears here; n_shared grows with the amount of shared
+    text, so rank by it.
+
+    Scale shape: ONE groupBy(fp) over the fingerprint stream, in-
+    bucket pair expansion (each fp names the documents containing it
+    — typically 1-2 at web scale), then a pair-count aggregation.
+    ``max_bucket_size`` skips ubiquitous fingerprints (boilerplate
+    that slipped past normalization — a bucket of m docs expands
+    m(m-1)/2 pairs), the same viral-bucket guard as LSH."""
+    buckets = (
+        fingerprints.select(F.col(fingerprints.columns[0]).alias("id"), "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.expr("array_sort(collect_list(id))").alias("ids"))
+    )
+    keep = F.size("ids") >= 2
+    if max_bucket_size is not None:
+        keep = keep & (F.size("ids") <= max_bucket_size)
+    pairs = (
+        buckets.where(keep)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document profile (single projection, no shuffle)."""
     t = F.col(text_col)

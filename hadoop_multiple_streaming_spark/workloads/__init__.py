@@ -68,6 +68,7 @@ _PRIORITY_ORDER = [
     "text_normalize",
     "top_quality_docs",
     "text_winnowing",
+    "winnowing_pairs",
     # round-7 plan-touched queries (chunk empty-window fix, blocklist
     # NULL coalesce, fused-arrow bucket verify)
     "chunk_documents",
@@ -89,7 +90,6 @@ _PRIORITY_ORDER = [
     "text_token_count",  # r04
     "text_quality_score",  # r05
     "text_langid",  # r05
-    "text_top_bigrams",  # r04
     "text_tfidf_top_terms",  # r05
     "text_sentence_stats",  # r05
     "text_repetition",  # r05
@@ -168,6 +168,7 @@ _PRIORITY_ORDER = [
     "q10_returned_items",  # r03+r04 green
     "q4_order_priority",  # r03+r04 green
     "q3_shipping_priority",  # r03+r04 green
+    "text_top_bigrams",  # r04 green
     "agg_string_max_min",  # r04 green + r06 judge re-run
     "agg_double_sum",  # r04 green + r05 judge re-run
     "agg_salted_sum",  # r04 green + r06 judge re-run

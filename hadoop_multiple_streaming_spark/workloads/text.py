@@ -1245,3 +1245,38 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
+
+
+@register(
+    "winnowing_pairs",
+    oracle="""
+    WITH tk AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, len(tk) - 2),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            tk[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')),
+                            1, 15))::BIGINT) AS h
+          FROM tk WHERE len(tk) >= 4),
+    w AS (SELECT doc_id, h[CAST(j AS INT):CAST(j + 4 AS INT)] AS sl
+          FROM h, UNNEST(range(1, len(h) - 3)) t(j)
+          WHERE len(h) >= 5),
+    fps AS (SELECT DISTINCT doc_id, list_min(sl) AS fp FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style similarity pairs (operators.text.winnowing_pairs):
+    documents sharing >= 2 distinct winnowing fingerprints, ranked by
+    the shared count — the local-match report the positional guarantee
+    makes possible. One groupBy(fp) + pair-count aggregation."""
+    from ..operators.text import winnowing_fingerprints, winnowing_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
+    return winnowing_pairs(fps.select("doc_id", "fp"), min_shared=2)

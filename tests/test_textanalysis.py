@@ -278,3 +278,35 @@ def test_winnowing_locality_guarantee(spark):
 
     with pytest.raises(ValueError, match="window"):
         winnowing_fingerprints(docs, k=4, window=0)
+
+
+def test_winnowing_pairs_counts_and_guard(spark):
+    from hadoop_multiple_streaming_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    shared = "q w e r t y u i o p a s"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one tail here"),
+            (2, shared + " two other tail"),
+            (3, "unrelated totally different words everywhere always"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=4, window=5)
+    # guarantee is >= ONE shared fingerprint per shared run (adjacent
+    # windows often re-select the same minimum, so 2+ is not promised)
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_pairs(fps.select("doc_id", "fp"), min_shared=1).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 1
+    # a max_bucket_size of 1 suppresses every bucket -> no pairs
+    assert (
+        winnowing_pairs(
+            fps.select("doc_id", "fp"), min_shared=1, max_bucket_size=1
+        ).count()
+        == 0
+    )
