@@ -77,6 +77,7 @@ HEADLINE = [
     "substring_decontamination",
     "quality_model_score",
     "duplicate_span_mining",
+    "text_winnowing",
 ]
 
 
