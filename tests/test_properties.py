@@ -231,3 +231,45 @@ def test_remove_spans_complement_property(spark, toks, ivs):
     assert r.clean_text == " ".join(want)
     assert r.n_tokens == len(want)
     assert r.n_removed == len(toks) - len(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+)
+def test_upsample_epochs_multiplicity_property(spark, sources, wa, wb):
+    """Every row's emitted multiplicity equals floor(w) + (1 iff
+    hash(id) < floor(frac(w) * 16^6)) for arbitrary weights, with
+    dense 1-based epoch indices."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        SPACE,
+        hash_value,
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sources)], "doc_id long, source string"
+    )
+    weights = {"a": wa, "b": wb}  # "c" takes the default 1.0
+    out = upsample_epochs(df, weights, "source", "doc_id").collect()
+    hv = {
+        r.doc_id: r.v
+        for r in df.select("doc_id", hash_value(F.col("doc_id")).alias("v")).collect()
+    }
+
+    def reps(w, i):
+        fl = int(math.floor(w))
+        return fl + (1 if hv[i] < int((w - fl) * SPACE) else 0)
+
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r.epoch)
+    for i, s in enumerate(sources):
+        want = reps(weights.get(s, 1.0), i)
+        assert sorted(got.get(i, [])) == list(range(1, want + 1)), (s, i)
