@@ -129,6 +129,11 @@ def assign_packs_global(
     )
     with_local = bucketed.withColumn("_local_start", local_start)
     totals = bucketed.groupBy("_b").agg(F.sum(F.col(token_col)).alias("_t"))
+    # Unpartitioned window BY DESIGN: it runs over the |buckets|-row
+    # totals frame (~num_buckets rows, never the corpus), so Spark's
+    # "WindowExec: No Partition Defined" warning is benign here — do
+    # NOT "fix" it by partitioning, that would break the global prefix
+    # sum the pack offsets need.
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_b", F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias("_off")

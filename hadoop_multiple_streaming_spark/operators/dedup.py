@@ -696,6 +696,72 @@ def auto_band_params(
     return bands * bits, bits, recall
 
 
+def auto_cluster_count(
+    n_rows: int,
+    target_cluster_size: int = 200,
+    min_k: int = 2,
+    max_k: int = 1 << 16,
+) -> int:
+    """SemDeDup cluster-count sizing — the k-means analog of
+    ``auto_band_params``: in-cluster pairing is quadratic in cluster
+    size, so k must GROW with the corpus (k ~ n / target_cluster_size;
+    Abbas et al. 2023 run 50k clusters on LAION). Integer-exact
+    ceil-division + clamp,
+
+        k = clamp(ceil(n / target), min_k, max_k)
+          = GREATEST(min_k, LEAST(max_k, (n + target - 1) // target))
+
+    so an oracle derives the SAME k from count(*) in SQL. Expected
+    pairing work is then ~ n * target_cluster_size / 2 — LINEAR in n
+    at fixed target size. This closes the manual-k footgun the
+    round-7 catalog query shipped (k = 10 label fixture measured
+    2.1x DuckDB at sf1.0+; k = n/200 measured 0.35x/0.25x)."""
+    n = max(int(n_rows), 1)
+    t = max(int(target_cluster_size), 1)
+    return max(min_k, min(max_k, (n + t - 1) // t))
+
+
+def auto_semantic_clusters(
+    quantized: DataFrame,
+    k: int,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Deterministic, SQL-replayable k-means clustering for
+    ``semantic_dedup``'s auto path: seed centroids are the k input
+    VECTORS with the smallest (md5(id), id) — a hash-ordered
+    pseudo-random sample, replayable in any engine as
+    ``row_number() OVER (ORDER BY md5(id), id) <= k`` — then
+    ``kmeans_iters`` Lloyd rounds (operators.similarity.kmeans_lloyd,
+    bit-identical across engines by its determinism contract).
+
+    Plan shape: the seed pick is a sort-LIMIT —
+    TakeOrderedAndProject, per-partition top-k merged on the driver,
+    bounded by k, NO corpus sort — and the cluster-id assignment is a
+    window over the k already-limited rows (k rows on one partition by
+    design; never the corpus). Assignment itself is kmeans_lloyd's
+    shuffle-free broadcast-centroid argmin projection."""
+    from pyspark.sql.window import Window
+
+    from .similarity import kmeans_lloyd  # deferred: similarity imports dedup
+
+    seeds = (
+        quantized.select(
+            "id", "qv", F.md5(F.col("id").cast("string")).alias("_h")
+        )
+        .orderBy("_h", "id")
+        .limit(int(k))
+    )
+    init = seeds.select(
+        (F.row_number().over(Window.orderBy("_h", "id")) - 1).alias("cluster"),
+        F.expr("transform(qv, x -> cast(x as double))").alias("c"),
+    )
+    return kmeans_lloyd(
+        quantized.select("id", "qv"), init, iters=kmeans_iters, dim=dim, impl=impl
+    )
+
+
 def embedding_lsh_pairs(
     quantized: DataFrame,
     threshold: float,
@@ -871,10 +937,14 @@ def embedding_lsh_pairs(
 
 def semantic_dedup(
     quantized: DataFrame,
-    clusters: DataFrame,
-    threshold: float,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.9,
     max_cluster_size: int | None = None,
     pairs_impl: str = "expr",
+    target_cluster_size: int = 200,
+    kmeans_iters: int = 2,
+    n: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public method: Abbas et
     al. 2023, arXiv:2303.09540 — the standard LLM-corpus curation step
@@ -886,12 +956,20 @@ def semantic_dedup(
     assignment the caller provides).
 
     Inputs: ``quantized`` = (id, qv, n2) from quantize_embeddings;
-    ``clusters`` = (id, cluster). Returns (id, cluster, keep) for
-    EVERY input id: keep = false iff some same-cluster member with a
-    SMALLER id has cosine >= threshold — the deterministic min-id
-    representative rule (the paper keeps low-centroid-similarity
-    exemplars; min-id is the hash-stable equivalent and what
-    exact_dedup uses).
+    ``clusters`` = (id, cluster), or None (the DEFAULT) to cluster
+    automatically: k = ``auto_cluster_count(n, target_cluster_size)``
+    (integer-exact, oracle-replayable from count(*)) with
+    hash-ordered data-point seeds + ``kmeans_iters`` Lloyd rounds
+    (``auto_semantic_clusters``) — pass ``n`` to skip the one eager
+    count() the sizing law otherwise pays. Returns (id, cluster,
+    keep), one row per id present in ``clusters`` (an INNER join: ids
+    absent from a caller-provided ``clusters`` frame are not returned
+    — under the auto default every input id is assigned, so the
+    output covers every input id): keep = false iff some same-cluster
+    member with a SMALLER id has cosine >= threshold — the
+    deterministic min-id representative rule (the paper keeps
+    low-centroid-similarity exemplars; min-id is the hash-stable
+    equivalent and what exact_dedup uses).
 
     Plan shape: pairing is keyed by ``cluster`` — the expr path is a
     same-cluster self-equi-join (shuffle on cluster, never a cartesian
@@ -904,7 +982,16 @@ def semantic_dedup(
     _size; the paper runs 50k clusters on LAION) — in-cluster pairing
     is quadratic in cluster size, so ``max_cluster_size`` skips
     pathological clusters entirely (their members all stay keep=true,
-    a skew guard identical in spirit to LSH's max_bucket_size)."""
+    a skew guard identical in spirit to LSH's max_bucket_size). The
+    auto default enforces this rule by construction — manual sizing is
+    now opt-in, exactly like embedding_lsh_pairs after
+    auto_band_params."""
+    if clusters is None:
+        n_rows = n if n is not None else quantized.count()
+        k = auto_cluster_count(n_rows, target_cluster_size)
+        clusters = auto_semantic_clusters(
+            quantized, k, kmeans_iters=kmeans_iters, dim=dim
+        )
     members = quantized.select("id", "qv", "n2").join(clusters, "id")
     if pairs_impl == "arrow":
         grouped = members.select(

@@ -284,38 +284,55 @@ def streaming_incremental_minhash(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         sh = word_shingles(batch_df, text_col, id_col, n=shingle_n, distinct=False)
         sig = minhash_signatures(sh, num_hashes=num_hashes)
-        buckets = minhash_band_buckets(sig, rows_per_band=rows_per_band)
+        # persist: this lineage (shingles -> 16-hash MinHash -> banding)
+        # is the batch's most expensive computation and is consumed
+        # TWICE (drop decision + store-key append) — without the cache
+        # it would recompute end-to-end for the second write
+        buckets = minhash_band_buckets(sig, rows_per_band=rows_per_band).persist()
         try:
-            store = spark.read.parquet(store_path).select("band", "bucket")
-        except Exception:
-            store = None  # first batch: no store yet
-        cross = (
-            buckets.join(store, ["band", "bucket"], "left_semi").select("id")
-            if store is not None
-            else buckets.select("id").limit(0)
-        )
-        rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
-        within = (
-            buckets.join(rep, ["band", "bucket"])
-            .where(F.col("id") != F.col("_keep"))
-            .select("id")
-        )
-        dropped = cross.unionByName(within).distinct()
-        survivors = batch_df.join(
-            dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
-        )
-        survivors.write.mode("append").parquet(output_path)
-        (
-            buckets.join(
-                survivors.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+            try:
+                store = spark.read.parquet(store_path).select("band", "bucket")
+            except AnalysisException as e:
+                # ONLY a genuinely missing store means "first batch";
+                # any other failure (permissions, corrupt footer,
+                # transient FS) must fail the batch so the streaming
+                # engine retries instead of silently ingesting dups
+                # with cross-batch screening disabled
+                msg = str(e)
+                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                    raise
+                store = None
+            cross = (
+                buckets.join(store, ["band", "bucket"], "left_semi").select("id")
+                if store is not None
+                else buckets.select("id").limit(0)
             )
-            .select("band", "bucket")
-            .write.mode("append")
-            .parquet(store_path)
-        )
+            rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
+            within = (
+                buckets.join(rep, ["band", "bucket"])
+                .where(F.col("id") != F.col("_keep"))
+                .select("id")
+            )
+            dropped = cross.unionByName(within).distinct()
+            survivors = batch_df.join(
+                dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
+            )
+            survivors.write.mode("append").parquet(output_path)
+            (
+                buckets.join(
+                    survivors.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+                )
+                .select("band", "bucket")
+                .write.mode("append")
+                .parquet(store_path)
+            )
+        finally:
+            buckets.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

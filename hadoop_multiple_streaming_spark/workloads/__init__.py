@@ -57,6 +57,8 @@ _PRIORITY_ORDER = [
     "pipe_wordcount",
     "fanout_two_branches",
     "pipe_grouped_reduce",
+    # round-8 NEW: auto-sized SemDeDup (the semantic_dedup default path)
+    "semantic_dedup_auto",
     # round-7 NEW operators (first driver evidence this round)
     "dedup_embedding_lsh_auto",
     "semantic_dedup",

@@ -570,6 +570,76 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_auto",
+    oracle="""
+    WITH q AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    kk AS (SELECT GREATEST(2, LEAST(65536, (COUNT(*) + 199) // 200)) AS k
+           FROM q),
+    seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                         AS cluster,
+                     list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+              FROM q
+              QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                      <= (SELECT k FROM kk)),
+    d1 AS (SELECT q.id, q.qv, seeds.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN seeds),
+    a1 AS (SELECT id, qv, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d1) WHERE rn = 1),
+    dims1 AS (SELECT cluster, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM a1, UNNEST(range(1, 65)) t(i) GROUP BY cluster, i),
+    cent1 AS (SELECT cluster,
+                     array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM dims1 GROUP BY cluster),
+    d2 AS (SELECT q.id, cent1.cluster,
+                  list_aggregate(list_transform(range(1, 65),
+                      i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                           * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                      'sum') AS dist
+           FROM q CROSS JOIN cent1),
+    a2 AS (SELECT id, cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM d2) WHERE rn = 1),
+    mem AS (SELECT a2.id, a2.cluster, q.qv,
+                   list_inner_product(q.qv, q.qv) AS n2
+            FROM a2 JOIN q ON q.id = a2.id),
+    drops AS (SELECT DISTINCT b.id
+              FROM mem a JOIN mem b
+                ON a.cluster = b.cluster AND a.id < b.id
+              WHERE CAST(list_inner_product(a.qv, b.qv) AS DOUBLE)
+                    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
+    SELECT m.id, m.cluster, (d.id IS NULL) AS keep
+    FROM mem m LEFT JOIN drops d ON m.id = d.id
+    """,
+)
+def semantic_dedup_auto_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with AUTO-derived cluster count — the default path of
+    operators.dedup.semantic_dedup when no clustering is passed:
+    k = auto_cluster_count(count(*), target_cluster_size=200)
+    (integer-exact ceil-div, which the oracle replays from count(*) —
+    GREATEST(2, LEAST(65536, (n + 199) // 200))), seeds = the k
+    vectors with the smallest (md5(id), id) (TakeOrderedAndProject,
+    bounded by k), then the same 2-iteration oracle-exact Lloyd
+    k-means as the fixture query. This is the configuration the
+    crossover curve holds to <=2x DuckDB at sf1.0/sf2.0 — cluster
+    sizes stay ~target regardless of corpus size, so in-cluster
+    pairing work is LINEAR in n."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    quant = quantize_embeddings(emb, "embedding", "vec_id")
+    return semantic_dedup(quant, threshold=0.45, pairs_impl="arrow")
+
+
+@register(
     "embedding_sq8",
     oracle="""
     WITH v AS (SELECT vec_id AS id,

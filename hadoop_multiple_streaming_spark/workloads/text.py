@@ -1044,9 +1044,9 @@ _QM_W = FROZEN_QUALITY_WEIGHTS_V1
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS f_tokens,
              CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
-             CAST(length(text) AS BIGINT) AS f_chars,
-             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
-                 AS f_punct,
+             CAST(COALESCE(length(text), 0) AS BIGINT) AS f_chars,
+             CAST(COALESCE(length(regexp_replace(text, '[^.,!?;:]', '', 'g')), 0)
+                 AS BIGINT) AS f_punct,
              CASE WHEN len(tk) > 0 THEN
                (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
                 * 1000) // len(tk)
@@ -1141,12 +1141,12 @@ def upsample_epochs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     'abcdefghijklmnopqrstuvwxyz'),
                     '[.,;:!?"''()\[\]{}<>@#$%^&*_+=|/~`-]+', ' ', 'g'),
                 ' +', ' ', 'g')) AS norm_text,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(length(trim(regexp_replace(regexp_replace(
+           CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(length(trim(regexp_replace(regexp_replace(
                     translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                     'abcdefghijklmnopqrstuvwxyz'),
                     '[.,;:!?"''()\[\]{}<>@#$%^&*_+=|/~`-]+', ' ', 'g'),
-                ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+                ' +', ' ', 'g'))), 0) AS BIGINT) AS n_norm_chars
     FROM documents
     """,
 )
@@ -1169,9 +1169,9 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(len(tk) AS BIGINT) AS f_tokens,
              CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
-             CAST(length(text) AS BIGINT) AS f_chars,
-             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
-                 AS f_punct,
+             CAST(COALESCE(length(text), 0) AS BIGINT) AS f_chars,
+             CAST(COALESCE(length(regexp_replace(text, '[^.,!?;:]', '', 'g')), 0)
+                 AS BIGINT) AS f_punct,
              CASE WHEN len(tk) > 0 THEN
                (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
                 * 1000) // len(tk)

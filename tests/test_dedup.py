@@ -428,6 +428,65 @@ def test_semantic_dedup_impls_and_min_id_rule(spark):
     assert capped == {1: True, 2: True, 3: True, 4: True, 5: True}
 
 
+def test_auto_cluster_count_law():
+    """k = clamp(ceil(n / target), 2, 65536) — integer-exact, so the
+    SQL replay GREATEST(2, LEAST(65536, (n + t - 1) // t)) derives the
+    SAME k from count(*); pairing work n * target stays linear in n."""
+    from hadoop_multiple_streaming_spark.operators.dedup import auto_cluster_count
+
+    # the actual corpus sizes the crossover curve runs at
+    assert auto_cluster_count(500) == 3
+    assert auto_cluster_count(2_000) == 10
+    assert auto_cluster_count(20_000) == 100
+    assert auto_cluster_count(40_000) == 200
+    # exact ceil-div boundaries
+    assert auto_cluster_count(200) == 2  # min clamp wins over ceil=1
+    assert auto_cluster_count(201) == 2
+    assert auto_cluster_count(401) == 3
+    # clamps
+    assert auto_cluster_count(1) == 2
+    assert auto_cluster_count(10**12) == 1 << 16
+    # custom target
+    assert auto_cluster_count(1000, target_cluster_size=100) == 10
+    # monotone non-decreasing in n
+    ks = [auto_cluster_count(n) for n in range(1, 5000, 37)]
+    assert all(a <= b for a, b in zip(ks, ks[1:]))
+
+
+def test_semantic_dedup_auto_default_recovers_planted_twin(spark):
+    """The no-clusters default path: auto_cluster_count sizes k,
+    hash-ordered seeds + 2 Lloyd rounds cluster the space, and a
+    planted near-twin is still dropped (twins are ~coincident, so
+    k-means cannot separate them) while every id appears exactly once
+    in the output."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    twin = [x * 1.0001 for x in rows[13][1]]
+    rows.append((60, twin))  # near-dup of id 13
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    out = semantic_dedup(
+        q, threshold=0.99, pairs_impl="arrow", target_cluster_size=8, dim=16
+    ).collect()
+    got = {r.id: (r.cluster, r.keep) for r in out}
+    assert len(got) == 61  # every input id, exactly once
+    assert got[60][1] is False  # twin dropped...
+    assert got[13][1] is True  # ...its min-id representative kept
+    assert got[60][0] == got[13][0]  # same cluster (coincident vectors)
+    # k came from the law: 61 vectors / target 8 -> ceil = 8 clusters
+    assert len({c for c, _ in got.values()}) <= 8
+    # n= opt-out skips the eager count and produces identical output
+    out2 = semantic_dedup(
+        q, threshold=0.99, pairs_impl="arrow", target_cluster_size=8,
+        dim=16, n=61,
+    ).collect()
+    assert {r.id: (r.cluster, r.keep) for r in out2} == got
+
+
 def test_substring_matches_positions_and_anchors(spark):
     """Every contiguous occurrence is found at its 1-based token
     position (both anchor modes), probes shorter than k are skipped,
