@@ -53,129 +53,128 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
+    # ---- round-8 window (driver checks ~first 50) ----
     # reference signature: pipe mapper/reducer + N-branch fan-out
     "pipe_wordcount",
     "fanout_two_branches",
     "pipe_grouped_reduce",
     # round-8 NEW: auto-sized SemDeDup (the semantic_dedup default path)
     "semantic_dedup_auto",
-    # round-7 NEW operators (first driver evidence this round)
-    "dedup_embedding_lsh_auto",
+    # round-8 touched: semantic_dedup operator signature/default path;
+    # NULL-coalesce added to the quality/normalize oracles
     "semantic_dedup",
-    "substring_decontamination",
     "quality_model_score",
-    "duplicate_span_mining",
-    "decontaminate_cut_spans",
-    "upsample_epochs",
-    "text_normalize",
     "top_quality_docs",
+    "text_normalize",
+    # perf claim under review this round (crossover rows being added)
     "text_winnowing",
     "winnowing_pairs",
-    # round-7 plan-touched queries (chunk empty-window fix, blocklist
-    # NULL coalesce, fused-arrow bucket verify)
-    "chunk_documents",
-    "blocklist_screen",
-    "dedup_embedding_lsh",
-    # dedup family: the crossover perf claim was RE-measured this
-    # round (CROSSOVER.md round-7 table) -> floor pair stays in-window
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    # evidence-refresh: family representatives whose last driver-green
-    # row is OLDEST (plans unchanged; rotation keeps every family
-    # represented while re-proving the stalest rows first)
-    "dedup_exact",  # last green r05
-    "dedup_simhash",  # r05
-    "decontaminate_docs",  # r05
-    "text_fingerprint",  # r04
-    "text_token_count",  # r04
-    "text_quality_score",  # r05
-    "text_langid",  # r05
-    "text_tfidf_top_terms",  # r05
-    "text_sentence_stats",  # r05
-    "text_repetition",  # r05
-    "curation_pipeline",  # r06; kept fresh as the pipeline composite
-    "multimodal_frame_sample",  # r05
-    "pack_sequences",  # r05
-    "pack_texts",  # r05
-    "dataset_split",  # r03+r04
-    "stratified_sample",  # r05
-    "quota_sample",  # r05
-    "ann_ivf_topk",  # r04
-    "embedding_centroids",  # r04
-    "ann_recall",  # r04
-    "kmeans_refine",  # r05; kmeans_lloyd now also feeds semantic_dedup
-    "ivf_assignment",  # r05
-    "embedding_sq8",  # r05
-    "interval_click_errors",  # r05
-    "anti_join_dormant_customers",  # r03+r04
-    "first_event_per_user",  # r05
-    "events_json_props",  # r05
-    "agg_long_max_min",  # r03+r04
-    "ann_ivf_index",  # r7 plan-touched: assign_centroids argmin projection
+    "duplicate_span_mining",
+    # evidence-refresh: stalest rows first (last green r03-r05)
+    "customer_order_counts",  # r03+r04
+    "set_ops_customers",  # r03+r04
+    "lineitem_rollup",  # r03+r04
+    "lineitem_cube",  # r03+r04
+    "orders_grouping_sets",  # r03+r04
+    "orders_priority_pivot",  # r03+r04
+    "q3_shipping_priority",  # r03+r04
+    "q4_order_priority",  # r03+r04
+    "q6_forecast_revenue",  # r03+r04
+    "q10_returned_items",  # r03+r04
+    "q11_important_parts",  # r03+r04
+    "q12_priority_by_status",  # r03+r04
+    "q18_large_orders",  # r03+r04 + r06 judge re-run
+    "q22_global_sales_opportunity",  # r04
+    "price_percentiles",  # r03+r04 + r06 judge re-run
+    "text_top_bigrams",  # r04
+    "agg_string_max_min",  # r04 + r06 judge re-run
+    "agg_double_sum",  # r04 + r05 judge re-run
+    "agg_salted_sum",  # r04 + r06 judge re-run
+    "dedup_simhash_pairs",  # r04 + r05/r06 judge re-runs
+    "pipe_identity_cat",  # r05; P3 identity elision
+    "agg_long_sum_native",  # r05
+    # evidence-refresh: r06 greens not re-proved since
+    "ann_pq_train_recall",  # r06
+    "salted_join_revenue",  # r06
+    "temperature_sample",  # r06
+    "incremental_dedup",  # r06
+    "incremental_minhash_dedup",  # r06 + r07 judge re-run
+    "q2_min_cost_supplier",  # r06
+    "q7_nation_volume",  # r06
+    "q8_market_share",  # r06
+    "q14_promo_revenue",  # r06
+    "q15_top_supplier",  # r06
+    "q16_supplier_part_counts",  # r06
+    "q17_small_quantity_revenue",  # r06
+    "q19_disjunctive_revenue",  # r06
+    "q20_heavy_shippers",  # r06
+    "q21_sole_failing_supplier",  # r06
+    # family representation: packing + multimodal in-window reps
+    "pack_sequences_global",  # r06 + r07 judge re-run
+    "multimodal_features",  # r06 + r07 judge re-run (text_profile twin)
     # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
-    "ann_pq_train_recall",  # r06 green
-    "salted_join_revenue",  # r06 green
-    "temperature_sample",  # r06 green
-    "incremental_dedup",  # r06 green
-    "incremental_minhash_dedup",  # r06 green
-    "text_rare_words",  # r06 green
-    "ann_pq_adc",  # r06 green
-    "pack_sequences_global",  # r06 green
-    "q2_min_cost_supplier",  # r06 green (post-de-hint)
-    "q7_nation_volume",  # r06 green
-    "q8_market_share",  # r06 green
-    "q9_product_profit",  # r06 green
-    "q14_promo_revenue",  # r06 green
-    "q15_top_supplier",  # r06 green
-    "q16_supplier_part_counts",  # r06 green
-    "q17_small_quantity_revenue",  # r06 green
-    "q19_disjunctive_revenue",  # r06 green
-    "q20_heavy_shippers",  # r06 green
-    "q21_sole_failing_supplier",  # r06 green
     "part_supplier_topn",  # r06 green
     "text_pii_redact",  # r06 green
-    "text_profile",  # r06 green
     "text_boilerplate_removal",  # r06 green
-    "multimodal_features",  # r06 green
     "ann_cosine_topk",  # r06 green
     "ann_ivf_multiprobe",  # r06 green
-    "asof_click_attribution",  # r06 green
+    "asof_click_attribution",  # r06 green + r07 judge re-run
     "q13_customer_distribution",  # r06 green
     "events_hourly_rollup",  # r06 green
     "events_sessionize",  # r06 green
     "secondary_sort_events",  # r06 green
     "events_exact_profile",  # r06 green
     "agg_long_sum",  # r06 green
-    "agg_uniq_count",  # r06 green
+    "agg_uniq_count",  # r06 green + r07 judge re-run
     "agg_value_histogram",  # r06 green
     "contamination_rate",  # r06 green
     "q1_pricing_summary",  # r06 green
     "q5_local_supplier_volume",  # r06 green
-    "pipe_identity_cat",  # r05 green; P3 identity elision unchanged
-    "dedup_simhash_pairs",  # r04 green + r05/r06 judge re-runs
+    "q9_product_profit",  # r06 green + r07 judge re-run
+    "ann_pq_adc",  # r06 green + r07 judge re-run
+    "text_rare_words",  # r06 green + r07 judge re-run
+    "text_profile",  # r06 green + r07 judge re-run
+    "dedup_embedding_lsh_auto",  # r07 green
+    "substring_decontamination",  # r07 green
+    "decontaminate_cut_spans",  # r07 green
+    "upsample_epochs",  # r07 green
+    "chunk_documents",  # r07 green
+    "blocklist_screen",  # r07 green
+    "dedup_embedding_lsh",  # r07 green
+    "dedup_minhash_lsh",  # r07 green
+    "dedup_ngram_jaccard",  # r07 green
+    "dedup_embedding_cosine",  # r07 green
+    "dedup_clusters",  # r07 green
+    "dedup_exact",  # r07 green
+    "dedup_simhash",  # r07 green
+    "decontaminate_docs",  # r07 green
+    "text_fingerprint",  # r07 green
+    "text_token_count",  # r07 green
+    "text_quality_score",  # r07 green
+    "text_langid",  # r07 green
+    "text_tfidf_top_terms",  # r07 green
+    "text_sentence_stats",  # r07 green
+    "text_repetition",  # r07 green
+    "curation_pipeline",  # r07 green
+    "multimodal_frame_sample",  # r07 green
+    "pack_sequences",  # r07 green
+    "pack_texts",  # r07 green
+    "dataset_split",  # r07 green
+    "stratified_sample",  # r07 green
+    "quota_sample",  # r07 green
+    "ann_ivf_topk",  # r07 green
+    "embedding_centroids",  # r07 green
+    "ann_recall",  # r07 green
+    "kmeans_refine",  # r07 green
+    "ivf_assignment",  # r07 green
+    "embedding_sq8",  # r07 green
+    "interval_click_errors",  # r07 green
+    "anti_join_dormant_customers",  # r07 green
+    "first_event_per_user",  # r07 green
+    "events_json_props",  # r07 green
+    "agg_long_max_min",  # r07 green
+    "ann_ivf_index",  # r07 green
     "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile
-    "q22_global_sales_opportunity",  # r04 green
-    "customer_order_counts",  # r03+r04 green
-    "set_ops_customers",  # r03+r04 green
-    "lineitem_rollup",  # r03+r04 green
-    "q18_large_orders",  # r03+r04 green + r06 judge re-run
-    "price_percentiles",  # r03+r04 green + r06 judge re-run
-    "lineitem_cube",  # r03+r04 green
-    "orders_grouping_sets",  # r03+r04 green
-    "orders_priority_pivot",  # r03+r04 green
-    "q11_important_parts",  # r03+r04 green
-    "q12_priority_by_status",  # r03+r04 green
-    "q10_returned_items",  # r03+r04 green
-    "q4_order_priority",  # r03+r04 green
-    "q3_shipping_priority",  # r03+r04 green
-    "text_top_bigrams",  # r04 green
-    "agg_string_max_min",  # r04 green + r06 judge re-run
-    "agg_double_sum",  # r04 green + r05 judge re-run
-    "agg_salted_sum",  # r04 green + r06 judge re-run
-    "q6_forecast_revenue",  # r03+r04 green
-    "agg_long_sum_native",  # r05 green
 ]
 
 

@@ -39,6 +39,14 @@ QUERIES = [
     "substring_decontamination",
     "quality_model_score",
     "semantic_dedup",
+    # round-8 additions: the auto-sized SemDeDup default path (k and
+    # seeds derived from count(*) on BOTH engines — the workload
+    # self-scales like the auto LSH) and the winnowing/span family,
+    # which shipped in round 7 with sf0.1 ratios but no at-scale rows
+    "semantic_dedup_auto",
+    "text_winnowing",
+    "winnowing_pairs",
+    "duplicate_span_mining",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
