@@ -78,6 +78,8 @@ HEADLINE = [
     "quality_model_score",
     "duplicate_span_mining",
     "text_winnowing",
+    # round-8 extension surface
+    "semantic_dedup_auto",
 ]
 
 

@@ -1257,7 +1257,13 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream pairing is a groupBy(fp)."""
     from ..operators.text import winnowing_fingerprints
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition(32): the single-file test tables scan as 1-2 input
+    # splits, which starves this per-document projection of
+    # parallelism (measured: a flat 3.6-3.9x DuckDB from sf0.1 to
+    # sf1.0 with 2 tasks; 32-way it drops under the bar like
+    # winnowing_pairs, which always had this). A real multi-file
+    # corpus scan yields >= cores partitions and needs no repartition.
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
     return winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
 
 

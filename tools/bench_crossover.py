@@ -227,6 +227,11 @@ def time_duck(con, sql: str) -> float:
 
 
 def main() -> int:
+    only = None
+    for a in list(sys.argv[1:]):
+        if a.startswith("--queries="):
+            only = set(a.split("=", 1)[1].split(","))
+            sys.argv.remove(a)
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
@@ -249,12 +254,6 @@ def main() -> int:
     rows = []
     for sf_dir in sf_dirs:
         sf = _sf(sf_dir)
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {cpus}")
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
         scaled_q, scaled_sql = _scaled_embedding_lsh()
         sem_q, sem_sql = _scaled_semantic_dedup()
         for name, qfn, sql in [
@@ -262,6 +261,8 @@ def main() -> int:
             ("dedup_embedding_lsh_scaled", scaled_q, scaled_sql),
             ("semantic_dedup_scaled_k", sem_q, sem_sql),
         ]:
+            if only is not None and name not in only:
+                continue
             # engines are allowed to FAIL a scale point (e.g. DuckDB
             # OOM on the sf2.0 sign-LSH oracle) — record -1 and keep
             # going; a dead engine is the most honest ratio there is
@@ -271,21 +272,30 @@ def main() -> int:
                 print(f"[crossover] spark {name}@{sf}: {str(e)[:150]}",
                       file=sys.stderr)
                 s = -1.0
+            # one connection per query: views over parquet are
+            # metadata-only, and a fresh connection means an OOM'd
+            # query (whose allocator can be too exhausted even for the
+            # RECOVERY work — seen: reconnect + CREATE VIEW itself
+            # raising OOM, killing the run) cannot poison the rest
+            d = -1.0
+            con = None
             try:
-                d = time_duck(con, sql)
-            except Exception as e:
-                print(f"[crossover] duckdb {name}@{sf}: {str(e)[:150]}",
-                      file=sys.stderr)
-                # a failed warm/timing leaves the connection in an
-                # unknown state — reopen for the next query
-                con.close()
                 con = duckdb.connect()
                 con.execute(f"SET threads TO {cpus}")
                 for t in TABLES:
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
                     )
-                d = -1.0
+                d = time_duck(con, sql)
+            except Exception as e:
+                print(f"[crossover] duckdb {name}@{sf}: {str(e)[:150]}",
+                      file=sys.stderr)
+            finally:
+                try:
+                    if con is not None:
+                        con.close()
+                except Exception:
+                    pass
             ratio = round(s / d, 2) if d > 0 and s > 0 else -1.0
             rec = {
                 "sf": sf,
@@ -296,7 +306,6 @@ def main() -> int:
             }
             rows.append(rec)
             print(json.dumps(rec), flush=True)
-        con.close()
 
     print("\n| query | sf | spark (s) | duckdb (s) | ratio |")
     print("|---|---|---|---|---|")
