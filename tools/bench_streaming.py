@@ -96,7 +96,10 @@ def main() -> int:
     store_keys = spark.read.parquet(f"{workdir}/store").count()
     batch_ms = [
         p["durationMs"].get("triggerExecution", -1)
-        for p in (json.loads(x) for x in q.recentProgress)
+        for p in (
+            json.loads(x if isinstance(x, str) else x.json)
+            for x in q.recentProgress
+        )
         if p.get("numInputRows", 0) > 0
     ]
     rec = {
