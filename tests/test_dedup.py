@@ -588,3 +588,33 @@ def test_remove_spans_cut_and_passthrough(spark):
     assert got[1] == ("a e f", 3, 3)
     assert got[2] == ("u v w", 3, 0)
     assert got[3] == ("", 0, 3)
+
+
+def test_semantic_dedup_auto_tiny_inputs(spark):
+    """Degenerate corpora: n smaller than min_k seeds (1-3 vectors)
+    must not crash the auto path — the seed LIMIT just returns fewer
+    than k rows and Lloyd proceeds with what exists; duplicate seed
+    vectors collapse onto the lower cluster id deterministically."""
+    from hadoop_multiple_streaming_spark.operators.dedup import semantic_dedup
+
+    for rows in (
+        [(1, [1.0] * 16)],
+        [(1, [1.0] * 16), (2, [1.0] * 16)],           # identical pair
+        [(1, [1.0] * 16), (2, [-1.0] * 16), (3, [1.0] * 16)],
+    ):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = quantize_embeddings(df, "embedding", "vec_id")
+        out = {r.id: r.keep for r in semantic_dedup(
+            q, threshold=0.99, pairs_impl="arrow", dim=16
+        ).collect()}
+        assert len(out) == len(rows)
+        assert out[1] is True  # min-id representative always kept
+    # the identical pair: the larger id is the one dropped
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    out = {r.id: r.keep for r in semantic_dedup(
+        q, threshold=0.99, pairs_impl="arrow", dim=16
+    ).collect()}
+    assert out == {1: True, 2: False}

@@ -460,3 +460,39 @@ def test_streaming_incremental_minhash_restart_no_reprocess(spark, tmp_path):
     # batch 1 NOT reprocessed (1, 2 appear once); 10 dropped as a
     # near-dup of stored doc 1; 11 survives
     assert final == [1, 2, 11]
+
+
+def test_streaming_incremental_minhash_corrupt_store_fails_batch(spark, tmp_path):
+    """A bucket store that EXISTS but cannot be read must FAIL the
+    micro-batch (so the engine retries) — not silently degrade to
+    'first batch' with cross-batch screening disabled. Only a
+    genuinely missing store path reads as empty."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from hadoop_multiple_streaming_spark.streaming.fanout import (
+        streaming_incremental_minhash,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    indir = str(tmp_path / "in")
+    _stage_files(spark, [b1], indir)
+    store_path = str(tmp_path / "store")
+    # a store directory that exists with a corrupt parquet file inside
+    os.makedirs(store_path)
+    with open(os.path.join(store_path, "part-0.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    q = streaming_incremental_minhash(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+        raise AssertionError("query should have failed on the corrupt store")
