@@ -226,6 +226,51 @@ def time_duck(con, sql: str) -> float:
     return round(best, 3)
 
 
+_DUCK_RUNNER = r"""
+import json, sys, time
+import duckdb
+sf_dir, cpus = sys.argv[1], int(sys.argv[2])
+sql = sys.stdin.read()
+con = duckdb.connect()
+con.execute(f"SET threads TO {cpus}")
+# long queries print a progress bar to STDOUT in a subprocess,
+# corrupting the one-JSON-line protocol — force it off
+con.execute("SET enable_progress_bar = false")
+for t in %r.split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+con.execute(sql).fetchall()  # warm
+best = -1.0
+for _ in range(2):
+    t0 = time.monotonic()
+    con.execute(sql).fetchall()
+    dt = time.monotonic() - t0
+    best = dt if best < 0 else min(best, dt)
+print(json.dumps({"sec": round(best, 3)}))
+""" % (" ".join(TABLES))
+
+
+def time_duck_subprocess(sf_dir: str, sql: str, cpus: int) -> float:
+    """Same warm + min-of-2 estimator, but in a FRESH OS process.
+
+    Needed at sf >= 4.0: one DuckDB OOM inside this process poisons
+    the allocator for every SUBSEQUENT in-process connection (observed:
+    after the first genuine OOM, fresh connections fail 8-byte
+    allocations with 123 GB free). Process isolation gives each query
+    the full allocator; the timing loop runs inside the child, so the
+    process-start cost never lands in the measurement."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c", _DUCK_RUNNER, sf_dir, str(cpus)],
+        input=sql.encode(),
+        capture_output=True,
+        timeout=1800,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.decode(errors="replace")[-200:])
+    return float(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
+
+
 def main() -> int:
     only = None
     for a in list(sys.argv[1:]):
@@ -272,30 +317,19 @@ def main() -> int:
                 print(f"[crossover] spark {name}@{sf}: {str(e)[:150]}",
                       file=sys.stderr)
                 s = -1.0
-            # one connection per query: views over parquet are
-            # metadata-only, and a fresh connection means an OOM'd
-            # query (whose allocator can be too exhausted even for the
-            # RECOVERY work — seen: reconnect + CREATE VIEW itself
-            # raising OOM, killing the run) cannot poison the rest
+            # one PROCESS per DuckDB query: a fresh connection is not
+            # enough — an OOM'd query poisons the process-global
+            # allocator (seen twice: first the recovery CREATE VIEW
+            # raising OOM and killing the run, then at sf4.0 every
+            # post-OOM fresh connection failing 8-byte allocations
+            # with 123 GB free). The child runs the identical
+            # warm+min-of-2 estimator and prints one JSON line.
             d = -1.0
-            con = None
             try:
-                con = duckdb.connect()
-                con.execute(f"SET threads TO {cpus}")
-                for t in TABLES:
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-                    )
-                d = time_duck(con, sql)
+                d = time_duck_subprocess(sf_dir, sql, cpus)
             except Exception as e:
-                print(f"[crossover] duckdb {name}@{sf}: {str(e)[:150]}",
+                print(f"[crossover] duckdb {name}@{sf}: {str(e)[:200]}",
                       file=sys.stderr)
-            finally:
-                try:
-                    if con is not None:
-                        con.close()
-                except Exception:
-                    pass
             ratio = round(s / d, 2) if d > 0 and s > 0 else -1.0
             rec = {
                 "sf": sf,
