@@ -70,6 +70,11 @@ _PRIORITY_ORDER = [
     "text_winnowing",
     "winnowing_pairs",
     "duplicate_span_mining",
+    # round-8 touched: substring_matches rarest-anchor selection went
+    # single-pass (windowed anchor+candidates; output byte-identical,
+    # exceptAll-proved) — both consumers re-prove in-window
+    "substring_decontamination",
+    "decontaminate_cut_spans",
     # evidence-refresh: stalest rows first (last green r03-r05)
     "customer_order_counts",  # r03+r04
     "set_ops_customers",  # r03+r04
@@ -83,9 +88,7 @@ _PRIORITY_ORDER = [
     "q10_returned_items",  # r03+r04
     "q11_important_parts",  # r03+r04
     "q12_priority_by_status",  # r03+r04
-    "q18_large_orders",  # r03+r04 + r06 judge re-run
     "q22_global_sales_opportunity",  # r04
-    "price_percentiles",  # r03+r04 + r06 judge re-run
     "text_top_bigrams",  # r04
     "agg_string_max_min",  # r04 + r06 judge re-run
     "agg_double_sum",  # r04 + r05 judge re-run
@@ -135,8 +138,8 @@ _PRIORITY_ORDER = [
     "text_rare_words",  # r06 green + r07 judge re-run
     "text_profile",  # r06 green + r07 judge re-run
     "dedup_embedding_lsh_auto",  # r07 green
-    "substring_decontamination",  # r07 green
-    "decontaminate_cut_spans",  # r07 green
+    "q18_large_orders",  # r03+r04 + r06 judge re-run
+    "price_percentiles",  # r03+r04 + r06 judge re-run
     "upsample_epochs",  # r07 green
     "chunk_documents",  # r07 green
     "blocklist_screen",  # r07 green
