@@ -166,3 +166,23 @@ def test_catalog_plan_hygiene(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+def test_substring_rarest_anchor_single_pass(spark, sf_dir):
+    # the rarest-anchor path must consume the corpus gram explode ONCE
+    # (broadcast probe-gram join, then windowed anchor selection over
+    # the match stream). The previous two-pass form depended on a
+    # ReusedExchange that AQE never actually forms — its EXECUTED plan
+    # carried the 10M-row explode and an 8M-group aggregate twice
+    # (Generate x2 for cg alone; 10.2 s vs 3.7 s at sf4.0). Guard the
+    # AQE-final plan: exactly two Generates TOTAL (one corpus-gram
+    # explode, one probe-gram explode) and the two anchor windows.
+    import re
+
+    df = workloads.QUERIES["substring_decontamination"](spark, sf_dir)
+    declared = _plan_of(df)
+    assert len(re.findall(r"\(\d+\) Generate", declared)) == 2, declared
+    assert "Window" in declared
+    df.count()  # drive AQE to the final plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("Generate") == 2, final
