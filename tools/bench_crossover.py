@@ -23,7 +23,6 @@ import re
 import sys
 import time
 
-import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -210,17 +209,6 @@ def time_spark(spark, fn, sf_dir: str) -> float:
     for _ in range(2):
         t0 = time.monotonic()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = time.monotonic() - t0
-        best = dt if best < 0 else min(best, dt)
-    return round(best, 3)
-
-
-def time_duck(con, sql: str) -> float:
-    con.execute(sql).fetchall()  # warm
-    best = -1.0
-    for _ in range(2):
-        t0 = time.monotonic()
-        con.execute(sql).fetchall()
         dt = time.monotonic() - t0
         best = dt if best < 0 else min(best, dt)
     return round(best, 3)
