@@ -318,16 +318,26 @@ def ngram_jaccard_pairs(
         inter = inter.join(candidates, ["id_a", "id_b"])
     counts = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
     # sizes has ONE ROW PER DOCUMENT — corpus-scaled, never hinted for
-    # broadcast (at 10B docs a hint is an executor OOM). No hint at
-    # all: AQE sees that COUNTS (the candidate-pair aggregate, small by
-    # construction) is the broadcastable side and builds on it at
-    # runtime; if both sides are big this degrades to sort-merge on
-    # the id — both safe at any scale. (A pre-semi-join of sizes down
-    # to pair ids was measured WORSE here: it re-evaluates the whole
-    # shingle pipeline a second time for the pair-id set, +60% wall
-    # clock at sf0.1.)
+    # broadcast (at 10B docs a hint is an executor OOM). In the
+    # candidates mode counts IS small by construction (bounded by the
+    # LSH candidate set) and AQE may broadcast it. In the standalone
+    # mode counts is corpus-PAIR-scaled — and AQE's broadcastability
+    # estimate comes from COMPRESSED shuffle bytes, which lie badly on
+    # this sorted (id_a, id_b, c) aggregate: at sf4.0 (400k docs) AQE
+    # judged it under the 64 MB threshold and the broadcast collect
+    # blew spark.driver.maxResultSize after 3 of 32 task results
+    # (1.2 GiB partial; multi-GiB total). Both join sides are
+    # corpus-scaled there, so pin sort-merge — the hint rides the
+    # size frames so BOTH joins are pinned (a hint on counts alone
+    # leaves the second join's equally-pair-scaled left side up to
+    # AQE). (A pre-semi-join of sizes down to pair ids was measured
+    # WORSE here: it re-evaluates the whole shingle pipeline a second
+    # time for the pair-id set, +60% wall clock at sf0.1.)
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    if candidates is None:
+        na = na.hint("merge")
+        nb = nb.hint("merge")
     return (
         counts.join(na, "id_a")
         .join(nb, "id_b")

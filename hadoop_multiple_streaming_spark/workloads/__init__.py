@@ -75,6 +75,10 @@ _PRIORITY_ORDER = [
     # exceptAll-proved) — both consumers re-prove in-window
     "substring_decontamination",
     "decontaminate_cut_spans",
+    # round-8 touched (late): standalone ngram_jaccard pins sort-merge
+    # for the sizes joins (AQE's compressed-stats broadcast estimate
+    # blew driver maxResultSize at sf4.0); re-prove in-window
+    "dedup_ngram_jaccard",
     # evidence-refresh: stalest rows first (last green r03-r05)
     "customer_order_counts",  # r03+r04
     "set_ops_customers",  # r03+r04
@@ -145,7 +149,6 @@ _PRIORITY_ORDER = [
     "blocklist_screen",  # r07 green
     "dedup_embedding_lsh",  # r07 green
     "dedup_minhash_lsh",  # r07 green
-    "dedup_ngram_jaccard",  # r07 green
     "dedup_embedding_cosine",  # r07 green
     "dedup_clusters",  # r07 green
     "dedup_exact",  # r07 green
