@@ -301,18 +301,22 @@ def ngram_jaccard_pairs(
     sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # co-occurrence via in-group pair expansion (no bucket self-join)
-    inter = (
-        grouped.where(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b"))
+    # co-occurrence via in-group pair expansion (no bucket self-join).
+    # TWO chained Generates, not one flatten(transform(...)) explode:
+    # the flattened form materializes the group's whole m(m-1)/2 pair
+    # array as ONE value before exploding — this operator has no
+    # bucket-size cap (exact Jaccard must see every pair), so a hot
+    # shingle shared by m=16k docs meant a single 1 GiB humongous
+    # allocation per task (measured at sf4.0: GCLocker retry storms,
+    # 323 s). posexplode streams one (i, id_a) row at a time and the
+    # inner explode slices partners per row, so peak per-row memory is
+    # O(m) while the same pair multiset flows straight into the
+    # counts aggregate's map-side partial.
+    pos = grouped.where(F.size("ids") >= 2).select(
+        "ids", F.posexplode("ids").alias("i", "id_a")
+    )
+    inter = pos.select(
+        "id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b")
     )
     if candidates is not None:
         inter = inter.join(candidates, ["id_a", "id_b"])
