@@ -159,6 +159,7 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         sort_fields=sort_fields,
         non_zero_exit_is_failure=engine.non_zero_exit_is_failure,
         min_records_before_skip=engine.min_records_before_skip,
+        tmpdir=engine.tmpdir,
         overwrite=args.overwrite,
         resume=args.resume,
     )

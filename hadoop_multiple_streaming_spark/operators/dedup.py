@@ -1133,6 +1133,8 @@ def substring_matches(
     probe_id: str = "doc_id",
     k: int = 8,
     anchor: str = "rarest",
+    broadcast_probes: bool = True,
+    max_probe_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """EXACT substring decontamination — the n-gram family's blind
     spot: detect every position where a probe's FULL token sequence
@@ -1173,7 +1175,18 @@ def substring_matches(
     join against the probe-gram set (benchmark-sized) -> [rarest
     only: two windows over the probe-filtered match stream pick the
     rarest anchor and emit its alignments in the same pass] ->
-    slice-equality verify joined back on corpus_id."""
+    slice-equality verify joined back on corpus_id.
+
+    PROBE-SIZE CONTRACT: ``broadcast_probes=True`` (default) hints the
+    probe-gram and probe-token joins broadcast — correct for the
+    intended caller (probes = a benchmark/eval suite, orders of
+    magnitude smaller than the corpus), and guarded: past
+    ``max_probe_rows`` probes the plan raises AT EXECUTION TIME (same
+    in-plan lazy guard as embedding_cosine_pairs' max_rows) instead of
+    force-broadcasting a corpus-sized side into a driver/executor OOM
+    or the 8 GB broadcast limit. For genuinely large probe sets pass
+    ``broadcast_probes=False`` — joins are left unhinted and AQE picks
+    the strategy from runtime sizes (shuffle join at scale)."""
     if k < 1:
         raise ValueError(f"substring_matches: k must be >= 1, got {k}")
     ct = corpus.select(
@@ -1205,6 +1218,34 @@ def substring_matches(
         F.col(probe_id).alias("probe_id"),
         F.expr(f"filter(split({probe_text}, ' '), t -> t != '')").alias("_pt"),
     ).where(F.size("_pt") >= k)
+    if broadcast_probes and max_probe_rows is not None:
+        # in-plan lazy guard (embedding_cosine_pairs pattern): the hint
+        # below is a HARD broadcast, so bound the side it applies to
+        guard_n = pt.limit(max_probe_rows + 1).agg(
+            F.count(F.lit(1)).alias("_guard_n")
+        )
+        pt = (
+            pt.crossJoin(F.broadcast(guard_n))
+            .withColumn(
+                "probe_id",
+                F.when(
+                    F.col("_guard_n") <= max_probe_rows, F.col("probe_id")
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"substring_matches: probe set exceeds "
+                            f"{max_probe_rows} rows; broadcast_probes=True "
+                            "force-broadcasts the probe side (driver/executor "
+                            "OOM hazard past the 8 GB broadcast limit). Pass "
+                            "broadcast_probes=False to let AQE pick the join "
+                            "strategy, or raise max_probe_rows."
+                        )
+                    )
+                ),
+            )
+            .drop("_guard_n")
+        )
+    _maybe_bcast = (lambda d: d.hint("broadcast")) if broadcast_probes else (lambda d: d)
     if anchor == "first":
         pa = pt.select(
             "probe_id",
@@ -1254,7 +1295,7 @@ def substring_matches(
         # partition size = the probe's total match volume — bounded by
         # benchmark scale times gram frequency, the same quantity the
         # candidate join always materialized for the chosen anchor.
-        hits = cg.join(pgrams.hint("broadcast"), "gh")
+        hits = cg.join(_maybe_bcast(pgrams), "gh")
         w_gram = Window.partitionBy("probe_id", "_off")
         w_probe = Window.partitionBy("probe_id")
         anch = hits.withColumn(
@@ -1267,7 +1308,7 @@ def substring_matches(
                 "probe_id",
                 (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
             )
-            .join(pt.hint("broadcast"), "probe_id")
+            .join(_maybe_bcast(pt), "probe_id")
         )
     else:
         raise ValueError(

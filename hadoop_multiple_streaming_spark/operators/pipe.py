@@ -72,6 +72,10 @@ class PipeOptions:
     min_records_before_skip: int = 2**63 - 1
     #: export task/partition context env vars (mapred_task_partition etc.)
     export_context: bool = True
+    #: child TMPDIR override (stream.tmpdir, MapStreamJob.java:645; the
+    #: reference exports TMPDIR to the child, MultiPipeMapRed.java:204-205).
+    #: None = inherit the parent env's TMPDIR (OS default tmp).
+    tmpdir: str | None = None
     bufsize: int = 128 * 1024  # reference BUFFER_SIZE MultiPipeMapRed.java:79
 
 
@@ -96,7 +100,8 @@ def _build_env(opts: PipeOptions, partition_id: int, spark_conf: dict[str, str])
     if opts.export_context:
         env["mapred_task_partition"] = str(partition_id)
         env["mapreduce_task_partition"] = str(partition_id)
-    env.setdefault("TMPDIR", env.get("TMPDIR", "/tmp"))  # stream.tmpdir
+    if opts.tmpdir is not None:  # stream.tmpdir -> child TMPDIR
+        env["TMPDIR"] = opts.tmpdir
     return env
 
 

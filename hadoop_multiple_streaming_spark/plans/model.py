@@ -110,6 +110,8 @@ class JobSpec:
     #: written (stream.minRecWrittenToEnableSkip_,
     #: MultiPipeMapRed.java:232-241); default = skipping disabled.
     min_records_before_skip: int = 2**63 - 1
+    #: stream.tmpdir: child-subprocess TMPDIR override (None = inherit)
+    tmpdir: str | None = None
     overwrite: bool = False
     #: materialize mode only: branches whose mapoutput/<dirKey>/ already
     #: exists WITH a _SUCCESS marker skip phase 1 and reduce straight

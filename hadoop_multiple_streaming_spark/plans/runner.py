@@ -158,6 +158,7 @@ def _pipe_options(spec: JobSpec, branch: Branch) -> PipeOptions:
         env={**spec.cmd_env, **branch.env},
         non_zero_exit_is_failure=spec.non_zero_exit_is_failure,
         min_records_before_skip=spec.min_records_before_skip,
+        tmpdir=spec.tmpdir,
     )
 
 

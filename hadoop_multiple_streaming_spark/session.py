@@ -35,6 +35,9 @@ class EngineConfig:
     min_records_before_skip: int = 2**63 - 1  # skip disabled by default
     field_separator: str = "\t"
     num_key_fields: int = 1
+    #: stream.tmpdir (MapStreamJob.java:645): child-subprocess TMPDIR
+    #: override; None = inherit the parent env (OS default tmp)
+    tmpdir: str | None = None
     cmd_env: dict[str, str] = field(default_factory=dict)
 
     @classmethod
@@ -52,6 +55,7 @@ class EngineConfig:
         nkf = conf.pop("stream.num.map.output.key.fields", None)
         if nkf is not None:
             cfg.num_key_fields = int(nkf)
+        cfg.tmpdir = conf.pop("stream.tmpdir", cfg.tmpdir)
         return cfg
     # scan sharing strategy for fan-out: "persist" (cache in executors,
     # right for inputs that fit cluster memory+disk) or "materialize"

@@ -298,13 +298,22 @@ def streaming_incremental_minhash(
             try:
                 store = spark.read.parquet(store_path).select("band", "bucket")
             except AnalysisException as e:
-                # ONLY a genuinely missing store means "first batch";
-                # any other failure (permissions, corrupt footer,
-                # transient FS) must fail the batch so the streaming
-                # engine retries instead of silently ingesting dups
-                # with cross-batch screening disabled
+                # ONLY an empty store means "first batch": a missing
+                # path, or a pre-created dir with no parquet yet
+                # (UNABLE_TO_INFER_SCHEMA). Any other failure
+                # (permissions, corrupt footer, transient FS) must fail
+                # the batch so the streaming engine retries instead of
+                # silently ingesting dups with cross-batch screening
+                # disabled. Match on the stable error class (Spark 3.4+
+                # error framework), falling back to message substrings
+                # for builds that don't populate it.
+                klass = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
                 msg = str(e)
-                if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                empty_store = klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                    not klass
+                    and ("Path does not exist" in msg or "Unable to infer schema" in msg)
+                )
+                if not empty_store:
                     raise
                 store = None
             cross = (

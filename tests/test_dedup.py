@@ -527,6 +527,19 @@ def test_substring_matches_positions_and_anchors(spark):
 
     with pytest.raises(ValueError, match="anchor"):
         substring_matches(corpus, probes, k=2, anchor="wat")
+    # probe-size contract: the hard broadcast is guarded — past
+    # max_probe_rows the plan raises at execution time...
+    with pytest.raises(Exception, match="broadcast_probes=False"):
+        substring_matches(corpus, probes, k=2, max_probe_rows=1).collect()
+    # ...and broadcast_probes=False (unhinted, AQE decides) runs the
+    # same answer with no probe-count ceiling
+    got = {
+        (r.corpus_id, r.probe_id, r.match_pos)
+        for r in substring_matches(
+            corpus, probes, k=2, broadcast_probes=False, max_probe_rows=1
+        ).collect()
+    }
+    assert got == want
 
 
 def test_duplicate_spans_cross_doc_and_counts(spark):

@@ -159,6 +159,23 @@ def test_env_injection(spark):
     assert [r.line for r in out.collect()] == ["hello42"]
 
 
+def test_tmpdir_override(spark, tmp_path):
+    # stream.tmpdir (MapStreamJob.java:645) -> child TMPDIR
+    # (MultiPipeMapRed.java:204-205 exports TMPDIR to the subprocess);
+    # unset it inherits the parent env unchanged
+    script = py("import os,sys; sys.stdin.read(); print(os.environ.get('TMPDIR', '<unset>'))")
+    want = str(tmp_path / "stream-tmp")
+    opts = PipeOptions(tmpdir=want)
+    out = pipe_lines(lines_df(spark, ["x"]).coalesce(1), script, opts=opts)
+    assert [r.line for r in out.collect()] == [want]
+    # default: parent env's TMPDIR (or unset) passes through untouched
+    import os
+
+    expect = os.environ.get("TMPDIR", "<unset>")
+    out2 = pipe_lines(lines_df(spark, ["x"]).coalesce(1), script)
+    assert [r.line for r in out2.collect()] == [expect]
+
+
 def test_counter_protocol(spark):
     # P7: reporter:counter:group,name,amount on stderr -> accumulator
     script = py(

@@ -32,12 +32,13 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    n_batches = 10
-    for a in sys.argv[1:]:
-        if a.startswith("--batches"):
-            n_batches = int(a.split("=", 1)[1]) if "=" in a else n_batches
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=10)
+    ns = ap.parse_args()
+    sf_dir, n_batches = ns.sf_dir, ns.batches
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from pyspark.sql import functions as F
