@@ -239,6 +239,104 @@ def stream_enrich_join(
     return stream_df.join(dim_df, on, how)
 
 
+def ingest_minhash_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> None:
+    """One micro-batch of the incremental MinHash ingest screen —
+    module-level so the replay/crash-recovery contract is directly
+    testable (tests re-invoke a batch_id to simulate the engine's
+    retry). Semantics and layout: see streaming_incremental_minhash."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    spark = batch_df.sparkSession
+    sh = word_shingles(batch_df, text_col, id_col, n=shingle_n, distinct=False)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    # persist: this lineage (shingles -> 16-hash MinHash -> banding)
+    # is the batch's most expensive computation and is consumed
+    # TWICE (drop decision + store-key write) — without the cache
+    # it would recompute end-to-end for the second write
+    buckets = minhash_band_buckets(sig, rows_per_band=rows_per_band).persist()
+    try:
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                # EXCLUDE this batch's own keys: a replay of batch N
+                # that crashed after the store write must not collide
+                # with itself (it would overwrite its survivors empty).
+                # batch_id is the hive partition column, so this prunes
+                # the N subdir before any file IO.
+                .where(F.col("batch_id") != F.lit(int(batch_id)))
+                .select("band", "bucket")
+            )
+        except AnalysisException as e:
+            # ONLY an empty store means "first batch": a missing
+            # path, or a pre-created dir with no parquet yet
+            # (UNABLE_TO_INFER_SCHEMA). Any other failure
+            # (permissions, corrupt footer, transient FS) must fail
+            # the batch so the streaming engine retries instead of
+            # silently ingesting dups with cross-batch screening
+            # disabled. Match on the stable error class (Spark 3.4+
+            # error framework; getCondition is the 4.x name, with
+            # getErrorClass the pre-4.0 spelling), falling back to
+            # message substrings for builds that don't populate it.
+            _get = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            klass = (_get() or "") if _get else ""
+            msg = str(e)
+            empty_store = klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                not klass
+                and ("Path does not exist" in msg or "Unable to infer schema" in msg)
+            )
+            if not empty_store:
+                raise
+            store = None
+        cross = (
+            buckets.join(store, ["band", "bucket"], "left_semi").select("id")
+            if store is not None
+            else buckets.select("id").limit(0)
+        )
+        rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
+        within = (
+            buckets.join(rep, ["band", "bucket"])
+            .where(F.col("id") != F.col("_keep"))
+            .select("id")
+        )
+        dropped = cross.unionByName(within).distinct()
+        survivors = batch_df.join(
+            dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
+        )
+        # idempotent batch-keyed overwrites (NOT appends): replaying
+        # batch N replaces exactly its own two subdirectories
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={int(batch_id)}"
+        )
+        (
+            buckets.join(
+                survivors.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+            )
+            .select("band", "bucket")
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/batch_id={int(batch_id)}")
+        )
+    finally:
+        buckets.unpersist()
+
+
 def streaming_incremental_minhash(
     stream_df: DataFrame,
     store_path: str,
@@ -265,83 +363,39 @@ def streaming_incremental_minhash(
          store hit is dropped too — its partner being a near-dup of
          stored content makes it one transitively, the conservative
          choice for dedup);
-      3. append the SURVIVORS to ``output_path`` and their bucket keys
-         to ``store_path`` — so the store always holds exactly the
-         ingested corpus's buckets, batch over batch, no signatures at
-         rest (16-byte keys + band int).
+      3. write the SURVIVORS to ``output_path/batch_id=N/`` and their
+         bucket keys to ``store_path/batch_id=N/`` — so the store
+         always holds exactly the ingested corpus's buckets, batch
+         over batch, no signatures at rest (16-byte keys + band int).
 
-    Replay/exactly-once: re-running a micro-batch re-appends the same
-    bucket KEYS — duplicates in a key set probed by left-semi join are
-    harmless — and re-appends output rows, the standard at-least-once
-    parquet append (dedupe on read by id, or point output at the demux
-    sink's idempotent layout). At 100 TB/day, bucket the store parquet
-    on `bucket` so the per-batch probe joins without re-shuffling the
-    store side."""
-    from ..operators.dedup import (
-        minhash_band_buckets,
-        minhash_signatures,
-        word_shingles,
-    )
+    Replay/EXACTLY-ONCE: both writes are mode("overwrite") into a
+    batch_id-keyed subdirectory (the demux sink's idempotent
+    crash-restart layout, sources/io.py write_demux /
+    plans/runner._materialize_phase1), so re-running micro-batch N
+    REPLACES its own output instead of appending duplicates. The store
+    probe excludes the current batch's own subdirectory — a replay
+    that crashed AFTER the store write would otherwise collide with
+    its own keys and overwrite its survivors empty — which also makes
+    the drop decision identical on every replay (it sees exactly the
+    pre-N store, whichever side of the crash the keys landed on).
+    Readers see hive partition discovery's extra ``batch_id`` column —
+    per-batch ingest lineage for free. At 100 TB/day, bucket the store
+    parquet on `bucket` so the per-batch probe joins without
+    re-shuffling the store side, and compact old batch_id subdirs
+    (sources.io.compact_table) on a schedule."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        sh = word_shingles(batch_df, text_col, id_col, n=shingle_n, distinct=False)
-        sig = minhash_signatures(sh, num_hashes=num_hashes)
-        # persist: this lineage (shingles -> 16-hash MinHash -> banding)
-        # is the batch's most expensive computation and is consumed
-        # TWICE (drop decision + store-key append) — without the cache
-        # it would recompute end-to-end for the second write
-        buckets = minhash_band_buckets(sig, rows_per_band=rows_per_band).persist()
-        try:
-            try:
-                store = spark.read.parquet(store_path).select("band", "bucket")
-            except AnalysisException as e:
-                # ONLY an empty store means "first batch": a missing
-                # path, or a pre-created dir with no parquet yet
-                # (UNABLE_TO_INFER_SCHEMA). Any other failure
-                # (permissions, corrupt footer, transient FS) must fail
-                # the batch so the streaming engine retries instead of
-                # silently ingesting dups with cross-batch screening
-                # disabled. Match on the stable error class (Spark 3.4+
-                # error framework), falling back to message substrings
-                # for builds that don't populate it.
-                klass = (e.getErrorClass() or "") if hasattr(e, "getErrorClass") else ""
-                msg = str(e)
-                empty_store = klass in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
-                    not klass
-                    and ("Path does not exist" in msg or "Unable to infer schema" in msg)
-                )
-                if not empty_store:
-                    raise
-                store = None
-            cross = (
-                buckets.join(store, ["band", "bucket"], "left_semi").select("id")
-                if store is not None
-                else buckets.select("id").limit(0)
-            )
-            rep = buckets.groupBy("band", "bucket").agg(F.min("id").alias("_keep"))
-            within = (
-                buckets.join(rep, ["band", "bucket"])
-                .where(F.col("id") != F.col("_keep"))
-                .select("id")
-            )
-            dropped = cross.unionByName(within).distinct()
-            survivors = batch_df.join(
-                dropped.withColumnRenamed("id", id_col), [id_col], "left_anti"
-            )
-            survivors.write.mode("append").parquet(output_path)
-            (
-                buckets.join(
-                    survivors.select(F.col(id_col).alias("id")), ["id"], "left_semi"
-                )
-                .select("band", "bucket")
-                .write.mode("append")
-                .parquet(store_path)
-            )
-        finally:
-            buckets.unpersist()
+        ingest_minhash_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            output_path,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

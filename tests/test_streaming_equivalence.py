@@ -462,6 +462,68 @@ def test_streaming_incremental_minhash_restart_no_reprocess(spark, tmp_path):
     assert final == [1, 2, 11]
 
 
+def test_streaming_incremental_minhash_replay_idempotent(spark, tmp_path):
+    """Batch retry must be EXACTLY-ONCE on disk: replaying a
+    micro-batch — from either side of a crash between the survivor
+    write and the store write — leaves zero duplicate ids in the
+    output AND an unchanged store key set. Drives the real engine for
+    the first run, then re-invokes the extracted batch processor with
+    the same batch_id exactly as the streaming engine's retry does."""
+    import shutil
+
+    from hadoop_multiple_streaming_spark.streaming.fanout import (
+        ingest_minhash_batch,
+        streaming_incremental_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "unrelated first batch words entirely")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " tail"), (11, "fresh second batch content")],
+        "doc_id long, text string",
+    )
+    indir = str(tmp_path / "in")
+    store_path = str(tmp_path / "store")
+    out_path = str(tmp_path / "out")
+    _stage_files(spark, [b1, b2], indir)
+    q = streaming_incremental_minhash(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store_path, out_path, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    def snapshot():
+        out = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+        store = sorted(
+            (r.band, r.bucket) for r in spark.read.parquet(store_path).collect()
+        )
+        return out, store
+
+    want_out, want_store = snapshot()
+    assert want_out == [1, 2, 11]  # 10 dropped as near-dup of stored 1
+    assert len(set(want_store)) == len(want_store)  # no dup keys either
+
+    # crash AFTER both writes, before checkpoint commit: the engine
+    # replays batch 1 in full. The store probe must not self-collide
+    # (doc 11's own stored keys) and the overwrite must not duplicate.
+    ingest_minhash_batch(b2, 1, store_path, out_path)
+    assert snapshot() == (want_out, want_store)
+
+    # crash BETWEEN the writes: survivors landed, store keys did not.
+    shutil.rmtree(f"{store_path}/batch_id=1")
+    ingest_minhash_batch(b2, 1, store_path, out_path)
+    assert snapshot() == (want_out, want_store)
+
+    # crash BEFORE both writes: neither landed.
+    shutil.rmtree(f"{store_path}/batch_id=1")
+    shutil.rmtree(f"{out_path}/batch_id=1")
+    ingest_minhash_batch(b2, 1, store_path, out_path)
+    assert snapshot() == (want_out, want_store)
+
+
 def test_streaming_incremental_minhash_corrupt_store_fails_batch(spark, tmp_path):
     """A bucket store that EXISTS but cannot be read must FAIL the
     micro-batch (so the engine retries) — not silently degrade to
