@@ -777,6 +777,144 @@ def auto_semantic_clusters(
     )
 
 
+def coarse_cluster_count(k: int) -> int:
+    """Coarse-level cluster count for hierarchical (coarse-fine)
+    clustering: k1 = 2^ceil(ceil_log2(k) / 2) — the power of two
+    nearest above sqrt(k), so k1 >= sqrt(k) always (k <= 2^L implies
+    k1^2 = 2^(2*ceil(L/2)) >= 2^L >= k). Integer-exact and
+    SQL-replayable from count(*) exactly like auto_band_params:
+    ceil_log2(k) = (k-1).bit_length() = LENGTH(bin(k-1)) in SQL, so
+
+        k1 = 1 << ((LENGTH(bin(k - 1)) + 1) // 2)
+
+    Splitting k ~ sqrt/sqrt minimizes two-level assignment work:
+    coarse costs n*k1, fine costs ~n*(k/k1); the sum is minimal at
+    k1 = sqrt(k), giving ~2*n*sqrt(k) total vs flat's n*k."""
+    k = max(int(k), 2)
+    L = (k - 1).bit_length()
+    return 1 << ((L + 1) // 2)
+
+
+def _fine_lloyd_cells(target_cluster_size: int, iters: int, dim: int):
+    """Per-coarse-cell fine k-means for hierarchical_semantic_clusters
+    — one Arrow stage per cell (applyInPandas), NO driver-side fine
+    centroids (at 10^10 docs the fine codebook is GBs; keeping each
+    cell's centroids inside its own task is the only shape that
+    scales). The math replays the engine's oracle-exact Lloyd contract
+    bit for bit:
+
+      * seeds = the cell's k2 vectors with the smallest (md5(id), id),
+        k2 = max(1, ceil(cell_n / target)) — SQL: row_number() OVER
+        (PARTITION BY coarse ORDER BY md5(id), id) <= k2;
+      * distance = dim-SEQUENTIAL squared-L2 accumulation (the exact
+        IEEE fold order list_aggregate/aggregate evaluates — same
+        kernel discipline as similarity._kmeans_assign_arrow,
+        including the <=128-centroid cache blocking);
+      * argmin ties -> smallest fine id (np.argmin first-min over
+        id-ordered centroids = ORDER BY dist, fine);
+      * means = exact int64 sums / count, one correctly-rounded double
+        division; empty fine clusters drop out naturally.
+
+    Emits (id, cluster = coarse * 2^32 + fine) — the composite is
+    collision-free (fine < 2^32 always; coarse < 2^31) and replayable
+    as plain bigint arithmetic."""
+
+    def fn(pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        n_c = len(pdf)
+        coarse = int(pdf["coarse"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        M = np.vstack(pdf["qv"].map(np.asarray).to_numpy()).astype(np.int64)
+        k2 = max(1, -(-n_c // target_cluster_size))
+        keys = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        order = sorted(range(n_c), key=lambda j: (keys[j], int(ids[j])))
+        cents = M[order[:k2]].astype(np.float64)  # fine id = seed rank
+        cent_ids = np.arange(k2, dtype=np.int64)
+        Mf = M.astype(np.float64)
+        rows = np.arange(n_c)
+        assign = None
+        for it in range(iters):
+            kc = 128
+            best_d = None
+            best_i = None
+            for j0 in range(0, cents.shape[0], kc):
+                Cb = cents[j0 : j0 + kc]
+                db = np.zeros((n_c, Cb.shape[0]), dtype=np.float64)
+                for d in range(dim):  # sequential over dims: exact fold order
+                    diff = Mf[:, d : d + 1] - Cb[None, :, d]
+                    db += diff * diff
+                bi = np.argmin(db, axis=1)
+                bd = db[rows, bi]
+                if best_d is None:
+                    best_d, best_i = bd, cent_ids[j0 + bi]
+                else:
+                    better = bd < best_d
+                    best_d = np.where(better, bd, best_d)
+                    best_i = np.where(better, cent_ids[j0 + bi], best_i)
+            assign = best_i
+            if it == iters - 1:
+                break
+            new_ids, new_cents = [], []
+            for c in np.unique(assign):  # sorted -> first-min rule holds
+                mask = assign == c
+                s = M[mask].sum(axis=0)  # exact int64 sums
+                new_ids.append(c)
+                new_cents.append(s.astype(np.float64) / int(mask.sum()))
+            cent_ids = np.asarray(new_ids, dtype=np.int64)
+            cents = np.vstack(new_cents)
+        return pd.DataFrame(
+            {"id": ids, "cluster": (coarse << 32) + assign}
+        )
+
+    return fn
+
+
+def hierarchical_semantic_clusters(
+    quantized: DataFrame,
+    k: int,
+    target_cluster_size: int = 200,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Coarse-fine (two-level) clustering for semantic_dedup — the
+    scale path that replaces flat k-means' n*k assignment term with
+    ~2*n*sqrt(k):
+
+      level 1: k1 = coarse_cluster_count(k) ~ sqrt(k) centroids via
+        the same hash-ordered-seed Lloyd as the flat auto path
+        (auto_semantic_clusters; broadcast-argmin projection, zero
+        corpus shuffle per iteration);
+      level 2: each coarse cell fine-clusters INDEPENDENTLY inside one
+        Arrow task (_fine_lloyd_cells) with k2 = ceil(cell_n / target)
+        seeds — cost sum(cell_n * k2) ~ n * k/k1 ~ n*sqrt(k).
+
+    The whole fine level is ONE groupBy(coarse) shuffle; fine
+    centroids never leave their cell's task (no driver codebook — at
+    10^10 docs flat auto-k needs ~5*10^7 centroids = 25 GB, which can
+    neither broadcast nor fit the n*k assignment budget; SemDeDup's
+    published recipe is exactly this coarse quantization, Abbas et al.
+    2023 §3 run their clustering sharded per cluster). Deterministic
+    and SQL-replayable end to end: coarse ids from hash-ordered
+    row_number, fine seeds from per-cell hash-ordered row_number, all
+    Lloyd math under the engine's bit-identity contract, composite id
+    = coarse * 2^32 + fine. Skew note: a pathological coarse cell
+    bounds one task at cell_n rows (64-dim int64 ~ 0.5 KB/row); the
+    downstream pairing's max_cluster_size guard is unaffected."""
+    k1 = coarse_cluster_count(k)
+    coarse = auto_semantic_clusters(
+        quantized, k1, kmeans_iters=kmeans_iters, dim=dim, impl="arrow"
+    ).withColumnRenamed("cluster", "coarse")
+    members = quantized.select("id", "qv").join(coarse, "id")
+    return members.groupBy("coarse").applyInPandas(
+        _fine_lloyd_cells(target_cluster_size, kmeans_iters, dim),
+        schema="id long, cluster long",
+    )
+
+
 def embedding_lsh_pairs(
     quantized: DataFrame,
     threshold: float,
@@ -950,6 +1088,15 @@ def embedding_lsh_pairs(
     )
 
 
+#: flat-vs-hierarchical auto switch: past this many n*k assignment
+#: cells the flat path's nearest-centroid work (n rows x k centroids
+#: x dim fused-multiply-adds) is the catalog's only superlinear curve
+#: (measured 25.7 -> 65.9 s per corpus doubling at sf4->8, CROSSOVER.md)
+#: — 2^28 keeps every family's measured flat row (<= sf4.0) on the
+#: oracle-simplest path and routes anything bigger to coarse-fine.
+FLAT_ASSIGN_BUDGET = 1 << 28
+
+
 def semantic_dedup(
     quantized: DataFrame,
     clusters: DataFrame | None = None,
@@ -960,6 +1107,8 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     n: int | None = None,
     dim: int = 64,
+    clusters_impl: str = "auto",
+    flat_assign_budget: int = FLAT_ASSIGN_BUDGET,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public method: Abbas et
     al. 2023, arXiv:2303.09540 — the standard LLM-corpus curation step
@@ -1000,13 +1149,41 @@ def semantic_dedup(
     a skew guard identical in spirit to LSH's max_bucket_size). The
     auto default enforces this rule by construction — manual sizing is
     now opt-in, exactly like embedding_lsh_pairs after
-    auto_band_params."""
+    auto_band_params.
+
+    ``clusters_impl`` (ignored when ``clusters`` is given): "flat" =
+    single-level k-means with k centroids (assignment work n*k —
+    fine until k grows with the corpus, superlinear past it);
+    "hierarchical" = coarse-fine two-level clustering
+    (hierarchical_semantic_clusters, ~2*n*sqrt(k)); "auto" (default)
+    = flat while n*k <= ``flat_assign_budget``, hierarchical past it
+    — the in-operator guard that keeps the default path off the
+    superlinear curve at ANY corpus size (a 10^10-doc corpus at
+    target 200 implies k = 5*10^7: flat assignment would be 5*10^17
+    multiply-accumulates; the budget reroutes it)."""
     if clusters is None:
         n_rows = n if n is not None else quantized.count()
         k = auto_cluster_count(n_rows, target_cluster_size)
-        clusters = auto_semantic_clusters(
-            quantized, k, kmeans_iters=kmeans_iters, dim=dim
+        if clusters_impl not in ("auto", "flat", "hierarchical"):
+            raise ValueError(
+                "semantic_dedup: clusters_impl must be 'auto', 'flat' or "
+                f"'hierarchical', got {clusters_impl!r}"
+            )
+        use_hier = clusters_impl == "hierarchical" or (
+            clusters_impl == "auto" and n_rows * k > flat_assign_budget
         )
+        if use_hier:
+            clusters = hierarchical_semantic_clusters(
+                quantized,
+                k,
+                target_cluster_size=target_cluster_size,
+                kmeans_iters=kmeans_iters,
+                dim=dim,
+            )
+        else:
+            clusters = auto_semantic_clusters(
+                quantized, k, kmeans_iters=kmeans_iters, dim=dim
+            )
     members = quantized.select("id", "qv", "n2").join(clusters, "id")
     if pairs_impl == "arrow":
         grouped = members.select(

@@ -631,12 +631,118 @@ def semantic_dedup_auto_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means as the fixture query. This is the configuration the
     crossover curve holds to <=2x DuckDB at sf1.0/sf2.0 — cluster
     sizes stay ~target regardless of corpus size, so in-cluster
-    pairing work is LINEAR in n."""
+    pairing work is LINEAR in n.
+
+    clusters_impl is PINNED "flat" so this oracle stays the flat
+    path's hash-proof at every SF on the crossover curve; the
+    operator's real default is "auto" (flat below FLAT_ASSIGN_BUDGET
+    n*k cells, coarse-fine past it), and the hierarchical branch has
+    its own always-hierarchical catalog row + oracle
+    (semantic_dedup_hier)."""
     from ..operators.dedup import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
     quant = quantize_embeddings(emb, "embedding", "vec_id")
-    return semantic_dedup(quant, threshold=0.45, pairs_impl="arrow")
+    return semantic_dedup(
+        quant, threshold=0.45, pairs_impl="arrow", clusters_impl="flat"
+    )
+
+
+# squared-L2 of a member qv against a centroid array c, evaluated as
+# the SAME left-to-right per-dim fold Spark's aggregate/zip_with and
+# the arrow kernels compute (bit-identical across engines)
+_HIER_DIST = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)]) "
+    "* (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])), 'sum')"
+)
+
+
+@register(
+    "semantic_dedup_hier",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    kk AS (SELECT GREATEST(2, LEAST(65536, (COUNT(*) + 199) // 200)) AS k FROM q),
+    k1 AS (SELECT (1 << ((LENGTH(bin(k - 1)) + 1) // 2)) AS k1 FROM kk),
+    cs AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                      AS cluster,
+                  list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+           FROM q
+           QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                   <= (SELECT k1 FROM k1)),
+    cd1 AS (SELECT q.id, q.qv, cs.cluster, {_HIER_DIST} AS dist
+            FROM q CROSS JOIN cs),
+    ca1 AS (SELECT id, qv, cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+                FROM cd1) WHERE rn = 1),
+    cdims AS (SELECT cluster, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM ca1, UNNEST(range(1, 65)) t(i) GROUP BY cluster, i),
+    ccent AS (SELECT cluster, array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM cdims GROUP BY cluster),
+    cd2 AS (SELECT q.id, ccent.cluster, {_HIER_DIST} AS dist
+            FROM q CROSS JOIN ccent),
+    ac AS (SELECT id, cluster AS coarse FROM (
+               SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+               FROM cd2) WHERE rn = 1),
+    m AS (SELECT ac.id, ac.coarse, q.qv FROM ac JOIN q USING (id)),
+    cellk AS (SELECT coarse, GREATEST(1, (COUNT(*) + 199) // 200) AS k2
+              FROM m GROUP BY coarse),
+    fs AS (SELECT m.coarse,
+                  row_number() OVER (PARTITION BY m.coarse
+                                     ORDER BY md5(CAST(m.id AS VARCHAR)), m.id) - 1
+                      AS fine,
+                  list_transform(m.qv, x -> CAST(x AS DOUBLE)) AS c
+           FROM m JOIN cellk USING (coarse)
+           QUALIFY row_number() OVER (PARTITION BY m.coarse
+                                      ORDER BY md5(CAST(m.id AS VARCHAR)), m.id)
+                   <= cellk.k2),
+    fd1 AS (SELECT m.id, m.coarse, m.qv, fs.fine, {_HIER_DIST} AS dist
+            FROM m JOIN fs ON m.coarse = fs.coarse),
+    fa1 AS (SELECT id, coarse, qv, fine FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, fine) AS rn
+                FROM fd1) WHERE rn = 1),
+    fdims AS (SELECT coarse, fine, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS n
+              FROM fa1, UNNEST(range(1, 65)) t(i) GROUP BY coarse, fine, i),
+    fcent AS (SELECT coarse, fine, array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS c
+              FROM fdims GROUP BY coarse, fine),
+    fd2 AS (SELECT m.id, m.coarse, fcent.fine, m.qv, {_HIER_DIST} AS dist
+            FROM m JOIN fcent ON m.coarse = fcent.coarse),
+    fa2 AS (SELECT id, coarse * 4294967296 + fine AS cluster FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, fine) AS rn
+                FROM fd2) WHERE rn = 1),
+    mem AS (SELECT fa2.id, fa2.cluster, q.qv, list_inner_product(q.qv, q.qv) AS n2
+            FROM fa2 JOIN q USING (id)),
+    drops AS (SELECT DISTINCT b.id
+              FROM mem a JOIN mem b ON a.cluster = b.cluster AND a.id < b.id
+              WHERE CAST(list_inner_product(a.qv, b.qv) AS DOUBLE)
+                    / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
+    SELECT m.id, m.cluster, (d.id IS NULL) AS keep
+    FROM mem m LEFT JOIN drops d ON m.id = d.id
+    """,
+)
+def semantic_dedup_hier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with COARSE-FINE (hierarchical) clustering — the 100 TB
+    path of operators.dedup.semantic_dedup (what clusters_impl="auto"
+    runs past FLAT_ASSIGN_BUDGET n*k assignment cells): level 1 = the
+    same hash-ordered-seed Lloyd as semantic_dedup_auto but at
+    k1 = 2^ceil(ceil_log2(k)/2) ~ sqrt(k) centroids (the oracle derives
+    the SAME k1 from count(*): 1 << ((LENGTH(bin(k-1)) + 1) // 2)),
+    level 2 = per-cell fine Lloyd (seeds = per-cell hash-ordered
+    row_number, k2 = ceil(cell_n/200)) inside one Arrow task per cell,
+    composite cluster id = coarse * 2^32 + fine. Assignment work is
+    ~2*n*sqrt(k) vs flat's n*k — the sub-quadratic scale curve — while
+    staying bit-replayable in SQL (hash-exact vs this oracle)."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    quant = quantize_embeddings(emb, "embedding", "vec_id")
+    return semantic_dedup(
+        quant, threshold=0.45, pairs_impl="arrow", clusters_impl="hierarchical"
+    )
 
 
 @register(
