@@ -58,6 +58,9 @@ _PRIORITY_ORDER = [
     "pipe_wordcount",
     "fanout_two_branches",
     "pipe_grouped_reduce",
+    # round-9 NEW: hierarchical (coarse-fine) SemDeDup — the reroute
+    # target of the flat-assignment budget guard
+    "semantic_dedup_hier",
     # round-8 NEW: auto-sized SemDeDup (the semantic_dedup default path)
     "semantic_dedup_auto",
     # round-8 touched: semantic_dedup operator signature/default path;
