@@ -715,7 +715,7 @@ def auto_cluster_count(
     n_rows: int,
     target_cluster_size: int = 200,
     min_k: int = 2,
-    max_k: int = 1 << 16,
+    max_k: int | None = 1 << 16,
 ) -> int:
     """SemDeDup cluster-count sizing — the k-means analog of
     ``auto_band_params``: in-cluster pairing is quadratic in cluster
@@ -730,10 +730,18 @@ def auto_cluster_count(
     pairing work is then ~ n * target_cluster_size / 2 — LINEAR in n
     at fixed target size. This closes the manual-k footgun the
     round-7 catalog query shipped (k = 10 label fixture measured
-    2.1x DuckDB at sf1.0+; k = n/200 measured 0.35x/0.25x)."""
+    2.1x DuckDB at sf1.0+; k = n/200 measured 0.35x/0.25x).
+
+    ``max_k`` bounds the FLAT path's driver-held centroid set and its
+    n*k assignment work; ``max_k=None`` removes the cap — what the
+    hierarchical path uses (its per-cell pairing contract needs the
+    true k ~ n/target: capping k at 65536 would make coarse cells grow
+    linearly with n past n = max_k*target, re-creating the quadratic
+    in-cell work the two-level design exists to avoid)."""
     n = max(int(n_rows), 1)
     t = max(int(target_cluster_size), 1)
-    return max(min_k, min(max_k, (n + t - 1) // t))
+    k = max(min_k, (n + t - 1) // t)
+    return k if max_k is None else min(max_k, k)
 
 
 def auto_semantic_clusters(
@@ -901,9 +909,15 @@ def hierarchical_semantic_clusters(
     and SQL-replayable end to end: coarse ids from hash-ordered
     row_number, fine seeds from per-cell hash-ordered row_number, all
     Lloyd math under the engine's bit-identity contract, composite id
-    = coarse * 2^32 + fine. Skew note: a pathological coarse cell
-    bounds one task at cell_n rows (64-dim int64 ~ 0.5 KB/row); the
-    downstream pairing's max_cluster_size guard is unaffected."""
+    = coarse * 2^32 + fine. Callers must pass the TRUE k ~ n/target
+    (semantic_dedup derives it with max_k=None): expected cell size is
+    then n/k1 ~ sqrt(n*target) — at 10^10 docs/target 200 that is
+    ~1.4M rows (~0.7 GB of int64 vectors) and ~7k fine seeds per task,
+    heavy but bounded SUBLINEARLY in n; a capped k would instead grow
+    cells linearly with n past n = max_k*target, re-creating in-cell
+    quadratic work. Skew note: a pathological coarse cell bounds one
+    task at cell_n rows (64-dim int64 ~ 0.5 KB/row); the downstream
+    pairing's max_cluster_size guard is unaffected."""
     k1 = coarse_cluster_count(k)
     coarse = auto_semantic_clusters(
         quantized, k1, kmeans_iters=kmeans_iters, dim=dim, impl="arrow"
@@ -1160,7 +1174,11 @@ def semantic_dedup(
     — the in-operator guard that keeps the default path off the
     superlinear curve at ANY corpus size (a 10^10-doc corpus at
     target 200 implies k = 5*10^7: flat assignment would be 5*10^17
-    multiply-accumulates; the budget reroutes it)."""
+    multiply-accumulates; the budget reroutes it). The hierarchical
+    path derives k UNCAPPED (auto_cluster_count max_k=None): the
+    65536 cap exists to bound flat's driver codebook and n*k work,
+    and honoring it here would grow coarse cells linearly with n —
+    uncapped, cells stay ~sqrt(n*target) at any corpus size."""
     if clusters is None:
         n_rows = n if n is not None else quantized.count()
         k = auto_cluster_count(n_rows, target_cluster_size)
@@ -1173,9 +1191,20 @@ def semantic_dedup(
             clusters_impl == "auto" and n_rows * k > flat_assign_budget
         )
         if use_hier:
+            # UNCAPPED k for the two-level path: auto_cluster_count's
+            # max_k bounds flat's driver codebook / n*k work, neither
+            # of which the hierarchical path has. Keeping the cap here
+            # would let coarse cells grow linearly with n past
+            # n = max_k*target (cell-local fine work back to
+            # quadratic); uncapped, expected cell size stays
+            # ~sqrt(n*target) at any corpus size. The budget routing
+            # above crosses at n ~ sqrt(budget*target) — far below
+            # where the cap binds — so the decision itself is
+            # cap-invariant.
+            k_hier = auto_cluster_count(n_rows, target_cluster_size, max_k=None)
             clusters = hierarchical_semantic_clusters(
                 quantized,
-                k,
+                k_hier,
                 target_cluster_size=target_cluster_size,
                 kmeans_iters=kmeans_iters,
                 dim=dim,
@@ -1493,7 +1522,9 @@ def substring_matches(
             f"got {anchor!r}"
         )
     if anchor == "first":
-        cand = cg.join(pa, "gh").select(
+        # same broadcast contract as the rarest path: the probe-anchor
+        # side is benchmark-sized and guarded by max_probe_rows above
+        cand = cg.join(_maybe_bcast(pa), "gh").select(
             "corpus_id",
             "probe_id",
             (F.col("pos") - F.col("_off") + 1).alias("match_pos"),

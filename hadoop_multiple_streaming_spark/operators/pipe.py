@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 import shlex
 import subprocess
+import tempfile
 import threading
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -72,9 +73,13 @@ class PipeOptions:
     min_records_before_skip: int = 2**63 - 1
     #: export task/partition context env vars (mapred_task_partition etc.)
     export_context: bool = True
-    #: child TMPDIR override (stream.tmpdir, MapStreamJob.java:645; the
-    #: reference exports TMPDIR to the child, MultiPipeMapRed.java:204-205).
-    #: None = inherit the parent env's TMPDIR (OS default tmp).
+    #: child TMPDIR. The reference ALWAYS exports
+    #: TMPDIR=java.io.tmpdir to the child (MultiPipeMapRed.java:204-205);
+    #: None (the default) mirrors that — parent TMPDIR, else the OS
+    #: tempdir. A non-None value is an ENGINE EXTENSION (surfaced as
+    #: -D stream.tmpdir) overriding the export; the reference's
+    #: stream.tmpdir (MapStreamJob.java:645) only staged client-side
+    #: job jars and never reached the child env.
     tmpdir: str | None = None
     bufsize: int = 128 * 1024  # reference BUFFER_SIZE MultiPipeMapRed.java:79
 
@@ -100,8 +105,14 @@ def _build_env(opts: PipeOptions, partition_id: int, spark_conf: dict[str, str])
     if opts.export_context:
         env["mapred_task_partition"] = str(partition_id)
         env["mapreduce_task_partition"] = str(partition_id)
-    if opts.tmpdir is not None:  # stream.tmpdir -> child TMPDIR
-        env["TMPDIR"] = opts.tmpdir
+    # Reference: TMPDIR is ALWAYS exported to the child
+    # (MultiPipeMapRed.java:204-205 exports java.io.tmpdir). Extension:
+    # stream.tmpdir (opts.tmpdir) overrides the exported value.
+    env["TMPDIR"] = (
+        opts.tmpdir
+        if opts.tmpdir is not None
+        else os.environ.get("TMPDIR", tempfile.gettempdir())
+    )
     return env
 
 

@@ -110,7 +110,9 @@ class JobSpec:
     #: written (stream.minRecWrittenToEnableSkip_,
     #: MultiPipeMapRed.java:232-241); default = skipping disabled.
     min_records_before_skip: int = 2**63 - 1
-    #: stream.tmpdir: child-subprocess TMPDIR override (None = inherit)
+    #: stream.tmpdir (extension): overrides the child's always-exported
+    #: TMPDIR (None = export parent TMPDIR / OS tempdir, matching the
+    #: reference's unconditional export, MultiPipeMapRed.java:204-205)
     tmpdir: str | None = None
     overwrite: bool = False
     #: materialize mode only: branches whose mapoutput/<dirKey>/ already

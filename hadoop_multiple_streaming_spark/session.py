@@ -35,8 +35,11 @@ class EngineConfig:
     min_records_before_skip: int = 2**63 - 1  # skip disabled by default
     field_separator: str = "\t"
     num_key_fields: int = 1
-    #: stream.tmpdir (MapStreamJob.java:645): child-subprocess TMPDIR
-    #: override; None = inherit the parent env (OS default tmp)
+    #: -D stream.tmpdir — ENGINE EXTENSION: overrides the child's
+    #: always-exported TMPDIR (the reference always exports
+    #: java.io.tmpdir, MultiPipeMapRed.java:204-205; its own
+    #: stream.tmpdir, MapStreamJob.java:645, only staged client-side
+    #: job jars). None = export parent TMPDIR / OS tempdir.
     tmpdir: str | None = None
     cmd_env: dict[str, str] = field(default_factory=dict)
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -239,6 +239,20 @@ def stream_enrich_join(
     return stream_df.join(dim_df, on, how)
 
 
+def _best_effort_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API
+    (filesystem-agnostic: local, HDFS, object stores); swallow every
+    failure — callers use this only where a later overwrite makes the
+    delete redundant for correctness."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass
+
+
 def ingest_minhash_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -263,6 +277,15 @@ def ingest_minhash_batch(
     )
 
     spark = batch_df.sparkSession
+    # Heal a torn replay: a crash MID-write can leave a corrupt
+    # part-file under this batch's own store subdir. The probe read
+    # below prunes batch N's ROWS (.where on the partition column),
+    # but parquet schema inference may still open the torn footer and
+    # fail every retry permanently. Deleting the subdir at batch start
+    # is safe by construction — the overwrite at the end of this batch
+    # is the only writer of it, and a replayed batch recomputes it in
+    # full from batch_df + the other batches' store keys.
+    _best_effort_delete(spark, f"{store_path}/batch_id={int(batch_id)}")
     sh = word_shingles(batch_df, text_col, id_col, n=shingle_n, distinct=False)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     # persist: this lineage (shingles -> 16-hash MinHash -> banding)

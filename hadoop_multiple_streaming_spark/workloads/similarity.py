@@ -666,7 +666,7 @@ _HIER_DIST = (
                                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
                                                AS BIGINT)) AS qv
                FROM embeddings),
-    kk AS (SELECT GREATEST(2, LEAST(65536, (COUNT(*) + 199) // 200)) AS k FROM q),
+    kk AS (SELECT GREATEST(2, (COUNT(*) + 199) // 200) AS k FROM q),
     k1 AS (SELECT (1 << ((LENGTH(bin(k - 1)) + 1) // 2)) AS k1 FROM kk),
     cs AS (SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
                       AS cluster,

@@ -159,19 +159,21 @@ def test_env_injection(spark):
     assert [r.line for r in out.collect()] == ["hello42"]
 
 
-def test_tmpdir_override(spark, tmp_path):
-    # stream.tmpdir (MapStreamJob.java:645) -> child TMPDIR
-    # (MultiPipeMapRed.java:204-205 exports TMPDIR to the subprocess);
-    # unset it inherits the parent env unchanged
+def test_tmpdir_export(spark, tmp_path):
+    # Reference: TMPDIR is ALWAYS exported to the child
+    # (MultiPipeMapRed.java:204-205 exports java.io.tmpdir). Extension:
+    # -D stream.tmpdir overrides the exported value.
     script = py("import os,sys; sys.stdin.read(); print(os.environ.get('TMPDIR', '<unset>'))")
     want = str(tmp_path / "stream-tmp")
     opts = PipeOptions(tmpdir=want)
     out = pipe_lines(lines_df(spark, ["x"]).coalesce(1), script, opts=opts)
     assert [r.line for r in out.collect()] == [want]
-    # default: parent env's TMPDIR (or unset) passes through untouched
+    # default: TMPDIR is exported unconditionally — parent env's value,
+    # else the OS tempdir (never "<unset>")
     import os
+    import tempfile
 
-    expect = os.environ.get("TMPDIR", "<unset>")
+    expect = os.environ.get("TMPDIR", tempfile.gettempdir())
     out2 = pipe_lines(lines_df(spark, ["x"]).coalesce(1), script)
     assert [r.line for r in out2.collect()] == [expect]
 

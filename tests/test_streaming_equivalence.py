@@ -523,6 +523,20 @@ def test_streaming_incremental_minhash_replay_idempotent(spark, tmp_path):
     ingest_minhash_batch(b2, 1, store_path, out_path)
     assert snapshot() == (want_out, want_store)
 
+    # crash MID-store-write: a TORN part-file sits in this batch's own
+    # store subdir. Partition pruning skips its rows, but parquet
+    # schema inference would still open the corrupt footer — the batch
+    # start must heal (delete) its own subdir so the retry converges
+    # instead of failing forever. (A corrupt file belonging to ANOTHER
+    # batch must still fail the batch — pinned by
+    # test_streaming_incremental_minhash_corrupt_store_fails_batch.)
+    shutil.rmtree(f"{store_path}/batch_id=1")
+    os.makedirs(f"{store_path}/batch_id=1")
+    with open(f"{store_path}/batch_id=1/part-00000.parquet", "wb") as f:
+        f.write(b"torn mid-write, not a parquet footer")
+    ingest_minhash_batch(b2, 1, store_path, out_path)
+    assert snapshot() == (want_out, want_store)
+
 
 def test_streaming_incremental_minhash_corrupt_store_fails_batch(spark, tmp_path):
     """A bucket store that EXISTS but cannot be read must FAIL the
