@@ -631,3 +631,197 @@ def test_semantic_dedup_auto_tiny_inputs(spark):
         q, threshold=0.99, pairs_impl="arrow", dim=16
     ).collect()}
     assert out == {1: True, 2: False}
+
+
+def test_auto_cluster_count_uncapped():
+    """max_k=None removes the clamp — the hierarchical path's k law
+    (its per-cell work contract needs the true k ~ n/target; the 65536
+    cap only protects FLAT's driver codebook and n*k assignment)."""
+    from hadoop_multiple_streaming_spark.operators.dedup import auto_cluster_count
+
+    assert auto_cluster_count(10**12, max_k=None) == 5 * 10**9
+    assert auto_cluster_count(10**10, max_k=None) == 5 * 10**7
+    # below the cap the two laws agree exactly
+    for n in (1, 200, 201, 5000, 13_107_200):
+        assert auto_cluster_count(n, max_k=None) == auto_cluster_count(n)
+    # min clamp still applies
+    assert auto_cluster_count(1, max_k=None) == 2
+
+
+def test_coarse_cluster_count_law():
+    """k1 = 2^ceil(ceil_log2(k)/2): a power of two >= sqrt(k), and
+    splitting k into (k1, k/k1) keeps both levels' assignment work
+    ~n*sqrt(k)."""
+    from hadoop_multiple_streaming_spark.operators.dedup import coarse_cluster_count
+
+    for k in (2, 3, 4, 5, 16, 17, 20, 256, 65536, 5 * 10**7):
+        k1 = coarse_cluster_count(k)
+        assert k1 * k1 >= k, k  # k1 >= sqrt(k)
+        assert k1 & (k1 - 1) == 0  # power of two
+        assert k1 <= 2 * (int(k**0.5) + 1), k  # and not much above it
+    assert coarse_cluster_count(1) == coarse_cluster_count(2)  # floor at k=2
+    # the 10^10-doc design point: k = 5*10^7 -> k1 = 8192 (driver-small)
+    assert coarse_cluster_count(5 * 10**7) == 8192
+
+
+def _hier_fixture(spark, n=120, seed=3, target=10):
+    """n random 16-dim vectors + one planted near-twin of id 13."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(n)]
+    twin = [x * 1.0001 for x in rows[13][1]]
+    rows.append((n, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return quantize_embeddings(df, "embedding", "vec_id"), n
+
+
+def test_semantic_dedup_hier_planted_twin_and_composite_ids(spark):
+    """clusters_impl="hierarchical": every id exactly once, the
+    planted near-twin is dropped with its min-id representative kept
+    in the SAME composite cluster, composite ids decode to
+    coarse < k1 and fine < 2^32 with no (coarse, fine) collisions,
+    and keep replays EXACTLY from the returned clustering (keep=false
+    iff a smaller-id same-cluster member has cosine >= threshold —
+    recomputed independently in numpy from the quantized vectors)."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        coarse_cluster_count,
+        semantic_dedup,
+    )
+
+    q, n = _hier_fixture(spark)
+    out = semantic_dedup(
+        q, threshold=0.99, pairs_impl="arrow", target_cluster_size=10,
+        dim=16, clusters_impl="hierarchical",
+    ).collect()
+    got = {r.id: (r.cluster, r.keep) for r in out}
+    assert len(got) == n + 1  # every id, exactly once
+    assert got[n][1] is False and got[13][1] is True
+    assert got[n][0] == got[13][0]
+    k1 = coarse_cluster_count(-(-(n + 1) // 10))  # k = ceil(121/10) = 13
+    for cid, _ in got.values():
+        coarse, fine = cid >> 32, cid & 0xFFFFFFFF
+        assert 0 <= coarse < k1
+        assert (coarse << 32) + fine == cid  # decode round-trips
+    # independent keep replay from the clustering the operator chose
+    qv = {
+        r.id: np.asarray(r.qv, dtype=np.int64)
+        for r in q.select("id", "qv").collect()
+    }
+    for i, (ci, _) in got.items():
+        expect_drop = any(
+            cj == ci
+            and float(qv[j] @ qv[i])
+            / (np.sqrt(float(qv[j] @ qv[j])) * np.sqrt(float(qv[i] @ qv[i])))
+            >= 0.99
+            for j, (cj, _) in got.items()
+            if j < i
+        )
+        assert got[i][1] is (not expect_drop), i
+
+
+def test_semantic_dedup_auto_budget_routing(spark):
+    """clusters_impl="auto" routes by n*k vs flat_assign_budget: a
+    huge budget reproduces the flat path bit-for-bit, a tiny budget
+    reproduces the hierarchical path bit-for-bit."""
+    from hadoop_multiple_streaming_spark.operators.dedup import semantic_dedup
+
+    q, _ = _hier_fixture(spark)
+    kw = dict(threshold=0.99, pairs_impl="arrow", target_cluster_size=10, dim=16)
+
+    def run(**extra):
+        return sorted(
+            (r.id, r.cluster, r.keep)
+            for r in semantic_dedup(q, **kw, **extra).collect()
+        )
+
+    flat = run(clusters_impl="flat")
+    hier = run(clusters_impl="hierarchical")
+    assert flat != hier  # the two clusterings genuinely differ here
+    assert run(clusters_impl="auto", flat_assign_budget=1 << 60) == flat
+    assert run(clusters_impl="auto", flat_assign_budget=1) == hier
+
+
+def test_semantic_dedup_hier_skewed_cell(spark):
+    """Pathological skew: ~all rows collapse into ONE coarse cell (a
+    tight blob + a few far outliers). _fine_lloyd_cells must stay
+    correct inside the giant cell — full id coverage, collision-free
+    composite ids, and the keep rule replaying exactly from the
+    clustering (including min-id dedup of coincident blob members that
+    share a fine cluster)."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    center = rng.normal(size=16)
+    rows = [
+        (i, [float(x) for x in center + rng.normal(size=16) * 1e-4])
+        for i in range(90)
+    ]  # tight blob: pairwise cosine ~1
+    rows += [
+        (90 + j, [float(x) for x in rng.normal(size=16) * 5])
+        for j in range(6)
+    ]  # outliers
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    out = semantic_dedup(
+        q, threshold=0.99, pairs_impl="arrow", target_cluster_size=10,
+        dim=16, clusters_impl="hierarchical",
+    ).collect()
+    got = {r.id: (r.cluster, r.keep) for r in out}
+    assert len(got) == 96
+    # the blob really did land in one coarse cell (the skew scenario)
+    blob_coarse = {got[i][0] >> 32 for i in range(90)}
+    assert len(blob_coarse) == 1
+    # composite ids collision-free across the whole output
+    assert len({c for c, _ in got.values()}) == len(
+        {(c >> 32, c & 0xFFFFFFFF) for c, _ in got.values()}
+    )
+    # keep replays exactly from the clustering (numpy, exact ints)
+    qv = {
+        r.id: np.asarray(r.qv, dtype=np.int64)
+        for r in q.select("id", "qv").collect()
+    }
+    dropped = 0
+    for i, (ci, keep) in got.items():
+        expect_drop = any(
+            cj == ci
+            and float(qv[j] @ qv[i])
+            / (np.sqrt(float(qv[j] @ qv[j])) * np.sqrt(float(qv[i] @ qv[i])))
+            >= 0.99
+            for j, (cj, _) in got.items()
+            if j < i
+        )
+        assert keep is (not expect_drop), i
+        dropped += keep is False
+    # the blob is coincident: each fine cluster keeps exactly one
+    n_fine = len({got[i][0] for i in range(90)})
+    assert dropped == 90 - n_fine
+
+
+def test_semantic_dedup_hier_matches_duckdb_oracle(spark):
+    """End-to-end bit-identity pin of the registered catalog query vs
+    its DuckDB oracle at sf0.001 — the same comparison the driver
+    harness runs at sf0.01 (sorted rows, exact values). This is the
+    test that would have caught any drift in the hierarchical SQL
+    replay (seeds, fold order, tie-breaks, composite ids, keep)."""
+    import duckdb
+
+    import hadoop_multiple_streaming_spark.workloads as w
+
+    w.load_all()
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.id, r.cluster, r.keep)
+        for r in w.QUERIES["semantic_dedup_hier"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = sorted(
+        (int(i), int(c), bool(k))
+        for i, c, k in con.execute(w.ORACLES["semantic_dedup_hier"]).fetchall()
+    )
+    assert got == want
