@@ -53,124 +53,118 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
-    # ---- round-8 window (driver checks ~first 50) ----
-    # reference signature: pipe mapper/reducer + N-branch fan-out
+    # ---- round-10 window (driver checks ~first 50) ----
+    # Touched r09/r10: pipe.py TMPDIR export (r10) reaches every pipe
+    # consumer; fanout runs pipes through the same _build_env
     "pipe_wordcount",
     "fanout_two_branches",
     "pipe_grouped_reduce",
-    # round-9 NEW: hierarchical (coarse-fine) SemDeDup — the reroute
-    # target of the flat-assignment budget guard
+    "pipe_identity_cat",
+    # r09 NEW + r10 uncapped-k law (oracle updated): hierarchical
+    # SemDeDup, plus the dispatch family that routes into it
     "semantic_dedup_hier",
-    # round-8 NEW: auto-sized SemDeDup (the semantic_dedup default path)
     "semantic_dedup_auto",
-    # round-8 touched: semantic_dedup operator signature/default path;
-    # NULL-coalesce added to the quality/normalize oracles
     "semantic_dedup",
-    "quality_model_score",
-    "top_quality_docs",
-    "text_normalize",
-    # perf claim under review this round (crossover rows being added)
-    "text_winnowing",
-    "winnowing_pairs",
-    "duplicate_span_mining",
-    # round-8 touched: substring_matches rarest-anchor selection went
-    # single-pass (windowed anchor+candidates; output byte-identical,
-    # exceptAll-proved) — both consumers re-prove in-window
+    # r09 probe guard + r10 first-anchor broadcast hint
     "substring_decontamination",
     "decontaminate_cut_spans",
-    # round-8 touched (late): standalone ngram_jaccard pins sort-merge
-    # for the sizes joins (AQE's compressed-stats broadcast estimate
-    # blew driver maxResultSize at sf4.0); re-prove in-window
+    # r09 idempotent ingest rewrite + r10 torn-replay heal
+    "incremental_minhash_dedup",
+    # perf claim under review: sf4/sf8 post-pin rows added r10
     "dedup_ngram_jaccard",
-    # evidence-refresh: stalest rows first (last green r03-r05)
-    "customer_order_counts",  # r03+r04
-    "set_ops_customers",  # r03+r04
-    "lineitem_rollup",  # r03+r04
-    "lineitem_cube",  # r03+r04
-    "orders_grouping_sets",  # r03+r04
-    "orders_priority_pivot",  # r03+r04
-    "q3_shipping_priority",  # r03+r04
-    "q4_order_priority",  # r03+r04
-    "q6_forecast_revenue",  # r03+r04
-    "q10_returned_items",  # r03+r04
-    "q11_important_parts",  # r03+r04
-    "q12_priority_by_status",  # r03+r04
-    "q22_global_sales_opportunity",  # r04
-    "text_top_bigrams",  # r04
-    "agg_string_max_min",  # r04 + r06 judge re-run
-    "agg_double_sum",  # r04 + r05 judge re-run
-    "agg_salted_sum",  # r04 + r06 judge re-run
-    "dedup_simhash_pairs",  # r04 + r05/r06 judge re-runs
-    "pipe_identity_cat",  # r05; P3 identity elision
-    "agg_long_sum_native",  # r05
-    # evidence-refresh: r06 greens not re-proved since
-    "ann_pq_train_recall",  # r06
-    "salted_join_revenue",  # r06
-    "temperature_sample",  # r06
-    "incremental_dedup",  # r06
-    "incremental_minhash_dedup",  # r06 + r07 judge re-run
-    "q2_min_cost_supplier",  # r06
-    "q7_nation_volume",  # r06
-    "q8_market_share",  # r06
-    "q14_promo_revenue",  # r06
-    "q15_top_supplier",  # r06
-    "q16_supplier_part_counts",  # r06
-    "q17_small_quantity_revenue",  # r06
-    "q19_disjunctive_revenue",  # r06
-    "q20_heavy_shippers",  # r06
-    "q21_sole_failing_supplier",  # r06
-    # family representation: packing + multimodal in-window reps
-    "pack_sequences_global",  # r06 + r07 judge re-run
-    "multimodal_features",  # r06 + r07 judge re-run (text_profile twin)
-    # ---- index 50+: driver-green on an UNCHANGED plan (round noted) ----
-    "part_supplier_topn",  # r06 green
-    "text_pii_redact",  # r06 green
-    "text_boilerplate_removal",  # r06 green
-    "ann_cosine_topk",  # r06 green
-    "ann_ivf_multiprobe",  # r06 green
-    "asof_click_attribution",  # r06 green + r07 judge re-run
-    "q13_customer_distribution",  # r06 green
-    "events_hourly_rollup",  # r06 green
-    "events_sessionize",  # r06 green
-    "secondary_sort_events",  # r06 green
-    "events_exact_profile",  # r06 green
-    "agg_long_sum",  # r06 green
-    "agg_uniq_count",  # r06 green + r07 judge re-run
-    "agg_value_histogram",  # r06 green
-    "contamination_rate",  # r06 green
-    "q1_pricing_summary",  # r06 green
-    "q5_local_supplier_volume",  # r06 green
-    "q9_product_profit",  # r06 green + r07 judge re-run
-    "ann_pq_adc",  # r06 green + r07 judge re-run
-    "text_rare_words",  # r06 green + r07 judge re-run
-    "text_profile",  # r06 green + r07 judge re-run
-    "dedup_embedding_lsh_auto",  # r07 green
-    "q18_large_orders",  # r03+r04 + r06 judge re-run
-    "price_percentiles",  # r03+r04 + r06 judge re-run
-    "upsample_epochs",  # r07 green
-    "chunk_documents",  # r07 green
-    "blocklist_screen",  # r07 green
-    "dedup_embedding_lsh",  # r07 green
-    "dedup_minhash_lsh",  # r07 green
-    "dedup_embedding_cosine",  # r07 green
-    "dedup_clusters",  # r07 green
-    "dedup_exact",  # r07 green
-    "dedup_simhash",  # r07 green
-    "decontaminate_docs",  # r07 green
-    "text_fingerprint",  # r07 green
-    "text_token_count",  # r07 green
-    "text_quality_score",  # r07 green
+    # evidence-refresh: stalest driver greens first (last green r06)
+    "part_supplier_topn",  # r06
+    "text_pii_redact",  # r06
+    "text_boilerplate_removal",  # r06
+    "ann_cosine_topk",  # r06
+    "ann_ivf_multiprobe",  # r06
+    "q13_customer_distribution",  # r06
+    "events_hourly_rollup",  # r06
+    "events_sessionize",  # r06
+    "secondary_sort_events",  # r06
+    "events_exact_profile",  # r06
+    "agg_long_sum",  # r06
+    "agg_uniq_count",  # r06 + r07 judge re-run
+    "agg_value_histogram",  # r06
+    "contamination_rate",  # r06
+    "q1_pricing_summary",  # r06
+    "q5_local_supplier_volume",  # r06
+    "asof_click_attribution",  # r06 + r07 judge re-run
+    "q18_large_orders",  # r06 judge re-run
+    "price_percentiles",  # r06 judge re-run
+    # evidence-refresh: r07 greens never re-proved since
+    "q9_product_profit",  # r07 judge re-run
+    "ann_pq_adc",  # r07 judge re-run
+    "text_rare_words",  # r07 judge re-run
+    "text_profile",  # r07 judge re-run
+    "dedup_embedding_lsh_auto",  # r07
+    "upsample_epochs",  # r07
+    "chunk_documents",  # r07
+    "blocklist_screen",  # r07
+    "dedup_embedding_lsh",  # r07
+    "dedup_minhash_lsh",  # r07
+    "dedup_embedding_cosine",  # r07
+    "dedup_clusters",  # r07
+    "dedup_exact",  # r07
+    "dedup_simhash",  # r07
+    "decontaminate_docs",  # r07
+    "text_fingerprint",  # r07
+    "text_token_count",  # r07
+    "text_quality_score",  # r07
+    # family representation: multimodal / packing / sampling reps
+    "multimodal_frame_sample",  # r07
+    "pack_sequences",  # r07
+    "dataset_split",  # r07
+    # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
+    "quality_model_score",  # r08 green
+    "top_quality_docs",  # r08 green
+    "text_normalize",  # r08 green
+    "text_winnowing",  # r08 green (+ sf8.0 hash-proof)
+    "winnowing_pairs",  # r08 green (+ sf8.0 hash-proof)
+    "duplicate_span_mining",  # r08 green (+ sf8.0 hash-proof)
+    "customer_order_counts",  # r08 green
+    "set_ops_customers",  # r08 green
+    "lineitem_rollup",  # r08 green
+    "lineitem_cube",  # r08 green
+    "orders_grouping_sets",  # r08 green
+    "orders_priority_pivot",  # r08 green
+    "q3_shipping_priority",  # r08 green
+    "q4_order_priority",  # r08 green
+    "q6_forecast_revenue",  # r08 green
+    "q10_returned_items",  # r08 green
+    "q11_important_parts",  # r08 green
+    "q12_priority_by_status",  # r08 green
+    "q22_global_sales_opportunity",  # r08 green
+    "text_top_bigrams",  # r08 green
+    "agg_string_max_min",  # r08 green
+    "agg_double_sum",  # r08 green
+    "agg_salted_sum",  # r08 green
+    "dedup_simhash_pairs",  # r08 green
+    "agg_long_sum_native",  # r08 green
+    "ann_pq_train_recall",  # r08 green
+    "salted_join_revenue",  # r08 green
+    "temperature_sample",  # r08 green
+    "incremental_dedup",  # r08 green
+    "q2_min_cost_supplier",  # r08 green
+    "q7_nation_volume",  # r08 green
+    "q8_market_share",  # r08 green
+    "q14_promo_revenue",  # r08 green
+    "q15_top_supplier",  # r08 green
+    "q16_supplier_part_counts",  # r08 green
+    "q17_small_quantity_revenue",  # r08 green
+    "q19_disjunctive_revenue",  # r08 green
+    "q20_heavy_shippers",  # r08 green
+    "q21_sole_failing_supplier",  # r08 green
+    "pack_sequences_global",  # r08 green
+    "multimodal_features",  # r08 green
+    "pack_texts",  # r07 green
+    "stratified_sample",  # r07 green
+    "quota_sample",  # r07 green
     "text_langid",  # r07 green
     "text_tfidf_top_terms",  # r07 green
     "text_sentence_stats",  # r07 green
     "text_repetition",  # r07 green
     "curation_pipeline",  # r07 green
-    "multimodal_frame_sample",  # r07 green
-    "pack_sequences",  # r07 green
-    "pack_texts",  # r07 green
-    "dataset_split",  # r07 green
-    "stratified_sample",  # r07 green
-    "quota_sample",  # r07 green
     "ann_ivf_topk",  # r07 green
     "embedding_centroids",  # r07 green
     "ann_recall",  # r07 green
