@@ -168,6 +168,19 @@ def test_catalog_plan_hygiene(spark, sf_dir):
     assert not bad, bad
 
 
+def _final_plan_of(df) -> str:
+    """The TRULY final AQE plan of ``df`` itself. ``df.count()`` does
+    NOT finalize it — count wraps df in a new DataFrame with its own
+    QueryExecution, leaving df's own plan at isFinalPlan=false (the
+    pre-execution guess, which shows neither AQE stage reuse nor
+    runtime join changes). Execute df's own QueryExecution (collect),
+    then strip the '== Initial Plan ==' echo toString appends."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in s, s[:500]
+    return s.split("== Initial Plan ==")[0]
+
+
 def test_substring_rarest_anchor_single_pass(spark, sf_dir):
     # the rarest-anchor path must consume the corpus gram explode ONCE
     # (broadcast probe-gram join, then windowed anchor selection over
@@ -183,6 +196,31 @@ def test_substring_rarest_anchor_single_pass(spark, sf_dir):
     declared = _plan_of(df)
     assert len(re.findall(r"\(\d+\) Generate", declared)) == 2, declared
     assert "Window" in declared
-    df.count()  # drive AQE to the final plan
-    final = df._jdf.queryExecution().executedPlan().toString()
+    final = _final_plan_of(df)
     assert final.count("Generate") == 2, final
+
+
+def test_ngram_jaccard_single_scan_streamed_pairs(spark, sf_dir):
+    # Standalone exact-Jaccard's 100 TB contract, asserted on the
+    # FINAL AQE plan (the initial plan shows the shingle pipeline
+    # tripled — scan+explode+collect_set once per consumer — and only
+    # stage-level reuse collapses it):
+    #   * ONE corpus FileScan: the groupBy(shingle) exchange is reused
+    #     by the sizes branch, and nb reuses na's id-count exchange
+    #     (>= 2 ReusedExchange), so the expensive shingle aggregation
+    #     is computed once;
+    #   * the pair expansion is the TWO chained Generates
+    #     (posexplode + slice explode) — never a flattened per-group
+    #     pair array (humongous-allocation hazard on hot shingles);
+    #   * both corpus-pair-scaled sizes joins stay sort-merge (the
+    #     hint('merge') pin — AQE's compressed-bytes estimate judged
+    #     the sorted pair aggregate broadcastable at sf4.0 and blew
+    #     driver maxResultSize).
+    df = workloads.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    final = _final_plan_of(df)
+    assert final.count("FileScan") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
+    assert final.count("SortMergeJoin") == 2, final
+    assert "BroadcastHashJoin" not in final, final
+    assert "posexplode" in final and "slice(ids" in final, final
+    assert "flatten" not in final, final

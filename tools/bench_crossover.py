@@ -43,6 +43,10 @@ QUERIES = [
     # self-scales like the auto LSH) and the winnowing/span family,
     # which shipped in round 7 with sf0.1 ratios but no at-scale rows
     "semantic_dedup_auto",
+    # round-10 addition: the hierarchical (coarse-fine) SemDeDup —
+    # the path semantic_dedup's auto budget reroutes to at scale; its
+    # doubling curve is the replacement for flat's superlinear n*k row
+    "semantic_dedup_hier",
     "text_winnowing",
     "winnowing_pairs",
     "duplicate_span_mining",
