@@ -68,6 +68,20 @@ class EngineConfig:
     share_mode: str = "persist"
 
 
+def _default_driver_memory() -> str:
+    """Heap sized to the machine: half of physical RAM, clamped to
+    [4g, 64g]. local[N] runs the executors INSIDE the driver JVM, so
+    a fixed small -Xmx starves every core at once (a flat 8g on a
+    32-core/128 GiB host is 256 MB/core — measured OOM on the exact
+    n-gram Jaccard pair stream at sf4.0, where any real cluster gives
+    an executor 2-8 GB/core). $SPARK_DRIVER_MEMORY still overrides."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        return f"{max(4, min(64, int(total // (1 << 30)) // 2))}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "hadoop-multiple-streaming-spark",
     master: str | None = None,
@@ -103,7 +117,10 @@ def get_spark(
         # recompiles on re-run)
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
