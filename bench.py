@@ -80,6 +80,9 @@ HEADLINE = [
     "text_winnowing",
     # round-8 extension surface
     "semantic_dedup_auto",
+    # round-10 extension surface: the coarse-fine scale path the auto
+    # budget reroutes to past FLAT_ASSIGN_BUDGET n*k cells
+    "semantic_dedup_hier",
 ]
 
 

@@ -228,6 +228,13 @@ con.execute(f"SET threads TO {cpus}")
 # long queries print a progress bar to STDOUT in a subprocess,
 # corrupting the one-JSON-line protocol — force it off
 con.execute("SET enable_progress_bar = false")
+# hard allocator ceiling: without it the sf4.0 ngram oracle grew to
+# 130 GB RSS and the KERNEL OOM-killer took the whole machine down
+# with it (including the idle Spark JVM — every later measurement in
+# the run then failed with Connection refused). With the cap DuckDB
+# raises OutOfMemoryException in-process instead, which records as an
+# honest DNF. No spill fallback: the host has <25 GB of free disk.
+con.execute("SET memory_limit = '80GB'")
 for t in %r.split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 con.execute(sql).fetchall()  # warm
@@ -267,7 +274,7 @@ def main() -> int:
     only = None
     for a in list(sys.argv[1:]):
         if a.startswith("--queries="):
-            only = set(a.split("=", 1)[1].split(","))
+            only = list(dict.fromkeys(a.split("=", 1)[1].split(",")))
             sys.argv.remove(a)
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.01",
@@ -288,18 +295,49 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def rebuild_session(dead):
+        """Replace a session whose JVM died mid-run (e.g. collateral of
+        a kernel OOM kill): stop() best-effort, clear the cached
+        singletons getOrCreate would otherwise hand straight back, and
+        build a fresh one so the remaining scale points still measure."""
+        try:
+            dead.stop()
+        except Exception:
+            pass
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession
+
+            SparkContext._active_spark_context = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+        except Exception:
+            pass
+        fresh = get_spark(
+            app_name="hms-crossover",
+            master=f"local[{cpus}]",
+            shuffle_partitions=cpus,
+        )
+        fresh.sparkContext.setLogLevel("ERROR")
+        return fresh
+
     rows = []
     for sf_dir in sf_dirs:
         sf = _sf(sf_dir)
         scaled_q, scaled_sql = _scaled_embedding_lsh()
         sem_q, sem_sql = _scaled_semantic_dedup()
-        for name, qfn, sql in [
+        menu = [
             *[(n, workloads.QUERIES[n], workloads.ORACLES[n]) for n in QUERIES],
             ("dedup_embedding_lsh_scaled", scaled_q, scaled_sql),
             ("semantic_dedup_scaled_k", sem_q, sem_sql),
-        ]:
-            if only is not None and name not in only:
-                continue
+        ]
+        if only is not None:
+            # run cheap queries before expensive ones within a scale
+            # point (caller order), so one engine death late in the sf
+            # costs the fewest rows
+            by_name = {m[0]: m for m in menu}
+            menu = [by_name[n] for n in only if n in by_name]
+        for name, qfn, sql in menu:
             # engines are allowed to FAIL a scale point (e.g. DuckDB
             # OOM on the sf2.0 sign-LSH oracle) — record -1 and keep
             # going; a dead engine is the most honest ratio there is
@@ -309,6 +347,15 @@ def main() -> int:
                 print(f"[crossover] spark {name}@{sf}: {str(e)[:150]}",
                       file=sys.stderr)
                 s = -1.0
+                try:
+                    spark = rebuild_session(spark)
+                    s = time_spark(spark, qfn, sf_dir)
+                except Exception as e2:
+                    print(
+                        f"[crossover] spark retry {name}@{sf}: "
+                        f"{str(e2)[:150]}",
+                        file=sys.stderr,
+                    )
             # one PROCESS per DuckDB query: a fresh connection is not
             # enough — an OOM'd query poisons the process-global
             # allocator (seen twice: first the recovery CREATE VIEW
