@@ -1,0 +1,50 @@
+"""Session-contract guard: the engine-level Spark defaults that
+operators and the at-scale record (CROSSOVER.md round 10, DEPLOY.md)
+depend on. These are behavioral, not cosmetic — e.g. the ngram-Jaccard
+pair shuffle only fits the measured disk budget under zstd, and a
+long-lived machine-heap driver OOMs on accumulated completed-job state
+without the periodic cleaner GC — so a silent default change must fail
+a test, not a future sf4.0 run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hadoop_multiple_streaming_spark.session import _default_driver_memory
+
+
+def test_engine_session_defaults(spark):
+    conf = spark.conf
+    # shuffle/spill/broadcast block codec: density over lz4's CPU edge
+    # (sf8.0 pair shuffle: lz4 blew an 80 GB disk quota; zstd halved it)
+    assert conf.get("spark.io.compression.codec") == "zstd"
+    # bounded completed-job state in long-lived sessions (measured
+    # UNABLE_TO_ACQUIRE_MEMORY on the 3rd consecutive sf4.0 heavy run
+    # at the 30-min default; A/B showed no cost at 5 min)
+    assert conf.get("spark.cleaner.periodicGC.interval") == "5min"
+    # the scale posture operators assume
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_extra_conf_overrides_defaults():
+    # callers may override any engine default without a new session
+    # actually being built here — check the builder path statically:
+    # get_spark applies extra_conf AFTER the defaults, so last-wins.
+    import inspect
+
+    from hadoop_multiple_streaming_spark import session as mod
+
+    src = inspect.getsource(mod.get_spark)
+    defaults = src.index("spark.io.compression.codec")
+    extras = src.index("extra_conf or {}")
+    assert defaults < extras, "extra_conf must be applied after defaults"
+
+
+def test_default_driver_memory_is_machine_sized():
+    mem = _default_driver_memory()
+    m = re.fullmatch(r"(\d+)g", mem)
+    assert m, mem
+    assert 4 <= int(m.group(1)) <= 64
