@@ -83,6 +83,9 @@ HEADLINE = [
     # round-10 extension surface: the coarse-fine scale path the auto
     # budget reroutes to past FLAT_ASSIGN_BUDGET n*k cells
     "semantic_dedup_hier",
+    # round-10: exact-integer priority sampling (TakeOrderedAndProject
+    # plan — zero exchanges; the weighted-without-replacement pick)
+    "priority_sample_docs",
 ]
 
 

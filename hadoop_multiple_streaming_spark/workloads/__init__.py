@@ -70,6 +70,9 @@ _PRIORITY_ORDER = [
     "decontaminate_cut_spans",
     # r09 idempotent ingest rewrite + r10 torn-replay heal
     "incremental_minhash_dedup",
+    # r10 NEW: exact-integer priority sampling (DLT weighted
+    # without-replacement top-k; TakeOrderedAndProject plan)
+    "priority_sample_docs",
     # perf claim under review: sf4/sf8 post-pin rows added r10
     "dedup_ngram_jaccard",
     # evidence-refresh: stalest driver greens first (last green r06)

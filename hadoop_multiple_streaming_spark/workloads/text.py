@@ -200,6 +200,50 @@ def _quota_oracle() -> str:
     """
 
 
+def _priority_sample_oracle() -> str:
+    from ..functions.sampling import _P_SCALE, SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    valued AS (SELECT doc_id, lang, w, {nibbles} AS v FROM hashed)
+    SELECT doc_id, lang, w,
+           (w * {SPACE * _P_SCALE}) // (v + 1) AS priority
+    FROM valued
+    ORDER BY priority DESC, doc_id
+    LIMIT 120
+    """
+
+
+@register("priority_sample_docs", oracle=_priority_sample_oracle())
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement — priority sampling
+    (Duffield/Lund/Thorup): 120 documents with inclusion probability
+    increasing in doc length, the 'prefer substantive documents but
+    keep a tail of short ones' selection step of a curation mix.
+    Priorities are exact integers — ``(w * 16^6 * 1024) div (hash+1)``
+    over the module's md5 uniform — so the selected set is replayable
+    bit-exactly in ANSI SQL (the classic u^(1/w) order key is not:
+    measured last-ulp ln() divergence between engines). Plan shape:
+    stateless projection + TakeOrderedAndProject (per-partition top-k,
+    driver merges k rows/partition — no global sort shuffle)."""
+    from ..functions.sampling import priority_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+    )
+    return priority_sample(docs, "doc_id", "w", k=120)
+
+
 @register("quota_sample", oracle=_quota_oracle())
 def quota_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quota capping (functions.sampling.quota_sample): at

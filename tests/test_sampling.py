@@ -178,3 +178,68 @@ def test_upsample_epochs_multiplicities(spark):
 
     with pytest.raises(ValueError, match="weight"):
         upsample_epochs(df, {"a": -1.0})
+
+
+def test_priority_sample_exact_topk_and_plan(spark):
+    """priority_sample == exact top-k by the same integer priorities
+    computed independently in Python, is partition-count invariant,
+    and plans as TakeOrderedAndProject (no sort shuffle)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        _P_SCALE,
+        priority_sample,
+    )
+
+    n, k = 400, 25
+    df = (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        # weights 1..80, deterministic, with repeats (exercises ties)
+        .withColumn("w", (F.col("doc_id") % 80 + 1).cast("long"))
+    )
+    out = priority_sample(df, "doc_id", "w", k=k)
+    rows = out.collect()
+    assert len(rows) == k
+
+    # independent golden: same md5-nibble hash + integer div in Python
+    def prio(doc_id, w):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        v = int(h[:6], 16)
+        return (w * SPACE * _P_SCALE) // (v + 1)
+
+    golden = sorted(
+        ((prio(i, i % 80 + 1), i) for i in range(n)),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    got = sorted(((r.priority, r.doc_id) for r in rows),
+                 key=lambda t: (-t[0], t[1]))
+    assert got == [(p, i) for p, i in golden]
+
+    # partition-count invariance (selection is a pure row property)
+    rows7 = priority_sample(df.repartition(7), "doc_id", "w", k=k).collect()
+    assert sorted(r.doc_id for r in rows7) == sorted(r.doc_id for r in rows)
+
+    # plan: per-partition top-k + driver merge, no sort shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_priority_sample_small_n_and_validation(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    df = (
+        spark.range(5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("w", F.lit(3).cast("long"))
+    )
+    assert priority_sample(df, "doc_id", "w", k=50).count() == 5
+    with pytest.raises(ValueError):
+        priority_sample(df, "doc_id", "w", k=0)
