@@ -253,10 +253,14 @@ def priority_sample(
     unverifiable across engines. Integer floor-div is not.)
 
     ``weight_col`` must be a positive INTEGER column (quantize float
-    weights like the ``_W_SCALE`` discipline above); overflow bound:
-    w < 2^63 / (16^6 * 1024) ~ 5*10^11. Ties (quantized-equal
-    priorities) break on the key column, so the result is a total
-    order at any scale.
+    weights like the ``_W_SCALE`` discipline above; float dtypes are
+    rejected — Spark ``cast('long')`` truncates where DuckDB CAST
+    rounds, so a silent cast would diverge from the oracle). Overflow
+    bound: w <= (2^63-1) / (16^6 * 1024) = 2^29-ish ~ 5.4*10^8,
+    enforced per-row with ``raise_error`` (non-ANSI Spark would
+    otherwise wrap silently to a negative priority while the DuckDB
+    oracle errors). Ties (quantized-equal priorities) break on the key
+    column, so the result is a total order at any scale.
 
     Scale shape: one stateless projection + global top-k. Spark plans
     ``orderBy().limit(k)`` as TakeOrderedAndProject — per-partition
@@ -265,14 +269,40 @@ def priority_sample(
     data-sized cost; k must be driver-small (it is the sample size)."""
     if k < 1:
         raise ValueError(f"priority_sample: k must be >= 1, got {k}")
+    for reserved in ("priority", "_pnum", "_pden"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"priority_sample: input already has a {reserved!r} column"
+                " (withColumn would silently clobber it); rename it first"
+            )
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wtype = df.select(w.alias("_w")).schema[0].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"priority_sample: weight_col must be integral, got {wtype}"
+            " (cast('long') truncates floats in Spark but rounds in"
+            " DuckDB — quantize explicitly instead)"
+        )
+    # overflow guard: w * SPACE * _P_SCALE must fit int64; past this
+    # bound non-ANSI Spark wraps silently (negative priority = wrong
+    # sample) while the oracle errors — fail loudly on both sides.
+    w_max = (2**63 - 1) // (SPACE * _P_SCALE)
+    w_checked = F.when(
+        w.cast("long") > F.lit(w_max),
+        F.raise_error(
+            F.concat(
+                F.lit(f"priority_sample: weight exceeds int64 bound {w_max}: "),
+                w.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w.cast("long"))
     # TRUE integer div (SQL `div`), not floor(double /): a correctly
     # rounded double quotient can cross an integer boundary when the
     # denominator is small (ulp(7e13) ~ 0.016 > 1/denominator is
     # violated for hash+1 < ~64), and then floor() disagrees with
     # exact integer division — in BOTH directions across engines.
     return (
-        df.withColumn("_pnum", w.cast("long") * F.lit(SPACE * _P_SCALE))
+        df.withColumn("_pnum", w_checked * F.lit(SPACE * _P_SCALE))
         .withColumn("_pden", hash_value(key_col) + F.lit(1))
         .withColumn("priority", F.expr("_pnum div _pden"))
         .drop("_pnum", "_pden")

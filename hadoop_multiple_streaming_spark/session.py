@@ -126,7 +126,10 @@ def get_spark(
         # ~6-min passes). 5 min instead of the 30-min default bounds
         # that accumulation for exactly the session shape this engine
         # runs: one driver submitting many jobs back to back.
-        .config("spark.cleaner.periodicGC.interval", "5min")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         # zstd for shuffle/spill/broadcast blocks instead of lz4:
         # measured on the sf8.0 ngram-Jaccard pair shuffle (sorted,
         # shared-prefix id pairs — the highly compressible shape
@@ -134,7 +137,12 @@ def get_spark(
         # footprint at no visible CPU cost on the sf0.1 bench. At
         # 100 TB shuffle bytes are the scarce resource (executor disk
         # + network); density wins over lz4's marginal speed.
-        .config("spark.io.compression.codec", "zstd")
+        # $SPARK_GRAFT_IO_CODEC overrides (A/B-able per run; see the
+        # DEPLOY.md codec table for the measured lz4-vs-zstd sweep).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",

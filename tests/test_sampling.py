@@ -243,3 +243,40 @@ def test_priority_sample_small_n_and_validation(spark):
     assert priority_sample(df, "doc_id", "w", k=50).count() == 5
     with pytest.raises(ValueError):
         priority_sample(df, "doc_id", "w", k=0)
+
+
+def test_priority_sample_guards(spark):
+    """ADVICE r10: float weights rejected (Spark cast truncates, DuckDB
+    rounds — silent oracle divergence), reserved-column collision
+    rejected, and int64 overflow raises instead of wrapping negative."""
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        _P_SCALE,
+        SPACE,
+        priority_sample,
+    )
+
+    base = spark.range(5).withColumnRenamed("id", "doc_id")
+    # float weight dtype -> TypeError before any job runs
+    with pytest.raises(TypeError, match="integral"):
+        priority_sample(base.withColumn("w", F.lit(1.5)), "doc_id", "w", 2)
+    # pre-existing 'priority' column -> ValueError (no silent clobber)
+    with pytest.raises(ValueError, match="priority"):
+        priority_sample(
+            base.withColumn("w", F.lit(1).cast("long")).withColumn(
+                "priority", F.lit(0)
+            ),
+            "doc_id",
+            "w",
+            2,
+        )
+    # weight over the documented 2^63/(16^6*1024) ~ 5.4e8 bound ->
+    # runtime raise_error, not silent int64 wraparound
+    w_max = (2**63 - 1) // (SPACE * _P_SCALE)
+    over = base.withColumn("w", F.lit(w_max + 1).cast("long"))
+    with pytest.raises(Exception, match="int64 bound"):
+        priority_sample(over, "doc_id", "w", 2).collect()
+    # exactly at the bound is fine
+    at = base.withColumn("w", F.lit(w_max).cast("long"))
+    assert priority_sample(at, "doc_id", "w", 2).count() == 2

@@ -341,21 +341,33 @@ def main() -> int:
             # engines are allowed to FAIL a scale point (e.g. DuckDB
             # OOM on the sf2.0 sign-LSH oracle) — record -1 and keep
             # going; a dead engine is the most honest ratio there is
+            retried = False
             try:
                 s = time_spark(spark, qfn, sf_dir)
             except Exception as e:
                 print(f"[crossover] spark {name}@{sf}: {str(e)[:150]}",
                       file=sys.stderr)
                 s = -1.0
+                # rebuild+retry ONLY when the JVM is actually dead — a
+                # deterministically failing query must stay a -1 DNF,
+                # not run twice and paper over a flake. Probe with a
+                # trivial query: alive session -> keep the DNF.
+                session_dead = False
                 try:
-                    spark = rebuild_session(spark)
-                    s = time_spark(spark, qfn, sf_dir)
-                except Exception as e2:
-                    print(
-                        f"[crossover] spark retry {name}@{sf}: "
-                        f"{str(e2)[:150]}",
-                        file=sys.stderr,
-                    )
+                    spark.sql("select 1").collect()
+                except Exception:
+                    session_dead = True
+                if session_dead:
+                    retried = True
+                    try:
+                        spark = rebuild_session(spark)
+                        s = time_spark(spark, qfn, sf_dir)
+                    except Exception as e2:
+                        print(
+                            f"[crossover] spark retry {name}@{sf}: "
+                            f"{str(e2)[:150]}",
+                            file=sys.stderr,
+                        )
             # one PROCESS per DuckDB query: a fresh connection is not
             # enough — an OOM'd query poisons the process-global
             # allocator (seen twice: first the recovery CREATE VIEW
@@ -377,6 +389,10 @@ def main() -> int:
                 "duckdb_sec": d,
                 "ratio": ratio,
             }
+            if retried:
+                # visible DNF-then-pass marker: this timing came from a
+                # second attempt after a dead-JVM rebuild
+                rec["spark_retried"] = True
             rows.append(rec)
             print(json.dumps(rec), flush=True)
 

@@ -24,6 +24,15 @@ python "$(git rev-parse --show-toplevel)/tools/registry_smoke.py" || {
 
 def main() -> None:
     os.makedirs(os.path.dirname(HOOK), exist_ok=True)
+    if os.path.exists(HOOK):
+        with open(HOOK) as f:
+            existing = f.read()
+        if existing == SCRIPT:
+            print(f"already installed {HOOK}")
+            return
+        backup = HOOK + ".bak"
+        os.replace(HOOK, backup)
+        print(f"existing pre-commit hook differs — backed up to {backup}")
     with open(HOOK, "w") as f:
         f.write(SCRIPT)
     os.chmod(HOOK, os.stat(HOOK).st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
