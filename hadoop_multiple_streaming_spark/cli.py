@@ -79,7 +79,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-cmdenv", action="append", default=[], help="NAME=VALUE for subprocess env")
     p.add_argument("-D", "-jobconf", action="append", default=[], dest="conf", help="spark conf k=v")
     p.add_argument("-numReduceTasks", type=int, default=None)
-    p.add_argument("-inputformat", default="text", choices=["text", "keyvalue", "parquet", "csv", "json"])
+    p.add_argument(
+        "-inputformat",
+        default="text",
+        help="'text' (default), 'keyvalue' (KeyValueTextInputFormat), or "
+        "any DataSourceV2 format name (parquet/csv/json/orc/...) — the "
+        "reflective class load of MapStreamJob.java:730-738, by name",
+    )
+    p.add_argument(
+        "-outputformat",
+        default="text",
+        help="'text' (default; TextOutputFormat `key SEP value` lines) or "
+        "any DataSourceV2 format name (parquet/csv/json/orc/...) for the "
+        "per-branch final sink (RedStreamJob.java:785-797)",
+    )
     p.add_argument("-separator", default="\t")
     p.add_argument("-numKeyFields", type=int, default=1)
     p.add_argument("-shareMode", default="persist", choices=["persist", "materialize", "none"])
@@ -147,6 +160,7 @@ def parse_job(argv: list[str]) -> tuple[JobSpec, dict[str, str], str | None]:
         output=args.output,
         branches=branches,
         input_format=args.inputformat,
+        output_format=args.outputformat,
         input_columns=args.inputColumns.split(",") if args.inputColumns else None,
         separator=args.separator,
         num_key_fields=args.numKeyFields,

@@ -276,12 +276,27 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: |A ∩ B| / |A ∪ B| >= threshold.
     With ``candidates`` (e.g. from lsh_candidate_pairs) the intersect
     join is restricted to candidate pairs — the 100 TB mode. Without,
     it self-joins on shingle (only sane at small scale / after LSH).
+
+    ``max_doc_freq`` (CCNet / Lee et al. 2022 practice): shingles
+    shared by more than this many documents are dropped from the
+    shingle UNIVERSE — both the intersection counts and the per-doc
+    set sizes, so Jaccard stays a true set ratio over the kept
+    features (dropping from the numerator only would deflate every
+    score). This bounds the pair expansion at
+    n_shingles * cap*(cap-1)/2 regardless of corpus size — the
+    governor the standalone mode needs at scale: a df-cap'd hot
+    shingle carries ~zero IDF signal anyway. None = exact over all
+    shingles (unbounded pairs; the sf8.0 bench DNF'd its 80 GB disk
+    quota here before this arg existed).
 
     Physical plan: ONE groupBy(shingle) intermediate feeds both the
     pair intersection counts AND the per-doc set sizes (sizes =
@@ -298,6 +313,15 @@ def ngram_jaccard_pairs(
     grouped = shingles.groupBy("shingle").agg(
         F.expr("array_sort(collect_set(id))").alias("ids")
     )
+    if max_doc_freq is not None:
+        if max_doc_freq < 2:
+            raise ValueError(
+                f"ngram_jaccard_pairs: max_doc_freq must be >= 2, got {max_doc_freq}"
+            )
+        # filter sits ABOVE the shared groupBy(shingle) aggregate, so
+        # both downstream branches (sizes + pair expansion) still reuse
+        # the one hashpartitioning(shingle) Exchange
+        grouped = grouped.where(F.size("ids") <= max_doc_freq)
     sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
         F.count(F.lit(1)).alias("n")
     )

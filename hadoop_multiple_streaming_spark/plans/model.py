@@ -105,6 +105,13 @@ class JobSpec:
     #: (right at 100 TB, SURVEY §4.1); "none" = re-scan per branch
     #: (input already fast/columnar and branches prune differently).
     share_mode: str = "persist"
+    #: S9 (-outputformat, RedStreamJob.java:785-797): final sink format
+    #: per branch output. "text" = the reference's TextOutputFormat
+    #: (`key SEP value` lines via write_kv_text); any other name is a
+    #: DataSourceV2 format (parquet/csv/json/orc/...) written from the
+    #: (key, value) frame via write_table — the reflective
+    #: class-for-name load, Spark-style.
+    output_format: str = "text"
     non_zero_exit_is_failure: bool = True
     #: P8: skip records on subprocess write failure once this many were
     #: written (stream.minRecWrittenToEnableSkip_,

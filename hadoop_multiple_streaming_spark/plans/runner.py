@@ -47,7 +47,15 @@ from ..operators.pipe import (
     pipe_reduce,
     read_counters,
 )
-from ..sources.io import read_key_value_text, read_table, read_text, ship_files, table_to_lines, write_kv_text
+from ..sources.io import (
+    read_key_value_text,
+    read_table,
+    read_text,
+    ship_files,
+    table_to_lines,
+    write_kv_text,
+    write_table,
+)
 from .model import AGGREGATE, Branch, JobSpec
 
 # exit-code contract (O4, MapStreamJob.java:997-1027)
@@ -374,7 +382,15 @@ def _run_job_planned(
         path = f"{spec.output}/{branch.dir_key}"
         bt0 = time.monotonic()
         try:
-            write_kv_text(plans[branch.dir_key], path, spec.separator, branch.num_reduce_tasks, mode)
+            if spec.output_format == "text":
+                write_kv_text(plans[branch.dir_key], path, spec.separator, branch.num_reduce_tasks, mode)
+            else:
+                # S9: typed final sink (-outputformat, the reference's
+                # reflective OutputFormat load RedStreamJob.java:785-797)
+                df = plans[branch.dir_key]
+                if branch.num_reduce_tasks is not None:
+                    df = df.coalesce(branch.num_reduce_tasks)  # G3 parity
+                write_table(df, path, fmt=spec.output_format, mode=mode)
             res = BranchResult(branch.dir_key, True, path, seconds=time.monotonic() - bt0)
         except Exception as e:  # failure isolation: siblings keep going
             res = BranchResult(branch.dir_key, False, path, error=str(e)[:500], seconds=time.monotonic() - bt0)

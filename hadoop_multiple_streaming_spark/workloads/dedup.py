@@ -87,13 +87,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, rows_per_band=2)
 
 
+#: shingle document-frequency ceiling for the standalone exact-Jaccard
+#: workload (CCNet / Lee et al. 2022): shingles in more than this many
+#: docs are dropped from the universe before pair expansion, bounding
+#: pairs at n_shingles * cap^2/2 at ANY corpus size. 512 never binds on
+#: the driver data (max df: 25 at sf0.1, ~230 at sf2.0, 448 at sf4.0 —
+#: hash-exact vs the uncapped oracle there); at sf8.0 the synthetic
+#: 31-token vocabulary saturates ALL 29,791 possible 3-grams past the
+#: cap (df 600-828, 7.5e9 uncapped pairs = the round-10 80 GB disk
+#: DNF), so the capped query returns the honest answer: zero
+#: discriminative shingles -> zero pairs, in seconds instead of DNF.
+#: Real Zipfian corpora sit between: the cap trims the boilerplate
+#: head and keeps the discriminative tail.
+_NGRAM_DF_CAP = 512
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    kept AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_NGRAM_DF_CAP}),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shc GROUP BY id),
     inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
               GROUP BY 1, 2)
     SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
     FROM inter
@@ -104,13 +121,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.8 (the verify stage after
-    LSH candidate generation; run standalone here to pin the math).
-    distinct=False: the per-doc shingle dedup happens inside the
-    operator's collect_set aggregation — no separate distinct
-    Exchange."""
+    LSH candidate generation; run standalone here to pin the math),
+    with the _NGRAM_DF_CAP document-frequency ceiling on shingles (the
+    oracle applies the identical HAVING filter, so the hash check holds
+    whether or not the cap binds). distinct=False: the per-doc shingle
+    dedup happens inside the operator's collect_set aggregation — no
+    separate distinct Exchange."""
     docs = load(spark, sf_dir, "documents").repartition(32)
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
-    return ngram_jaccard_pairs(sh, threshold=0.8)
+    return ngram_jaccard_pairs(sh, threshold=0.8, max_doc_freq=_NGRAM_DF_CAP)
 
 
 @register(

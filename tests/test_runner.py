@@ -367,3 +367,117 @@ def test_materialize_crash_restart_exactly_once(spark, tmp_path):
     assert read_out(f"{out}/mapoutput/FLAKY") == sorted(
         ["alpha\tF", "beta\tF", "gamma\tF"]
     )
+
+
+def test_progress_poller_reports_and_final_verdict(
+    spark, textdir, scripts, tmp_path, capsys
+):
+    """O3 (MultiStreamJobRunner.java:74-108): while branches run, the
+    poller prints `completed i/N done=[...] running=[...]`; after the
+    job, every branch gets a final SUCCEEDED/FAILED verdict line
+    (reportSuccessful parity). progress_interval=0.05 guarantees at
+    least one tick even on a fast 2-branch job."""
+    out = str(tmp_path / "out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch(
+                "WC",
+                mapper=f"{sys.executable} {scripts}/{WC_MAP}",
+                reducer=f"{sys.executable} {scripts}/{WC_RED}",
+            ),
+            Branch("CAT", mapper=None, reducer=None),
+        ],
+    )
+    res = run_job(spark, spec, progress_interval=0.05)
+    assert res.succeeded
+    captured = capsys.readouterr().out
+    import re
+
+    ticks = re.findall(
+        r"\[runner\] completed (\d)/2 done=\[([^\]]*)\] running=\[([^\]]*)\]",
+        captured,
+    )
+    assert ticks, captured  # at least one poll tick fired
+    for n_done, done, running in ticks:
+        done_keys = set(re.findall(r"'(\w+)'", done))
+        running_keys = set(re.findall(r"'(\w+)'", running))
+        assert int(n_done) == len(done_keys)
+        # done/running partition the branch set at every tick
+        assert done_keys | running_keys == {"WC", "CAT"}
+        assert not done_keys & running_keys
+    # per-branch final verdict lines (one each, SUCCEEDED)
+    assert re.search(r"\[runner\] branch WC: SUCCEEDED .*-> .*/WC", captured)
+    assert re.search(r"\[runner\] branch CAT: SUCCEEDED .*-> .*/CAT", captured)
+
+
+def test_progress_poller_reports_failed_branch(spark, textdir, tmp_path, capsys):
+    """O3/O4: a failing branch's final verdict line says FAILED with
+    the error, while the sibling still reports SUCCEEDED."""
+    out = str(tmp_path / "out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[
+            Branch("GOOD", mapper=None, reducer=None),
+            Branch("BAD", mapper="/no/such/binary-xyz", reducer=None),
+        ],
+    )
+    res = run_job(spark, spec, progress_interval=0.05)
+    assert not res.succeeded
+    captured = capsys.readouterr().out
+    import re
+
+    assert re.search(r"\[runner\] branch GOOD: SUCCEEDED", captured)
+    assert re.search(r"\[runner\] branch BAD: FAILED", captured)
+
+
+def test_cli_outputformat_parquet_roundtrip(spark, textdir, scripts, tmp_path):
+    """S9 CLI exposure (-outputformat, RedStreamJob.java:785-797): a
+    wordcount branch written as parquet finals, read back typed with
+    (key, value) columns matching the text sink's content."""
+    out = str(tmp_path / "pq_out")
+    rc = cli_main(
+        [
+            "-input",
+            textdir,
+            "-output",
+            out,
+            "-mapred",
+            f"WC|{sys.executable} {scripts}/{WC_MAP}|{sys.executable} {scripts}/{WC_RED}",
+            "-outputformat",
+            "parquet",
+            "-master",
+            "local[4]",
+        ]
+    )
+    assert rc == EXIT_OK
+    back = spark.read.parquet(f"{out}/WC")
+    assert sorted(back.columns) == ["key", "value"]
+    got = sorted(f"{r['key']}\t{r['value']}" for r in back.collect())
+    assert got == EXPECTED_WC
+
+
+def test_run_job_outputformat_json(spark, textdir, tmp_path):
+    """S9 API: json finals for a map-only identity branch; G3 parity —
+    num_reduce_tasks bounds the file count of the typed sink too."""
+    import glob as _glob
+
+    out = str(tmp_path / "json_out")
+    spec = JobSpec(
+        inputs=[textdir],
+        output=out,
+        branches=[Branch("CAT", mapper=None, reducer=None, num_reduce_tasks=1)],
+        output_format="json",
+    )
+    res = run_job(spark, spec)
+    assert res.succeeded
+    back = spark.read.json(f"{out}/CAT")
+    assert back.count() == 4
+    data_files = [
+        f
+        for f in _glob.glob(f"{out}/CAT/part-*")
+        if not f.endswith(".crc")
+    ]
+    assert len(data_files) == 1, data_files
