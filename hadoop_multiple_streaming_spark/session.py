@@ -130,18 +130,21 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
         )
-        # zstd for shuffle/spill/broadcast blocks instead of lz4:
-        # measured on the sf8.0 ngram-Jaccard pair shuffle (sorted,
-        # shared-prefix id pairs — the highly compressible shape
-        # DEPLOY.md documents), zstd roughly HALVED on-disk shuffle
-        # footprint at no visible CPU cost on the sf0.1 bench. At
-        # 100 TB shuffle bytes are the scarce resource (executor disk
-        # + network); density wins over lz4's marginal speed.
-        # $SPARK_GRAFT_IO_CODEC overrides (A/B-able per run; see the
-        # DEPLOY.md codec table for the measured lz4-vs-zstd sweep).
+        # lz4 (Spark's default) for shuffle/spill/broadcast blocks.
+        # Round 10 defaulted this to zstd after it halved the sf8.0
+        # ngram-Jaccard pair-shuffle disk footprint; a round-11
+        # interleaved 4-config A/B on the FULL 40-query sf0.1 bench
+        # (DEPLOY.md codec table) showed zstd costs ~6 s / +18% there —
+        # family-shaped across 33/40 queries, i.e. a uniform per-stage
+        # compression tax on floor-dominated work. lz4 is the right
+        # default for compute-bound single-node runs; flip to zstd via
+        # $SPARK_GRAFT_IO_CODEC (or spark.io.compression.codec on a
+        # cluster) when shuffle BYTES are the scarce resource — disk
+        # quotas, network-bound multi-node shuffles, the heavy-SF
+        # crossover harness (tools/bench_crossover.py does this).
         .config(
             "spark.io.compression.codec",
-            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
         .config("spark.ui.enabled", "false")
         .config(

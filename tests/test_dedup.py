@@ -74,6 +74,56 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(r.jaccard - 1 / 3) < 1e-12
 
 
+def test_ngram_jaccard_df_cap(spark):
+    """max_doc_freq drops a hot shingle from the UNIVERSE: both the
+    intersection count and the per-doc set sizes, so Jaccard over the
+    kept shingles stays a true set ratio (Lee et al. 2022 semantics).
+    Also: a cap larger than any df is a no-op, and cap < 2 rejects."""
+    import pytest
+
+    # 'h h h' appears in all 3 docs (df=3, the boilerplate shingle);
+    # each doc otherwise has disjoint-ish shingles with doc2/doc3
+    # sharing 'x y z'
+    df = docs_df(
+        spark,
+        [
+            (1, "h h h a b c"),
+            (2, "h h h x y z"),
+            (3, "h h h x y z q"),
+        ],
+    )
+    sh = word_shingles(df, "text", "doc_id")
+    # cap=2 drops 'h h h' (df=3) and 'h h x'? no — 'h h x' is per-doc
+    # unique. Kept universe: doc1 {h h a, h a b, a b c}(3), doc2
+    # {h h x, h x y, x y z}(3), doc3 {h h x, h x y, x y z, y z q}(4).
+    # 'h h x'/'h x y' have df=2 <= cap. doc2^doc3 share 3 -> 3/4.
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=2).collect()
+    }
+    assert (2, 3) in capped and abs(capped[(2, 3)] - 3 / 4) < 1e-12
+    # doc1 shares nothing kept with doc2/doc3 -> no pair rows
+    assert (1, 2) not in capped and (1, 3) not in capped
+    # uncapped: 'h h h' (df=3) creates pairs among all three docs
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= uncapped
+    # a non-binding cap is output-identical to no cap
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=100).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    assert loose == full
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=1)
+
+
 def test_simhash_identity_and_pairs(spark):
     df = docs_df(
         spark,

@@ -287,6 +287,13 @@ def main() -> int:
     from hadoop_multiple_streaming_spark import workloads
     from hadoop_multiple_streaming_spark.session import get_spark
 
+    # heavy-SF crossover runs are shuffle-BYTES bound (the sf8.0 pair
+    # shuffle brushed the host's 80 GB disk quota): zstd halves the
+    # on-disk footprint there, which is worth its ~18% compute tax on
+    # floor-dominated work (DEPLOY.md codec A/B). Explicit env still
+    # overrides.
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
+
     workloads.load_all()
     spark = get_spark(
         app_name="hms-crossover",
