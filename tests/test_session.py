@@ -1,10 +1,10 @@
 """Session-contract guard: the engine-level Spark defaults that
-operators and the at-scale record (CROSSOVER.md round 10, DEPLOY.md)
-depend on. These are behavioral, not cosmetic — e.g. the ngram-Jaccard
-pair shuffle only fits the measured disk budget under zstd, and a
-long-lived machine-heap driver OOMs on accumulated completed-job state
-without the periodic cleaner GC — so a silent default change must fail
-a test, not a future sf4.0 run.
+operators and the at-scale record (CROSSOVER.md, DEPLOY.md) depend on.
+These are behavioral, not cosmetic — e.g. a long-lived machine-heap
+driver OOMs on accumulated completed-job state without the periodic
+cleaner GC, and the io codec moves the whole sf0.1 bench ~18%
+(DEPLOY.md round-11 A/B) — so a silent default change must fail a
+test, not a future sf4.0 run.
 """
 
 from __future__ import annotations
@@ -16,9 +16,15 @@ from hadoop_multiple_streaming_spark.session import _default_driver_memory
 
 def test_engine_session_defaults(spark):
     conf = spark.conf
-    # shuffle/spill/broadcast block codec: density over lz4's CPU edge
-    # (sf8.0 pair shuffle: lz4 blew an 80 GB disk quota; zstd halved it)
-    assert conf.get("spark.io.compression.codec") == "zstd"
+    # shuffle/spill/broadcast block codec: lz4 (round-11 full-bench A/B,
+    # DEPLOY.md codec table — zstd's density is a ~18% family-shaped
+    # compute tax on floor-dominated work; flip via $SPARK_GRAFT_IO_CODEC
+    # where shuffle BYTES are scarce, e.g. the heavy-SF crossover runs)
+    import os
+
+    assert conf.get("spark.io.compression.codec") == os.environ.get(
+        "SPARK_GRAFT_IO_CODEC", "lz4"
+    )
     # bounded completed-job state in long-lived sessions (measured
     # UNABLE_TO_ACQUIRE_MEMORY on the 3rd consecutive sf4.0 heavy run
     # at the 30-min default; A/B showed no cost at 5 min)
