@@ -124,6 +124,52 @@ def test_ngram_jaccard_df_cap(spark):
         ngram_jaccard_pairs(sh, threshold=0.0, max_doc_freq=1)
 
 
+def test_ngram_jaccard_df_cap_binding_oracle_replay(spark):
+    """Engine-independence of the BINDING-cap semantics: the same
+    HAVING df <= cap filter in DuckDB reproduces the operator's pairs
+    bit-exactly on data where the cap actually drops shingles (the
+    sf0.01-sf2.0 driver checks only exercise the non-binding case)."""
+    import duckdb
+
+    rows = [
+        (1, "h h h a b c"),
+        (2, "h h h x y z"),
+        (3, "h h h x y z q"),
+        (4, "p q r s t u"),
+    ]
+    df = docs_df(spark, rows)
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(
+            word_shingles(df, "text", "doc_id"), threshold=0.0, max_doc_freq=2
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        (a, b, round(j, 12))
+        for a, b, j in con.execute(
+            """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+                   FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) u(i)),
+            kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 2),
+            shc AS (SELECT sh.id, sh.shingle FROM sh JOIN kept USING (shingle)),
+            sizes AS (SELECT id, COUNT(*) AS n FROM shc GROUP BY id),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+                      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 1
+
+
 def test_simhash_identity_and_pairs(spark):
     df = docs_df(
         spark,
