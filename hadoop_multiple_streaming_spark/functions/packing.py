@@ -101,9 +101,46 @@ def assign_packs_global(
         raise ValueError(
             f"assign_packs_global: budget must be positive, got {budget}"
         )
+    summed = global_running_total(
+        df,
+        order_col,
+        token_col,
+        num_buckets=num_buckets,
+        tiebreak_col=tiebreak_col,
+        out_col="_cum_before",
+    )
+    return summed.withColumn(
+        pack_col, F.expr(f"_cum_before div {int(budget)}")
+    ).drop("_cum_before")
+
+
+def global_running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_buckets: int = 32,
+    tiebreak_col: str | None = None,
+    out_col: str = "_cum_before",
+) -> DataFrame:
+    """Distributed global prefix sum: adds ``out_col`` = sum of
+    ``value_col`` over all rows STRICTLY PRECEDING this one in the
+    global (``order_col``, ``tiebreak_col``) order, without the
+    single-partition window a naive ``Window.orderBy`` plans.
+
+    The shared mechanism behind ``assign_packs_global`` (pack ids),
+    ``sampling.global_shuffle`` (training-order ordinals: value 1 →
+    running count) and ``sampling.token_budget_select`` (budget-fill
+    prefix): range-bucket on the order column via approx_percentile
+    boundaries, local prefix sum per bucket (parallel window), then a
+    per-bucket offset from the num_buckets-row totals relation — the
+    only unpartitioned window runs over that tiny aggregate, never the
+    corpus. Bucket boundaries never leak into the result (bucketing is
+    monotone in the order column), so a plain global-window SQL replay
+    matches exactly. Duplicate order values need ``tiebreak_col``
+    (unique, totally ordered) or in-bucket order is shuffle-dependent."""
     if num_buckets < 1:
         raise ValueError(
-            f"assign_packs_global: num_buckets must be >= 1, got {num_buckets}"
+            f"global_running_total: num_buckets must be >= 1, got {num_buckets}"
         )
     fracs = [i / num_buckets for i in range(1, num_buckets)]
     if fracs:
@@ -124,23 +161,23 @@ def assign_packs_global(
     order_keys = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w_local = Window.partitionBy("_b").orderBy(*order_keys)
     local_start = F.coalesce(
-        F.sum(F.col(token_col)).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
+        F.sum(F.col(value_col)).over(w_local.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),
     )
     with_local = bucketed.withColumn("_local_start", local_start)
-    totals = bucketed.groupBy("_b").agg(F.sum(F.col(token_col)).alias("_t"))
+    totals = bucketed.groupBy("_b").agg(F.sum(F.col(value_col)).alias("_t"))
     # Unpartitioned window BY DESIGN: it runs over the |buckets|-row
     # totals frame (~num_buckets rows, never the corpus), so Spark's
     # "WindowExec: No Partition Defined" warning is benign here — do
     # NOT "fix" it by partitioning, that would break the global prefix
-    # sum the pack offsets need.
+    # sum the offsets need.
     w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_b", F.coalesce(F.sum("_t").over(w_off), F.lit(0).cast("long")).alias("_off")
     )
     return (
         with_local.join(offsets, "_b")
-        .withColumn(pack_col, F.expr(f"(_off + _local_start) div {int(budget)}"))
+        .withColumn(out_col, (F.col("_off") + F.col("_local_start")).cast("long"))
         .drop("_b", "_local_start", "_off")
     )
 

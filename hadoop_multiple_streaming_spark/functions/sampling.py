@@ -323,3 +323,202 @@ def stratified_sample(
         cond = (F.col(stratum_col) == stratum) & (v >= F.lit(int(frac * SPACE)))
         expr = cond if expr is None else expr | cond
     return df.where(~expr) if expr is not None else df
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, int],
+    target_total: int | None = None,
+) -> DataFrame:
+    """Sample to an EXPLICIT target mixture — the "40% web / 30% code /
+    20% books / 10% wiki" recipe step of a training-data pipeline
+    (``temperature_sample`` rebalances by n^alpha; this one hits
+    caller-specified proportions). ``weights`` maps group label →
+    positive integer weight (relative proportions, any scale); groups
+    absent from ``weights`` are dropped — the mixture defines the
+    corpus.
+
+    Quotas are exact bigint arithmetic with ``W = Σ w_s``:
+    ``quota_s = (target * w_s) div W``. When ``target_total`` is None
+    the target is the LARGEST achievable without upsampling,
+    ``min_s (n_s * W) div w_s`` — every quota then provably fits its
+    group (t ≤ n_s·W/w_s ⇒ (t·w_s) div W ≤ n_s). An explicit
+    ``target_total`` that demands more rows of some group than exist
+    fails loudly (``raise_error`` on the |groups|-row quota relation)
+    instead of silently delivering a skewed mixture. Membership inside
+    each group is hash-rank (same mechanism as ``quota_sample``) —
+    stable across runs, engines, and cluster sizes.
+
+    Scale shape: weight/count/quota relations are |groups| rows
+    (broadcast); the corpus-sized work is one window over
+    hashpartitioning(group). The usual dominant-group skew caveat
+    applies — and the dominant group is exactly what the mixture
+    usually trims."""
+    if not weights:
+        raise ValueError("mixture_sample: weights must be non-empty")
+    for g, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w <= 0:
+            raise ValueError(
+                f"mixture_sample: weight for {g!r} must be a positive int, got {w!r}"
+            )
+    if target_total is not None and target_total < 0:
+        raise ValueError(
+            f"mixture_sample: target_total must be >= 0, got {target_total}"
+        )
+    total_w = sum(weights.values())
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w)) for g, w in sorted(weights.items())],
+        schema=f"{group_col} string, _w long",
+    )
+    in_mix = df.join(F.broadcast(wdf), group_col)
+    counts = in_mix.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_n"))
+    if target_total is None:
+        tgt = counts.agg(
+            F.min(F.expr(f"(_n * {total_w}) div _w")).alias("_target")
+        )
+    else:
+        tgt = spark.range(1).select(
+            F.lit(int(target_total)).cast("long").alias("_target")
+        )
+    raw_quota = F.expr(f"(_target * _w) div {total_w}")
+    quotas = counts.crossJoin(F.broadcast(tgt)).select(
+        group_col,
+        F.when(
+            raw_quota > F.col("_n"),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_sample: infeasible mixture — group "),
+                    F.col(group_col),
+                    F.lit(" needs "),
+                    raw_quota.cast("string"),
+                    F.lit(" rows but has "),
+                    F.col("_n").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(raw_quota)
+        .alias("_quota"),
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        hash_value(key_col), F.col(key_col)
+    )
+    return (
+        in_mix.join(F.broadcast(quotas), group_col)
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .where(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota", "_w")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int | str = 0,
+    ordinal_col: str = "ordinal",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    0-based ``ordinal_col`` = its rank in (md5(seed:key), key) order —
+    the "shuffle the corpus before sharding into training files" step,
+    reproducible across runs, engines, and cluster sizes (no RNG; a
+    new seed is a new permutation).
+
+    Scale shape: ordinal = running COUNT of preceding rows, computed
+    by the same two-pass range-bucketed prefix sum as
+    ``assign_packs_global`` (``packing.global_running_total`` with
+    value 1) — local window per hash-range bucket in parallel, offsets
+    from the num_buckets-row totals relation; NO single-partition
+    global sort/window anywhere. The md5 order key is uniform, so the
+    range buckets are balanced by construction — the shuffle is its
+    own anti-skew. Downstream writers shard with ``ordinal div
+    rows_per_shard`` (contiguous, dense) or sort within partitions."""
+    shuffle_key = hash_value(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    for reserved in ("_sk", "_one", ordinal_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"global_shuffle: input already has a {reserved!r} column;"
+                " rename it first"
+            )
+    from .packing import global_running_total
+
+    keyed = df.withColumn("_sk", shuffle_key).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    out = global_running_total(
+        keyed,
+        "_sk",
+        "_one",
+        num_buckets=num_buckets,
+        tiebreak_col=key_col,
+        out_col=ordinal_col,
+    )
+    return out.drop("_sk", "_one")
+
+
+def token_budget_select(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Fill a token budget with the best documents first: order by
+    ``score_col`` DESCENDING (ties by ``key_col``) and keep the
+    maximal prefix whose token total fits ``budget`` — the "fill a
+    10B-token budget with the highest-quality documents" selection
+    step of a curation pipeline. PREFIX semantics: the first document
+    whose tokens would overflow the budget stops the fill (later,
+    smaller documents do NOT slip in past it) — that keeps the kept
+    set a pure function of (order, budget), replayable as one SQL
+    window, instead of a visit-order-dependent knapsack heuristic.
+
+    Exactness contract: ``score_col`` and ``token_col`` must be
+    integral (bigint sums only — float scores would make the order,
+    and therefore the kept set, engine-dependent; quantize first, e.g.
+    quality_model's micro-scaled logit). ``token_col`` must be
+    non-negative.
+
+    Scale shape: the running total comes from
+    ``packing.global_running_total`` over the negated score — the
+    two-pass range-bucketed prefix sum; no single-partition window,
+    no driver loop, scan-dominated at any corpus size."""
+    if budget < 0:
+        raise ValueError(
+            f"token_budget_select: budget must be >= 0, got {budget}"
+        )
+    for col, what in ((score_col, "score_col"), (token_col, "token_col")):
+        dtype = df.select(F.col(col).alias("_c")).schema[0].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"token_budget_select: {what} must be integral, got {dtype}"
+                " (float order keys are not engine-exact; quantize first)"
+            )
+    if "_negscore" in df.columns or "_cum_before" in df.columns:
+        raise ValueError(
+            "token_budget_select: input already has a _negscore/_cum_before"
+            " column; rename it first"
+        )
+    from .packing import global_running_total
+
+    ordered = df.withColumn(
+        "_negscore", (-F.col(score_col)).cast("long")
+    )
+    summed = global_running_total(
+        ordered,
+        "_negscore",
+        token_col,
+        num_buckets=num_buckets,
+        tiebreak_col=key_col,
+        out_col="_cum_before",
+    )
+    return summed.where(
+        F.col("_cum_before") + F.col(token_col).cast("long") <= F.lit(int(budget))
+    ).drop("_negscore", "_cum_before")

@@ -108,12 +108,17 @@ def train_quality_classifier(
 
 
 def score_quality_classifier(
-    features: DataFrame, micro_weights: list[int], id_col: str = "doc_id"
+    features: DataFrame,
+    micro_weights: list[int],
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply frozen micro-quantized weights to `quality_features`
-    output: (id, score_micro, predicted). score_micro = the logit in
-    micro units as an exact bigint (weights are micro-scaled, features
-    are integers); predicted = score_micro >= 0. Pure column
+    output: (id, *keep_cols, score_micro, predicted). score_micro =
+    the logit in micro units as an exact bigint (weights are
+    micro-scaled, features are integers); predicted = score_micro >= 0.
+    ``keep_cols`` carries feature columns through (e.g. f_tokens for a
+    downstream token-budget fill) without a re-join. Pure column
     expressions — whole-stage codegen, no shuffle, hash-exact."""
     if len(micro_weights) != len(FEATURE_COLS) + 1:
         raise ValueError(
@@ -126,6 +131,7 @@ def score_quality_classifier(
     score = sum(terms[1:], terms[0]) + F.lit(int(micro_weights[-1]))
     return features.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         score.cast("long").alias("score_micro"),
         (score >= 0).alias("predicted"),
     )

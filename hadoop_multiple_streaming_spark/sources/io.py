@@ -230,6 +230,65 @@ def compact_table(
     os.replace(tmp, path)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    target_mb: int = 128,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Size-targeted writer — the "every output file ~128 MB" contract
+    a 100 TB pipeline needs (``compact_table`` fixes file COUNT; this
+    one targets file SIZE without the caller knowing the byte total).
+
+    Mechanism: the AQE ``REBALANCE`` hint + a scoped
+    ``advisoryPartitionSizeInBytes``. REBALANCE inserts a runtime
+    round-robin-ish exchange whose output partitions AQE coalesces AND
+    SPLITS to the advisory size from the *measured* shuffle statistics
+    — so a skewed upstream (one giant partition after a filter, a
+    thousand slivers after a selective join) still lands as even
+    ~target_mb files, which neither ``coalesce(n)`` (can't split) nor
+    a blind ``repartition(n)`` (needs n known a priori) guarantees.
+    Advisory size is measured on shuffle bytes (lz4-compressed rows),
+    not final parquet bytes — for a columnar-compressible table the
+    files land under the target, never wildly over; pass a larger
+    ``target_mb`` to compensate when exact parquet sizing matters.
+
+    The advisory/rebalance confs are set and restored around the
+    write (session-scoped in Spark, so don't interleave with a
+    concurrent advisory-sensitive write on the same session)."""
+    if target_mb < 1:
+        raise ValueError(f"write_sized: target_mb must be >= 1, got {target_mb}")
+    spark = df.sparkSession
+    conf = spark.conf
+    scoped = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": f"{int(target_mb)}m",
+        # allow AQE to emit partitions smaller than advisory when
+        # coalescing — otherwise tiny tables refuse to split/merge
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in scoped.items():
+        # get(k, None) distinguishes "unset" (None -> unset on restore)
+        # from an explicit session value; bare get(k) would resolve the
+        # built-in default and pin it explicitly on restore
+        saved[k] = conf.get(k, None)
+        conf.set(k, v)
+    try:
+        w = df.hint("rebalance").write.format(fmt).options(**options).mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def ship_files(
     spark: SparkSession, files: list[str], archives: list[str] | None = None
 ) -> None:

@@ -53,95 +53,70 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
-    # ---- round-10 window (driver checks ~first 50) ----
-    # Touched r09/r10: pipe.py TMPDIR export (r10) reaches every pipe
-    # consumer; fanout runs pipes through the same _build_env
+    # ---- round-11 window (driver checks ~first 50) ----
+    # NEW r11: explicit-mixture sampling, global training-order
+    # shuffle ordinals, token-budget selection
+    "mixture_sample_docs",
+    "global_shuffle_docs",
+    "token_budget_pick",
+    # Touched r11: assign_packs_global now routes through the shared
+    # global_running_total prefix-sum core
+    "pack_sequences_global",
+    # Touched r11: score_quality_classifier keep_cols passthrough
+    "quality_model_score",
+    # Touched r11: shingle df-cap arg (cap non-binding at sf0.01 — the
+    # oracle replays the identical HAVING filter)
+    "dedup_ngram_jaccard",
+    # Touched r11: weight dtype/overflow/collision guards
+    "priority_sample_docs",
+    # Pipe/fanout sentinels (runner grew the typed -outputformat final
+    # sink r11; these cover the untyped default path end-to-end)
     "pipe_wordcount",
     "fanout_two_branches",
-    "pipe_grouped_reduce",
-    "pipe_identity_cat",
-    # r09 NEW + r10 uncapped-k law (oracle updated): hierarchical
-    # SemDeDup, plus the dispatch family that routes into it
-    "semantic_dedup_hier",
-    "semantic_dedup_auto",
-    "semantic_dedup",
-    # r09 probe guard + r10 first-anchor broadcast hint
-    "substring_decontamination",
-    "decontaminate_cut_spans",
-    # r09 idempotent ingest rewrite + r10 torn-replay heal
-    "incremental_minhash_dedup",
-    # r10 NEW: exact-integer priority sampling (DLT weighted
-    # without-replacement top-k; TakeOrderedAndProject plan)
-    "priority_sample_docs",
-    # perf claim under review: sf4/sf8 post-pin rows added r10
-    "dedup_ngram_jaccard",
-    # evidence-refresh: stalest driver greens first (last green r06)
-    "part_supplier_topn",  # r06
-    "text_pii_redact",  # r06
-    "text_boilerplate_removal",  # r06
-    "ann_cosine_topk",  # r06
-    "ann_ivf_multiprobe",  # r06
-    "q13_customer_distribution",  # r06
-    "events_hourly_rollup",  # r06
-    "events_sessionize",  # r06
-    "secondary_sort_events",  # r06
-    "events_exact_profile",  # r06
-    "agg_long_sum",  # r06
-    "agg_uniq_count",  # r06 + r07 judge re-run
-    "agg_value_histogram",  # r06
-    "contamination_rate",  # r06
-    "q1_pricing_summary",  # r06
-    "q5_local_supplier_volume",  # r06
-    "asof_click_attribution",  # r06 + r07 judge re-run
-    "q18_large_orders",  # r06 judge re-run
-    "price_percentiles",  # r06 judge re-run
-    # evidence-refresh: r07 greens never re-proved since
-    "q9_product_profit",  # r07 judge re-run
-    "ann_pq_adc",  # r07 judge re-run
-    "text_rare_words",  # r07 judge re-run
-    "text_profile",  # r07 judge re-run
-    "dedup_embedding_lsh_auto",  # r07
-    "upsample_epochs",  # r07
-    "chunk_documents",  # r07
-    "blocklist_screen",  # r07
-    "dedup_embedding_lsh",  # r07
-    "dedup_minhash_lsh",  # r07
-    "dedup_embedding_cosine",  # r07
-    "dedup_clusters",  # r07
-    "dedup_exact",  # r07
-    "dedup_simhash",  # r07
-    "decontaminate_docs",  # r07
-    "text_fingerprint",  # r07
-    "text_token_count",  # r07
-    "text_quality_score",  # r07
-    # family representation: multimodal / packing / sampling reps
-    "multimodal_frame_sample",  # r07
-    "pack_sequences",  # r07
-    "dataset_split",  # r07
+    # evidence-refresh: stalest driver greens first (last green r07)
+    "pack_texts",
+    "stratified_sample",
+    "quota_sample",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "text_sentence_stats",
+    "text_repetition",
+    "curation_pipeline",
+    "ann_ivf_topk",
+    "embedding_centroids",
+    "ann_recall",
+    "kmeans_refine",
+    "ivf_assignment",
+    "embedding_sq8",
+    "interval_click_errors",
+    "anti_join_dormant_customers",
+    "first_event_per_user",
+    "events_json_props",
+    "agg_long_max_min",
+    "ann_ivf_index",
+    # evidence-refresh: r08 greens never re-proved since
+    "top_quality_docs",
+    "text_normalize",
+    "text_winnowing",
+    "winnowing_pairs",
+    "duplicate_span_mining",
+    "customer_order_counts",
+    "set_ops_customers",
+    "lineitem_rollup",
+    "lineitem_cube",
+    "orders_priority_pivot",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q22_global_sales_opportunity",
+    "text_top_bigrams",
+    "agg_string_max_min",
+    "agg_double_sum",
+    "agg_salted_sum",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
-    "quality_model_score",  # r08 green
-    "top_quality_docs",  # r08 green
-    "text_normalize",  # r08 green
-    "text_winnowing",  # r08 green (+ sf8.0 hash-proof)
-    "winnowing_pairs",  # r08 green (+ sf8.0 hash-proof)
-    "duplicate_span_mining",  # r08 green (+ sf8.0 hash-proof)
-    "customer_order_counts",  # r08 green
-    "set_ops_customers",  # r08 green
-    "lineitem_rollup",  # r08 green
-    "lineitem_cube",  # r08 green
-    "orders_grouping_sets",  # r08 green
-    "orders_priority_pivot",  # r08 green
-    "q3_shipping_priority",  # r08 green
-    "q4_order_priority",  # r08 green
-    "q6_forecast_revenue",  # r08 green
-    "q10_returned_items",  # r08 green
-    "q11_important_parts",  # r08 green
-    "q12_priority_by_status",  # r08 green
-    "q22_global_sales_opportunity",  # r08 green
-    "text_top_bigrams",  # r08 green
-    "agg_string_max_min",  # r08 green
-    "agg_double_sum",  # r08 green
-    "agg_salted_sum",  # r08 green
     "dedup_simhash_pairs",  # r08 green
     "agg_long_sum_native",  # r08 green
     "ann_pq_train_recall",  # r08 green
@@ -154,32 +129,60 @@ _PRIORITY_ORDER = [
     "q14_promo_revenue",  # r08 green
     "q15_top_supplier",  # r08 green
     "q16_supplier_part_counts",  # r08 green
-    "q17_small_quantity_revenue",  # r08 green
+    "q17_small_quantity_revenue",  # r08 green + r10 judge re-run
     "q19_disjunctive_revenue",  # r08 green
     "q20_heavy_shippers",  # r08 green
     "q21_sole_failing_supplier",  # r08 green
-    "pack_sequences_global",  # r08 green
-    "multimodal_features",  # r08 green
-    "pack_texts",  # r07 green
-    "stratified_sample",  # r07 green
-    "quota_sample",  # r07 green
-    "text_langid",  # r07 green
-    "text_tfidf_top_terms",  # r07 green
-    "text_sentence_stats",  # r07 green
-    "text_repetition",  # r07 green
-    "curation_pipeline",  # r07 green
-    "ann_ivf_topk",  # r07 green
-    "embedding_centroids",  # r07 green
-    "ann_recall",  # r07 green
-    "kmeans_refine",  # r07 green
-    "ivf_assignment",  # r07 green
-    "embedding_sq8",  # r07 green
-    "interval_click_errors",  # r07 green
-    "anti_join_dormant_customers",  # r07 green
-    "first_event_per_user",  # r07 green
-    "events_json_props",  # r07 green
-    "agg_long_max_min",  # r07 green
-    "ann_ivf_index",  # r07 green
+    "orders_grouping_sets",  # r08 green
+    "multimodal_features",  # r08 green + r10 judge re-run
+    "pipe_grouped_reduce",  # r10 green
+    "pipe_identity_cat",  # r10 green
+    "semantic_dedup_hier",  # r10 green
+    "semantic_dedup_auto",  # r10 green
+    "semantic_dedup",  # r10 green
+    "substring_decontamination",  # r10 green (+ sf4.0 hash-proof)
+    "decontaminate_cut_spans",  # r10 green
+    "incremental_minhash_dedup",  # r10 green
+    "part_supplier_topn",  # r10 green
+    "text_pii_redact",  # r10 green
+    "text_boilerplate_removal",  # r10 green
+    "ann_cosine_topk",  # r10 green
+    "ann_ivf_multiprobe",  # r10 green
+    "q13_customer_distribution",  # r10 green
+    "events_hourly_rollup",  # r10 green
+    "events_sessionize",  # r10 green
+    "secondary_sort_events",  # r10 green + r11 sf1.0 re-anchor
+    "events_exact_profile",  # r10 green
+    "agg_long_sum",  # r10 green
+    "agg_uniq_count",  # r10 green
+    "agg_value_histogram",  # r10 green
+    "contamination_rate",  # r10 green
+    "q1_pricing_summary",  # r10 green
+    "q5_local_supplier_volume",  # r10 green
+    "asof_click_attribution",  # r10 green
+    "q18_large_orders",  # r10 green
+    "price_percentiles",  # r10 green
+    "q9_product_profit",  # r10 green
+    "ann_pq_adc",  # r10 green
+    "text_rare_words",  # r10 green
+    "text_profile",  # r10 green
+    "dedup_embedding_lsh_auto",  # r10 green
+    "upsample_epochs",  # r10 green
+    "chunk_documents",  # r10 green
+    "blocklist_screen",  # r10 green
+    "dedup_embedding_lsh",  # r10 green
+    "dedup_minhash_lsh",  # r10 green
+    "dedup_embedding_cosine",  # r10 green
+    "dedup_clusters",  # r10 green
+    "dedup_exact",  # r10 green
+    "dedup_simhash",  # r10 green
+    "decontaminate_docs",  # r10 green
+    "text_fingerprint",  # r10 green
+    "text_token_count",  # r10 green
+    "text_quality_score",  # r10 green
+    "multimodal_frame_sample",  # r10 green
+    "pack_sequences",  # r10 judge re-run green
+    "dataset_split",  # r07 green + r11 sf1.0 re-anchor
     "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile
 ]
 

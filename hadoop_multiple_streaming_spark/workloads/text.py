@@ -1344,3 +1344,156 @@ def winnowing_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
     fps = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
     return winnowing_pairs(fps.select("doc_id", "fp"), min_shared=2)
+
+
+# ---- round-11 extension surface: explicit-mixture sampling, global ----
+# ---- training-order shuffle, token-budget selection                ----
+
+_MIX_WEIGHTS = {"de": 1, "en": 5, "es": 1, "fr": 1, "zh": 2}  # W = 10
+
+
+def _mixture_oracle() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    values = " UNION ALL ".join(
+        f"SELECT '{g}' AS lang, {w} AS wt" for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    total_w = sum(_MIX_WEIGHTS.values())
+    return f"""
+    WITH w AS ({values}),
+    counts AS (SELECT d.lang, w.wt, COUNT(*) AS n
+               FROM documents d JOIN w USING (lang) GROUP BY 1, 2),
+    tgt AS (SELECT MIN((n * {total_w}) // wt) AS target FROM counts),
+    quotas AS (SELECT lang, ((SELECT target FROM tgt) * wt) // {total_w} AS quota
+               FROM counts),
+    hashed AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY {nibbles}, doc_id) AS rk
+               FROM hashed)
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.rk <= q.quota
+    """
+
+
+@register("mixture_sample_docs", oracle=_mixture_oracle())
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-mixture sampling (functions.sampling.mixture_sample):
+    hit a caller-specified 50/20/10/10/10 language recipe exactly —
+    the data-mixing step where the proportions come from the training
+    plan, not from n^alpha rebalancing. Target defaults to the largest
+    corpus achievable without upsampling (min over groups of
+    (n_s*W) div w_s); quotas are exact bigint; membership is hash-rank
+    (stable across runs/engines/cluster sizes). Plan: |groups|-row
+    weight/quota relations broadcast; ONE corpus window over
+    hashpartitioning(lang)."""
+    from ..functions.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS)
+
+
+def _global_shuffle_oracle() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+    WITH hashed AS (SELECT doc_id, lang,
+                           md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+    valued AS (SELECT doc_id, lang, {nibbles} AS v FROM hashed)
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY v, doc_id) - 1 AS BIGINT) AS ordinal
+    FROM valued
+    """
+
+
+@register("global_shuffle_docs", oracle=_global_shuffle_oracle())
+def global_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (functions.sampling.global_shuffle): every document gets a 0-based
+    ordinal = rank in (md5(seed:id), id) order — the reproducible
+    'shuffle the corpus before sharding to training files' permutation
+    (seed 42). The oracle replays it as one global window; the engine
+    plans the two-pass range-bucketed prefix sum
+    (packing.global_running_total with value 1) — parallel per-bucket
+    windows, offsets from the 32-row totals relation, NO
+    single-partition sort or window at any corpus size."""
+    from ..functions.sampling import global_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return global_shuffle(docs, "doc_id", seed=42)
+
+
+#: token budget for token_budget_pick: ~45% of the sf0.01 corpus'
+#: whitespace tokens — a budget small enough that the fill boundary
+#: exercises the prefix-stop semantics at every SF.
+_TOKEN_BUDGET = 12_000
+
+
+def _token_budget_oracle() -> str:
+    w = _QM_W
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS f_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
+             CAST(COALESCE(length(text), 0) AS BIGINT) AS f_chars,
+             CAST(COALESCE(length(regexp_replace(text, '[^.,!?;:]', '', 'g')), 0)
+                 AS BIGINT) AS f_punct,
+             CASE WHEN len(tk) > 0 THEN
+               (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                * 1000) // len(tk)
+             ELSE 0 END AS f_meanwl_ppk
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents)),
+    scored AS (
+      SELECT doc_id, f_tokens AS n_tokens,
+             CAST(f_tokens * ({w[0]}) + f_uniq * ({w[1]})
+                  + f_chars * ({w[2]}) + f_punct * ({w[3]})
+                  + f_meanwl_ppk * ({w[4]}) + ({w[5]}) AS BIGINT) AS score_micro
+      FROM feat),
+    summed AS (
+      SELECT doc_id, n_tokens, score_micro,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY -score_micro, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM scored)
+    SELECT doc_id, n_tokens, score_micro
+    FROM summed
+    WHERE cum_before + n_tokens <= {_TOKEN_BUDGET}
+    """
+
+
+@register("token_budget_pick", oracle=_token_budget_oracle())
+def token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (functions.sampling.token_budget_select):
+    fill a fixed token budget with the best-scoring documents first —
+    score = the frozen distilled quality classifier's exact micro-logit
+    (operators.quality_model), tokens = whitespace token count, prefix
+    semantics (the first overflowing document stops the fill, so the
+    kept set is a pure function of order + budget — SQL-replayable).
+    Plan: scan-side integer scoring feeds the two-pass range-bucketed
+    prefix sum over the negated score; no single-partition window, no
+    driver loop."""
+    from ..functions.sampling import token_budget_select
+    from ..operators.quality_model import (
+        quality_features as qm_features,
+        score_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality_classifier(
+        qm_features(docs), _QM_W, keep_cols=["f_tokens"]
+    ).select("doc_id", F.col("f_tokens").alias("n_tokens"), "score_micro")
+    picked = token_budget_select(
+        scored, "doc_id", "score_micro", "n_tokens", budget=_TOKEN_BUDGET
+    )
+    return picked.select("doc_id", "n_tokens", "score_micro")

@@ -224,3 +224,46 @@ def test_ngram_jaccard_single_scan_streamed_pairs(spark, sf_dir):
     assert "BroadcastHashJoin" not in final, final
     assert "posexplode" in final and "slice(ids" in final, final
     assert "flatten" not in final, final
+
+
+def test_global_shuffle_no_corpus_global_window(spark, sf_dir):
+    # the training-order shuffle must NOT plan a single-partition
+    # corpus window/sort: the only SinglePartition artifacts allowed
+    # are the 32-row bucket-totals offsets relation and the 1-row
+    # percentile bounds broadcast. Corpus-sized work = one
+    # hashpartitioning(_b) window, parallel across buckets.
+    df = workloads.QUERIES["global_shuffle_docs"](spark, sf_dir)
+    plan = _plan_of(df)
+    lines = plan.splitlines()
+    corpus_windows = [
+        l for l in lines if "Window" in l and "_sk" in l and "_b" not in l
+    ]
+    assert not corpus_windows, corpus_windows
+    assert "CartesianProduct" not in plan
+    bucketed = [l for l in lines if "hashpartitioning(_b" in l]
+    assert bucketed, "expected the per-bucket window exchange"
+
+
+def test_token_budget_prefix_sum_shape(spark, sf_dir):
+    # same two-pass prefix-sum shape: per-bucket window over
+    # hashpartitioning(_b), no corpus-sized single-partition sort
+    df = workloads.QUERIES["token_budget_pick"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "hashpartitioning(_b" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_one_corpus_window(spark, sf_dir):
+    # quotas/weights are |groups|-row broadcast relations; the corpus
+    # work must be exactly one window exchange on the group column
+    df = workloads.QUERIES["mixture_sample_docs"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    win_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Arguments: hashpartitioning(lang" in l
+    ]
+    assert len(win_exchanges) >= 1, plan
+    # quota joins must be broadcast (groups-row side), not sort-merge
+    assert "SortMergeJoin" not in plan

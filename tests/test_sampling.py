@@ -280,3 +280,165 @@ def test_priority_sample_guards(spark):
     # exactly at the bound is fine
     at = base.withColumn("w", F.lit(w_max).cast("long"))
     assert priority_sample(at, "doc_id", "w", 2).count() == 2
+
+
+# ---- mixture_sample ----
+
+
+def _mix_corpus(spark):
+    # skewed groups: a=600, b=250, c=150
+    rows = (
+        [(i, "a") for i in range(600)]
+        + [(1000 + i, "b") for i in range(250)]
+        + [(2000 + i, "c") for i in range(150)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, grp string")
+
+
+def test_mixture_sample_hits_exact_proportions(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    # target mixture 2:1:1 (W=4); max achievable target =
+    # min(600*4//2, 250*4//1, 150*4//1) = min(1200, 1000, 600) = 600
+    out = mixture_sample(df, "doc_id", "grp", {"a": 2, "b": 1, "c": 1})
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # quotas: (600*2)//4=300, (600*1)//4=150, (600*1)//4=150
+    assert got == {"a": 300, "b": 150, "c": 150}
+
+
+def test_mixture_sample_drops_unlisted_groups_and_is_stable(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    out1 = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1})
+    assert out1.where(F.col("grp") == "c").count() == 0
+    # deterministic: same rows both runs
+    ids1 = {r["doc_id"] for r in out1.collect()}
+    ids2 = {r["doc_id"] for r in mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1}).collect()}
+    assert ids1 == ids2
+    # growing the corpus never evicts: quota only grows, hash-rank
+    # membership of existing rows is monotone under a larger target
+    # (checked via explicit smaller target = subset of default target)
+    small = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1}, target_total=100)
+    assert {r["doc_id"] for r in small.collect()} <= ids1
+
+
+def test_mixture_sample_explicit_target_and_infeasible_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    out = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1}, target_total=400)
+    got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got == {"a": 200, "b": 200}
+    # c has 150 rows; 1:1:2 at target 1200 needs 600 c rows -> raise
+    bad = mixture_sample(
+        df, "doc_id", "grp", {"a": 1, "b": 1, "c": 2}, target_total=1200
+    )
+    with pytest.raises(SparkRuntimeException, match="infeasible mixture"):
+        bad.collect()
+
+
+def test_mixture_sample_validates_weights(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "doc_id", "grp", {})
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_sample(df, "doc_id", "grp", {"a": 0})
+    with pytest.raises(ValueError, match="positive int"):
+        mixture_sample(df, "doc_id", "grp", {"a": 1.5})  # type: ignore[dict-item]
+
+
+# ---- global_shuffle ----
+
+
+def test_global_shuffle_is_a_permutation_and_bucket_independent(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import global_shuffle
+
+    df = ids_df(spark, 400)
+    out = global_shuffle(df, "doc_id", seed=7, num_buckets=16)
+    ords = sorted(r["ordinal"] for r in out.collect())
+    assert ords == list(range(400))
+    # bucket count never changes the permutation
+    out1 = global_shuffle(df, "doc_id", seed=7, num_buckets=1)
+    m16 = {r["doc_id"]: r["ordinal"] for r in out.collect()}
+    m1 = {r["doc_id"]: r["ordinal"] for r in out1.collect()}
+    assert m16 == m1
+
+
+def test_global_shuffle_seed_changes_order_and_is_deterministic(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import global_shuffle
+
+    df = ids_df(spark, 300)
+    a = {r["doc_id"]: r["ordinal"] for r in global_shuffle(df, "doc_id", seed=1).collect()}
+    b = {r["doc_id"]: r["ordinal"] for r in global_shuffle(df, "doc_id", seed=2).collect()}
+    a2 = {r["doc_id"]: r["ordinal"] for r in global_shuffle(df, "doc_id", seed=1).collect()}
+    assert a == a2
+    assert a != b
+    # and it is not the identity order
+    assert any(a[k] != k for k in a)
+
+
+def test_global_shuffle_rejects_column_collisions(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import global_shuffle
+
+    df = ids_df(spark, 10).withColumn("ordinal", F.lit(0))
+    with pytest.raises(ValueError, match="ordinal"):
+        global_shuffle(df, "doc_id")
+
+
+# ---- token_budget_select ----
+
+
+def test_token_budget_select_prefix_semantics(spark):
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    # score order: d1(90) d2(80) d3(70) d4(60); tokens 5, 6, 4, 1
+    # budget 10: d1 fits (5), d2 overflows (11) and STOPS the fill —
+    # d3 (cum 15) and d4 (cum 16) must NOT slip in even though d4's
+    # single token would fit the remaining 5.
+    df = spark.createDataFrame(
+        [(1, 90, 5), (2, 80, 6), (3, 70, 4), (4, 60, 1)],
+        "doc_id long, score long, tok long",
+    )
+    out = token_budget_select(df, "doc_id", "score", "tok", budget=10)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # budget exactly at a boundary keeps the boundary doc
+    out2 = token_budget_select(df, "doc_id", "score", "tok", budget=11)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2}
+
+
+def test_token_budget_select_ties_and_validation(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    # equal scores: doc_id breaks the tie (ascending)
+    df = spark.createDataFrame(
+        [(2, 50, 4), (1, 50, 4), (3, 50, 4)], "doc_id long, score long, tok long"
+    )
+    out = token_budget_select(df, "doc_id", "score", "tok", budget=8)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    with pytest.raises(TypeError, match="integral"):
+        token_budget_select(
+            df.withColumn("score", F.col("score").cast("double")),
+            "doc_id",
+            "score",
+            "tok",
+            budget=8,
+        )
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(df, "doc_id", "score", "tok", budget=-1)

@@ -306,3 +306,54 @@ def test_xml_record_framing_preamble_with_end_tag(spark, tmp_path):
         for r in read_xml_records(spark, str(p), "<page>", "</page>").collect()
     )
     assert got == ["<page>a</page>", "<page>b</page>"]
+
+
+def test_write_sized_splits_to_target_and_restores_conf(spark, tmp_path):
+    # size-targeted writer: AQE REBALANCE + scoped advisory size turns
+    # one skewed input partition into several ~target files, and the
+    # session confs are restored afterwards
+    import glob
+    import os
+
+    from hadoop_multiple_streaming_spark.sources.io import write_sized
+
+    df = (
+        spark.range(120_000)
+        .coalesce(1)  # worst case: everything in ONE upstream partition
+        .selectExpr("id", "repeat(uuid(), 8) AS payload")
+    )
+    before = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    out = str(tmp_path / "sized")
+    write_sized(df, out, target_mb=1)
+    after = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    assert before == after
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 4, f"expected the 1-partition input split up, got {files}"
+    sizes = sorted(os.path.getsize(f) for f in files)
+    # evenness: no file more than 3x the median (AQE splits/coalesces
+    # to the advisory size measured on shuffle bytes)
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 3 * median
+    assert spark.read.parquet(out).count() == 120_000
+
+
+def test_write_sized_coalesces_slivers_to_one_file(spark, tmp_path):
+    import glob
+
+    from hadoop_multiple_streaming_spark.sources.io import write_sized
+
+    df = spark.range(1_000).repartition(64).selectExpr("id")  # 64 slivers
+    out = str(tmp_path / "coalesced")
+    write_sized(df, out, target_mb=128)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 1, f"expected slivers merged into one file, got {len(files)}"
+    assert spark.read.parquet(out).count() == 1_000
+
+
+def test_write_sized_validates_target(spark, tmp_path):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.sources.io import write_sized
+
+    with pytest.raises(ValueError, match="target_mb"):
+        write_sized(spark.range(1), str(tmp_path / "x"), target_mb=0)
