@@ -50,6 +50,12 @@ QUERIES = [
     "text_winnowing",
     "winnowing_pairs",
     "duplicate_span_mining",
+    # round-11 additions: the three new corpus-selection operators —
+    # mixture quotas (one corpus window), global-shuffle ordinals and
+    # token-budget fill (two-pass range-bucketed prefix sums)
+    "mixture_sample_docs",
+    "global_shuffle_docs",
+    "token_budget_pick",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
