@@ -596,6 +596,69 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_adc_topk(
+    codes_df: DataFrame,
+    buckets_df: DataFrame,
+    probes_df: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IVFADC composition — the shape real
+    billion-vector deployments run): the ADC scan of ``pq_adc_topk``
+    restricted to each query's probed inverted-file cells, so the
+    corpus-sized term shrinks from |corpus| x m to |candidates| x m
+    with |candidates| ~ |corpus| x nprobe / n_cells per query.
+
+    Inputs: ``codes_df`` (id, codes) from ``pq_encode``; ``buckets_df``
+    (id, bucket) from the coarse quantizer; ``probes_df`` (query_id,
+    bucket) = each query's nprobe nearest cells; ``codebooks``
+    (subspace, code, cw); ``queries`` (id, qv). All-bigint distance
+    arithmetic — ranking (adc asc, neighbor id) is engine-identical.
+
+    Scale shape: the per-query distance tables broadcast (queries x m
+    x |codebook| rows); candidate generation is a bucket equi-join —
+    and with the corpus PARTITIONED BY bucket on disk (write_ivf_index
+    layout) the probe join prunes cell directories before any IO. No
+    corpus-wide explode: only candidates expand to m rows."""
+    sub = dim // m
+    qpieces = queries.select(
+        F.col("id").alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(qv, j * {sub} + 1, {sub}))"
+            )
+        ).alias("subspace", "sub_qv"),
+    )
+    d2 = F.expr(_L2_INT.format(a="sub_qv", b="cw"))
+    dtable = qpieces.join(F.broadcast(codebooks), "subspace").select(
+        "query_id", "subspace", "code", d2.alias("d2")
+    )
+    cands = probes_df.join(codes_df.join(buckets_df, "id"), "bucket").select(
+        "query_id", "id", "codes"
+    )
+    doc_codes = cands.select(
+        "query_id", "id", F.posexplode("codes").alias("subspace", "code")
+    )
+    cond = F.col("query_id") != F.col("id") if exclude_self else F.lit(True)
+    scored = (
+        doc_codes.join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .where(cond)
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def quantize_sq8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -59,6 +59,7 @@ _PRIORITY_ORDER = [
     "mixture_sample_docs",
     "global_shuffle_docs",
     "token_budget_pick",
+    "ann_ivfpq_adc",
     # Touched r11: assign_packs_global now routes through the shared
     # global_running_total prefix-sum core
     "pack_sequences_global",
@@ -115,8 +116,8 @@ _PRIORITY_ORDER = [
     "text_top_bigrams",
     "agg_string_max_min",
     "agg_double_sum",
-    "agg_salted_sum",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
+    "agg_salted_sum",  # r08 green
     "dedup_simhash_pairs",  # r08 green
     "agg_long_sum_native",  # r08 green
     "ann_pq_train_recall",  # r08 green

@@ -1115,3 +1115,137 @@ def ann_pq_train_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return method_stats(cb_ex, "exemplar").unionByName(
         method_stats(cb_tr, "trained")
     )
+
+
+_IVFPQ_ORACLE = """
+    WITH q AS (SELECT vec_id AS id, label,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    dims AS (SELECT label, i, SUM(qv[CAST(i AS INT)]) AS s, COUNT(*) AS cnt
+             FROM q, UNNEST(range(1, 65)) t(i) GROUP BY label, i),
+    cent AS (SELECT label AS c_label,
+                    array_agg(CAST(s AS DOUBLE) / cnt ORDER BY i) AS c
+             FROM dims GROUP BY label),
+    cdist AS (
+        SELECT q.id, cent.c_label,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+                        * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+                   'sum') AS dist
+        FROM q CROSS JOIN cent
+    ),
+    ranked AS (SELECT id, c_label,
+                      row_number() OVER (PARTITION BY id ORDER BY dist, c_label) AS rn
+               FROM cdist),
+    assigned AS (SELECT id, c_label AS bucket FROM ranked WHERE rn = 1),
+    probes AS (SELECT id AS query_id, c_label AS bucket FROM ranked
+               WHERE rn <= 2 AND id < 10),
+    cb0 AS (SELECT CAST(q.label AS BIGINT) AS code, q.qv AS cw64
+            FROM q JOIN (SELECT label, MIN(id) AS mid FROM q GROUP BY label) s
+              ON q.id = s.mid),
+    cb AS (SELECT code, CAST(j AS INT) AS j,
+                  cw64[j * 8 + 1 : j * 8 + 8] AS cw
+           FROM cb0, UNNEST(range(0, 8)) t(j)),
+    pieces AS (SELECT id, CAST(j AS INT) AS j, qv[j * 8 + 1 : j * 8 + 8] AS sub
+               FROM q, UNNEST(range(0, 8)) t(j)),
+    dists AS (SELECT p.id, p.j, cb.code,
+                     CAST(list_aggregate(list_transform(range(1, 9),
+                         i -> (p.sub[CAST(i AS INT)] - cb.cw[CAST(i AS INT)])
+                            * (p.sub[CAST(i AS INT)] - cb.cw[CAST(i AS INT)])),
+                         'sum') AS BIGINT) AS d2
+              FROM pieces p JOIN cb ON p.j = cb.j),
+    enc AS (SELECT id, j, code FROM (
+                SELECT id, j, code,
+                       row_number() OVER (PARTITION BY id, j
+                                          ORDER BY d2, code) AS rn
+                FROM dists) WHERE rn = 1),
+    adc AS (SELECT p.query_id, e.id AS neighbor_id,
+                   CAST(SUM(d.d2) AS BIGINT) AS adc_dist
+            FROM probes p
+            JOIN assigned a ON a.bucket = p.bucket
+            JOIN enc e ON e.id = a.id
+            JOIN dists d ON d.id = p.query_id AND d.j = e.j AND d.code = e.code
+            WHERE e.id <> p.query_id
+            GROUP BY p.query_id, e.id)
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rank
+        FROM adc
+    ) t WHERE rank <= 3
+    """
+
+
+@register("ann_ivfpq_adc", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, end to end (operators.similarity.ivfpq_adc_topk — the
+    FAISS IVFADC composition): corpus assigned to its nearest
+    per-label-mean centroid (the inverted file), PQ-encoded against
+    exemplar codebooks (8 subspaces x min-id-per-label codewords),
+    queries probe their nprobe=2 nearest cells and rank ONLY those
+    cells' members by asymmetric distance — the candidate set shrinks
+    by nprobe/n_cells while every distance stays an exact bigint
+    (hash-exact ranking). This is the shape a billion-vector
+    deployment runs: coarse quantizer prunes, PQ codes compress, ADC
+    scans never touch the original vectors; with the corpus
+    partitioned by cell on disk (write_ivf_index layout) the probe
+    join is a partition-pruned scan."""
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.similarity import ivfpq_adc_topk, pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    cent = _centroid_sums(
+        q.select("label", "qv"), "label", "c_label", "n"
+    ).select(
+        "c_label",
+        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(qv, c, (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+        "cast(0 as double), (acc, d) -> acc + d)"
+    )
+    cdist = q.crossJoin(F.broadcast(cent)).select(
+        "id", "c_label", dist.alias("dist")
+    )
+    wq = _W.partitionBy("id").orderBy("dist", "c_label")
+    ranked = cdist.withColumn("rn", F.row_number().over(wq))
+    buckets = ranked.where(F.col("rn") == 1).select(
+        "id", F.col("c_label").alias("bucket")
+    )
+    probes = (
+        ranked.where((F.col("rn") <= 2) & (F.col("id") < 10))
+        .select(F.col("id").alias("query_id"), F.col("c_label").alias("bucket"))
+    )
+    seeds = q.groupBy("label").agg(F.min("id").alias("mid")).select("mid")
+    cb64 = q.join(seeds, q.id == seeds.mid).select(
+        F.col("label").cast("long").alias("code"), F.col("qv").alias("cw64")
+    )
+    cb = cb64.select(
+        "code",
+        F.posexplode(
+            F.expr("transform(sequence(0, 7), j -> slice(cw64, j * 8 + 1, 8))")
+        ).alias("subspace", "cw"),
+    ).select("subspace", "code", "cw")
+    vecs = q.select("id", "qv")
+    codes = pq_encode(vecs, cb, m=8, dim=64)
+    out = ivfpq_adc_topk(
+        codes,
+        buckets,
+        probes,
+        cb,
+        vecs.where(F.col("id") < 10),
+        k=3,
+        m=8,
+        dim=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

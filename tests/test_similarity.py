@@ -369,3 +369,81 @@ def test_assign_centroids_impls_identical(spark):
         r.id: r.cluster for r in assign_centroids(q, cent, impl="arrow").collect()
     }
     assert arrow == expr and len(set(expr.values())) >= 2
+
+
+def test_ivfpq_adc_restricts_to_probed_cells(spark):
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    # dim=4, m=2; 2 codewords per subspace; 2 IVF cells. Query 1 probes
+    # ONLY cell A — doc 2 (cell B) must be invisible even though its
+    # ADC distance is finite, and the surviving candidates must carry
+    # EXACTLY the same adc_dist as the unrestricted scan.
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [0, 0]), (0, 1, [10, 10]),
+            (1, 0, [0, 0]), (1, 1, [10, 10]),
+        ],
+        "subspace int, code long, cw array<long>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0, 0, 10, 10]),
+            (2, [9, 9, 0, 0]),
+            (3, [1, 0, 10, 9]),
+            (4, [0, 1, 9, 10]),
+        ],
+        "id long, qv array<long>",
+    )
+    buckets = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A"), (4, "A")], "id long, bucket string"
+    )
+    probes = spark.createDataFrame([(1, "A")], "query_id long, bucket string")
+    codes = pq_encode(vecs, cb, m=2, dim=4)
+    restricted = {
+        r.neighbor_id: r.adc_dist
+        for r in ivfpq_adc_topk(
+            codes, buckets, probes, cb, vecs.where("id = 1"), k=3, m=2, dim=4
+        ).collect()
+    }
+    assert set(restricted) == {3, 4}, restricted  # doc 2 pruned with its cell
+    full = {
+        r.neighbor_id: r.adc_dist
+        for r in pq_adc_topk(
+            codes, cb, vecs.where("id = 1"), k=3, m=2, dim=4
+        ).collect()
+    }
+    for nid, d in restricted.items():
+        assert full[nid] == d  # pruning never changes surviving distances
+
+
+def test_ivfpq_adc_multiprobe_union_no_double_count(spark):
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        pq_encode,
+    )
+
+    cb = spark.createDataFrame(
+        [(0, 0, [0, 0]), (0, 1, [10, 10]), (1, 0, [0, 0]), (1, 1, [10, 10])],
+        "subspace int, code long, cw array<long>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0, 0, 10, 10]), (2, [9, 9, 0, 0]), (3, [1, 0, 10, 9])],
+        "id long, qv array<long>",
+    )
+    buckets = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "id long, bucket string"
+    )
+    # nprobe=2: query 1 probes both cells — every doc exactly once
+    probes = spark.createDataFrame(
+        [(1, "A"), (1, "B")], "query_id long, bucket string"
+    )
+    codes = pq_encode(vecs, cb, m=2, dim=4)
+    got = ivfpq_adc_topk(
+        codes, buckets, probes, cb, vecs.where("id = 1"), k=3, m=2, dim=4
+    ).collect()
+    by_n = {r.neighbor_id: (r.rank, r.adc_dist) for r in got}
+    assert by_n == {3: (1, 0), 2: (2, 400)}
