@@ -56,6 +56,7 @@ QUERIES = [
     "mixture_sample_docs",
     "global_shuffle_docs",
     "token_budget_pick",
+    "ann_ivfpq_adc",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
