@@ -34,22 +34,28 @@ FEATURE_COLS = ["f_tokens", "f_uniq", "f_chars", "f_punct", "f_meanwl_ppk"]
 
 
 def quality_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-document integer feature vector (id, f_tokens, f_uniq,
-    f_chars, f_punct, f_meanwl_ppk). One stateless projection — scan
-    speed at 100 TB. Every feature is an exact integer:
+    """Per-document integer feature vector (id, *keep_cols, f_tokens,
+    f_uniq, f_chars, f_punct, f_meanwl_ppk). One stateless projection —
+    scan speed at 100 TB. Every feature is an exact integer:
     token count, distinct-token count, char count, punctuation char
     count, and mean word length in parts-per-thousand (one integer
-    division)."""
+    division). ``keep_cols`` carries metadata columns (language,
+    source) through without a re-join."""
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         F.col(text_col).alias("_t"),
         F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_tk"),
     )
     n_tok = F.size("_tk").cast("long")
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         n_tok.alias("f_tokens"),
         F.size(F.array_distinct(F.col("_tk"))).cast("long").alias("f_uniq"),
         F.coalesce(F.length("_t"), F.lit(0)).cast("long").alias("f_chars"),

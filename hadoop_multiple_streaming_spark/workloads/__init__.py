@@ -60,6 +60,7 @@ _PRIORITY_ORDER = [
     "global_shuffle_docs",
     "token_budget_pick",
     "ann_ivfpq_adc",
+    "selection_pipeline",
     # Touched r11: assign_packs_global now routes through the shared
     # global_running_total prefix-sum core
     "pack_sequences_global",
@@ -115,8 +116,8 @@ _PRIORITY_ORDER = [
     "q22_global_sales_opportunity",
     "text_top_bigrams",
     "agg_string_max_min",
-    "agg_double_sum",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
+    "agg_double_sum",  # r08 green
     "agg_salted_sum",  # r08 green
     "dedup_simhash_pairs",  # r08 green
     "agg_long_sum_native",  # r08 green

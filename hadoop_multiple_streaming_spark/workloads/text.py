@@ -1497,3 +1497,115 @@ def token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "doc_id", "score_micro", "n_tokens", budget=_TOKEN_BUDGET
     )
     return picked.select("doc_id", "n_tokens", "score_micro")
+
+
+#: token budget for the composed selection pipeline — ~40% of the
+#: mixture-stage output at sf0.01, so the fill boundary always binds.
+_PIPE_BUDGET = 8_000
+
+
+def _selection_pipeline_oracle() -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    nibbles_s = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hs, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    values = " UNION ALL ".join(
+        f"SELECT '{g}' AS lang, {w} AS wt" for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    total_w = sum(_MIX_WEIGHTS.values())
+    w = _QM_W
+    return f"""
+    WITH w AS ({values}),
+    counts AS (SELECT d.lang, w.wt, COUNT(*) AS n
+               FROM documents d JOIN w USING (lang) GROUP BY 1, 2),
+    tgt AS (SELECT MIN((n * {total_w}) // wt) AS target FROM counts),
+    quotas AS (SELECT lang, ((SELECT target FROM tgt) * wt) // {total_w} AS quota
+               FROM counts),
+    hashed AS (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    ranked AS (SELECT doc_id, lang, text,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY {nibbles}, doc_id) AS rk
+               FROM hashed),
+    mixed AS (SELECT r.doc_id, r.lang, r.text
+              FROM ranked r JOIN quotas q USING (lang)
+              WHERE r.rk <= q.quota),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(tk) AS BIGINT) AS f_tokens,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS f_uniq,
+             CAST(COALESCE(length(text), 0) AS BIGINT) AS f_chars,
+             CAST(COALESCE(length(regexp_replace(text, '[^.,!?;:]', '', 'g')), 0)
+                 AS BIGINT) AS f_punct,
+             CASE WHEN len(tk) > 0 THEN
+               (list_aggregate(list_transform(tk, t -> length(t)), 'sum')
+                * 1000) // len(tk)
+             ELSE 0 END AS f_meanwl_ppk
+      FROM (SELECT doc_id, lang, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM mixed)),
+    scored AS (
+      SELECT doc_id, lang, f_tokens AS n_tokens,
+             CAST(f_tokens * ({w[0]}) + f_uniq * ({w[1]})
+                  + f_chars * ({w[2]}) + f_punct * ({w[3]})
+                  + f_meanwl_ppk * ({w[4]}) + ({w[5]}) AS BIGINT) AS score_micro
+      FROM feat),
+    summed AS (
+      SELECT doc_id, lang, n_tokens, score_micro,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY -score_micro, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM scored),
+    picked AS (SELECT doc_id, lang, n_tokens, score_micro
+               FROM summed WHERE cum_before + n_tokens <= {_PIPE_BUDGET}),
+    shuffled AS (SELECT doc_id, lang, n_tokens, score_micro,
+                        md5('7:' || CAST(doc_id AS VARCHAR)) AS hs
+                 FROM picked)
+    SELECT doc_id, lang, n_tokens, score_micro,
+           CAST(row_number() OVER (ORDER BY {nibbles_s}, doc_id) - 1 AS BIGINT)
+               AS ordinal
+    FROM shuffled
+    """
+
+
+@register("selection_pipeline", oracle=_selection_pipeline_oracle())
+def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data SELECTION flow composed end to end in ONE
+    declarative plan: explicit language mixture (50/20/10/10/10 recipe,
+    largest achievable target) -> frozen-classifier quality scoring
+    (exact micro-logit) -> token-budget fill (best-score-first prefix)
+    -> deterministic global shuffle for training order. Every stage is
+    exact-integer / md5-keyed, so the WHOLE pipeline replays as one
+    SQL chain — the composition proof that the round-11 operators are
+    pipeline pieces, not demos. Plan: one scan; the corpus-sized
+    exchanges are the mixture window (hashpartitioning(lang)) and the
+    two range-bucketed prefix sums; quotas/offsets relations stay
+    groups/buckets-row broadcast."""
+    from ..functions.sampling import (
+        global_shuffle,
+        mixture_sample,
+        token_budget_select,
+    )
+    from ..operators.quality_model import (
+        quality_features as qm_features,
+        score_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    mixed = mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    scored = score_quality_classifier(
+        qm_features(mixed, "text", "doc_id", keep_cols=["lang"]),
+        _QM_W,
+        keep_cols=["lang", "f_tokens"],
+    ).select("doc_id", "lang", F.col("f_tokens").alias("n_tokens"), "score_micro")
+    picked = token_budget_select(
+        scored, "doc_id", "score_micro", "n_tokens", budget=_PIPE_BUDGET
+    )
+    return global_shuffle(picked, "doc_id", seed=7).select(
+        "doc_id", "lang", "n_tokens", "score_micro", "ordinal"
+    )
