@@ -86,6 +86,12 @@ HEADLINE = [
     # round-10: exact-integer priority sampling (TakeOrderedAndProject
     # plan — zero exchanges; the weighted-without-replacement pick)
     "priority_sample_docs",
+    # round-11 extension surface: the IVF-PQ ANN scale path (IVFADC —
+    # probed-cell-pruned asymmetric-distance top-k) and the composed
+    # mixture -> quality -> token-budget -> global-shuffle selection
+    # pipeline (the new corpus-selection operators working as one plan)
+    "ann_ivfpq_adc",
+    "selection_pipeline",
 ]
 
 
