@@ -229,3 +229,34 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(docs, "text", "doc_id", 0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, "text", "doc_id", 4, 0)
+
+
+def test_global_running_total_matches_python_reference(spark):
+    # randomized cross-check of the two-pass range-bucketed prefix sum
+    # against a plain-Python cumsum, with duplicate order keys (the
+    # tiebreak contract) and several bucket counts
+    import random
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        global_running_total,
+    )
+
+    rng = random.Random(1234)
+    rows = [
+        (i, rng.randrange(0, 50), rng.randrange(0, 9))  # dup-heavy order col
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, ord long, val long")
+    expect = {}
+    acc = 0
+    for i, o, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        expect[i] = acc
+        acc += v
+    for nb in (1, 7, 32):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_running_total(
+                df, "ord", "val", num_buckets=nb, tiebreak_col="id", out_col="cum"
+            ).collect()
+        }
+        assert got == expect, f"num_buckets={nb} diverged"
