@@ -367,6 +367,12 @@ def mixture_sample(
         raise ValueError(
             f"mixture_sample: target_total must be >= 0, got {target_total}"
         )
+    gtype = df.select(F.col(group_col).alias("_g")).schema[0].dataType.simpleString()
+    if gtype != "string":
+        raise TypeError(
+            f"mixture_sample: group_col must be string (weights are keyed"
+            f" by label), got {gtype} — cast it first"
+        )
     total_w = sum(weights.values())
     from pyspark.sql.window import Window
 

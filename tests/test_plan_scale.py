@@ -267,3 +267,21 @@ def test_mixture_sample_one_corpus_window(spark, sf_dir):
     assert len(win_exchanges) >= 1, plan
     # quota joins must be broadcast (groups-row side), not sort-merge
     assert "SortMergeJoin" not in plan
+
+
+def test_selection_pipeline_no_corpus_global_window(spark, sf_dir):
+    # the composed pipeline inherits every stage's scale shape: its
+    # only SinglePartition windows are over the bucket-totals /
+    # one-row relations (the _b offsets pattern), never over a
+    # corpus-keyed frame, and nothing plans a cartesian
+    df = workloads.QUERIES["selection_pipeline"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "CartesianProduct" not in plan
+    corpus_windows = [
+        l
+        for l in plan.splitlines()
+        if "Window" in l and ("_sk" in l or "_negscore" in l) and "_b" not in l
+    ]
+    assert not corpus_windows, corpus_windows
+    assert "hashpartitioning(_b" in plan  # the bucketed prefix sums
+    assert "hashpartitioning(lang" in plan  # the mixture window

@@ -442,3 +442,13 @@ def test_token_budget_select_ties_and_validation(spark):
         )
     with pytest.raises(ValueError, match="budget"):
         token_budget_select(df, "doc_id", "score", "tok", budget=-1)
+
+
+def test_mixture_sample_rejects_non_string_group(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, grp long")
+    with pytest.raises(TypeError, match="string"):
+        mixture_sample(df, "doc_id", "grp", {"10": 1})

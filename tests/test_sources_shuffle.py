@@ -357,3 +357,16 @@ def test_write_sized_validates_target(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_mb"):
         write_sized(spark.range(1), str(tmp_path / "x"), target_mb=0)
+
+
+def test_write_sized_with_partition_by(spark, tmp_path):
+    import glob
+
+    from hadoop_multiple_streaming_spark.sources.io import write_sized
+
+    df = spark.range(2_000).selectExpr("id", "id % 3 AS part")
+    out = str(tmp_path / "sized_part")
+    write_sized(df, out, target_mb=64, partition_by=["part"])
+    dirs = sorted(glob.glob(out + "/part=*"))
+    assert len(dirs) == 3, dirs
+    assert spark.read.parquet(out).count() == 2_000
