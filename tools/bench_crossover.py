@@ -57,6 +57,7 @@ QUERIES = [
     "global_shuffle_docs",
     "token_budget_pick",
     "ann_ivfpq_adc",
+    "selection_pipeline",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
