@@ -289,6 +289,52 @@ def write_sized(
                 conf.set(k, v)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    rows_per_shard: int,
+    seed: int | str = 0,
+    fmt: str = "parquet",
+    mode: str = "error",
+    **options,
+) -> None:
+    """The LAST step of a curation pipeline: emit the corpus as
+    deterministically shuffled, fixed-size training shards —
+    ``path/shard=<k>/`` each holding exactly ``rows_per_shard`` rows
+    (last shard ragged) of the seed-``seed`` global permutation, one
+    file per shard.
+
+    Composition of two primitives: ``sampling.global_shuffle`` (the
+    two-pass range-bucketed ordinal — no single-partition window) and
+    a hive-partitioned write repartitioned BY shard so each directory
+    is written by exactly one task (no small-files explosion; shard
+    count = ceil(n / rows_per_shard) directories). A trainer streams
+    ``shard=k`` in ordinal order (`ordinal` is written inside each
+    shard) and epoch re-shuffles are a new ``seed``, not a new layout.
+    Shards are contiguous ordinal ranges, so any shard subset is
+    itself an unbiased sample of the corpus."""
+    if rows_per_shard < 1:
+        raise ValueError(
+            f"write_training_shards: rows_per_shard must be >= 1,"
+            f" got {rows_per_shard}"
+        )
+    from ..functions.sampling import global_shuffle
+
+    shuffled = global_shuffle(df, key_col, seed=seed).withColumn(
+        "shard", F.expr(f"ordinal div {int(rows_per_shard)}")
+    )
+    (
+        shuffled.repartition("shard")
+        .sortWithinPartitions("shard", "ordinal")
+        .write.format(fmt)
+        .options(**options)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+
+
 def ship_files(
     spark: SparkSession, files: list[str], archives: list[str] | None = None
 ) -> None:

@@ -370,3 +370,37 @@ def test_write_sized_with_partition_by(spark, tmp_path):
     dirs = sorted(glob.glob(out + "/part=*"))
     assert len(dirs) == 3, dirs
     assert spark.read.parquet(out).count() == 2_000
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    import glob
+
+    from hadoop_multiple_streaming_spark.sources.io import write_training_shards
+
+    df = spark.range(250).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", rows_per_shard=100, seed=5)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2"]
+    # exactly one data file per shard directory
+    for d in dirs:
+        files = glob.glob(d + "/part-*.parquet")
+        assert len(files) == 1, (d, files)
+    back = spark.read.parquet(out)
+    sizes = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {0: 100, 1: 100, 2: 50}
+    # shards are contiguous ordinal ranges of the seed-5 permutation,
+    # reproducible across writes
+    from hadoop_multiple_streaming_spark.functions.sampling import global_shuffle
+
+    expect = {
+        r["doc_id"]: r["ordinal"]
+        for r in global_shuffle(df, "doc_id", seed=5).collect()
+    }
+    got = {r["doc_id"]: r["ordinal"] for r in back.collect()}
+    assert got == expect
+    for r in back.collect():
+        assert r["shard"] == r["ordinal"] // 100
