@@ -514,7 +514,18 @@ def token_budget_select(
         )
     from .packing import global_running_total
 
-    ordered = df.withColumn(
+    # the prefix-stop guarantee (a later doc can never slip past an
+    # overflow) needs non-negative tokens: enforce per-row, loudly
+    tok_checked = F.when(
+        F.col(token_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"token_budget_select: negative {token_col}: "),
+                F.col(token_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(token_col).cast("long"))
+    ordered = df.withColumn(token_col, tok_checked).withColumn(
         "_negscore", (-F.col(score_col)).cast("long")
     )
     summed = global_running_total(

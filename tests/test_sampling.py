@@ -452,3 +452,18 @@ def test_mixture_sample_rejects_non_string_group(spark):
     df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, grp long")
     with pytest.raises(TypeError, match="string"):
         mixture_sample(df, "doc_id", "grp", {"10": 1})
+
+
+def test_token_budget_select_rejects_negative_tokens(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 50, 4), (2, 40, -1)], "doc_id long, score long, tok long"
+    )
+    with pytest.raises(SparkRuntimeException, match="negative tok"):
+        token_budget_select(df, "doc_id", "score", "tok", budget=10).collect()
