@@ -142,6 +142,25 @@ def global_running_total(
         raise ValueError(
             f"global_running_total: num_buckets must be >= 1, got {num_buckets}"
         )
+    # temp-column collision guard (ADVICE r11): callers guard their OWN
+    # temp names but not these — an input df already carrying `_b`
+    # would silently corrupt the prefix sum instead of failing fast
+    for reserved in ("_bs", "_b", "_local_start", "_off"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"global_running_total: input already has a {reserved!r}"
+                " column (internal temp name); rename it first"
+            )
+    if out_col in df.columns:
+        raise ValueError(
+            f"global_running_total: input already has the output column"
+            f" {out_col!r} (withColumn would silently clobber it)"
+        )
+    if out_col in ("_bs", "_b", "_local_start", "_off"):
+        raise ValueError(
+            f"global_running_total: out_col {out_col!r} collides with an"
+            " internal temp name; pick another"
+        )
     fracs = [i / num_buckets for i in range(1, num_buckets)]
     if fracs:
         bounds = df.agg(

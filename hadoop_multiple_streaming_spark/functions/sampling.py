@@ -347,7 +347,11 @@ def mixture_sample(
     group (t ≤ n_s·W/w_s ⇒ (t·w_s) div W ≤ n_s). An explicit
     ``target_total`` that demands more rows of some group than exist
     fails loudly (``raise_error`` on the |groups|-row quota relation)
-    instead of silently delivering a skewed mixture. Membership inside
+    instead of silently delivering a skewed mixture. A weighted group
+    with ZERO corpus rows counts as n_s = 0 (the weights relation
+    left-joins the corpus counts): any explicit target trips the
+    raise_error, and the default target becomes 0 — an empty result,
+    never a silently skewed one. Membership inside
     each group is hash-rank (same mechanism as ``quota_sample``) —
     stable across runs, engines, and cluster sizes.
 
@@ -382,7 +386,21 @@ def mixture_sample(
         schema=f"{group_col} string, _w long",
     )
     in_mix = df.join(F.broadcast(wdf), group_col)
-    counts = in_mix.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_n"))
+    # LEFT-join the weights relation against the per-group corpus
+    # counts (ADVICE r11): an inner join would silently DROP a weighted
+    # group with zero corpus rows from the quota arithmetic — the
+    # default target would then ignore it and deliver a skewed mixture.
+    # With _n = 0 the default target becomes (0 * W) div w = 0 (the
+    # largest mixture achievable without the missing group is empty),
+    # and an explicit target_total trips the raise_error quota check.
+    present = (
+        df.join(F.broadcast(wdf.select(group_col)), group_col, "left_semi")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    counts = wdf.join(present, group_col, "left").select(
+        group_col, "_w", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("_n")
+    )
     if target_total is None:
         tgt = counts.agg(
             F.min(F.expr(f"(_n * {total_w}) div _w")).alias("_target")
@@ -525,8 +543,20 @@ def token_budget_select(
             )
         ).cast("long"),
     ).otherwise(F.col(token_col).cast("long"))
+    # negate AFTER widening to long (ADVICE r11): negating in the
+    # source dtype first wraps for the narrow type's minimum (non-ANSI
+    # -INT_MIN == INT_MIN), silently corrupting the fill order. Long's
+    # own minimum would still wrap, so reject it per-row.
+    s_long = F.col(score_col).cast("long")
+    neg_checked = F.when(
+        s_long == F.lit(-(2**63)),
+        F.raise_error(
+            F.lit("token_budget_select: score is Long.MIN_VALUE —"
+                  " negation would wrap; rescale the score")
+        ).cast("long"),
+    ).otherwise(-s_long)
     ordered = df.withColumn(token_col, tok_checked).withColumn(
-        "_negscore", (-F.col(score_col)).cast("long")
+        "_negscore", neg_checked
     )
     summed = global_running_total(
         ordered,

@@ -638,7 +638,16 @@ def ivfpq_adc_topk(
     dtable = qpieces.join(F.broadcast(codebooks), "subspace").select(
         "query_id", "subspace", "code", d2.alias("d2")
     )
-    cands = probes_df.join(codes_df.join(buckets_df, "id"), "bucket").select(
+    # dedupe the probe list (ADVICE r11): a duplicate (query_id, bucket)
+    # probe row would emit each cell's candidates twice and the ADC
+    # groupBy-sum would double-count every subspace distance, silently
+    # corrupting the ranking. probes_df is nprobe x |queries| rows —
+    # the distinct is free. buckets_df must map each id to exactly ONE
+    # bucket (the coarse-quantizer argmin guarantees it; a multi-bucket
+    # id under a query probing both cells would double-count the same
+    # way — dedupe upstream if your coarse assignment is multi-valued).
+    probes = probes_df.select("query_id", "bucket").distinct()
+    cands = probes.join(codes_df.join(buckets_df, "id"), "bucket").select(
         "query_id", "id", "codes"
     )
     doc_codes = cands.select(

@@ -260,3 +260,32 @@ def test_global_running_total_matches_python_reference(spark):
             ).collect()
         }
         assert got == expect, f"num_buckets={nb} diverged"
+
+
+def test_global_running_total_rejects_reserved_columns(spark):
+    """ADVICE r11: inputs already carrying an internal temp name (_bs,
+    _b, _local_start, _off) or the out_col must fail fast instead of
+    silently corrupting the prefix sum."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        global_running_total,
+    )
+
+    base = (
+        spark.range(10)
+        .withColumnRenamed("id", "ord")
+        .withColumn("val", F.lit(1).cast("long"))
+    )
+    for bad in ("_bs", "_b", "_local_start", "_off"):
+        with pytest.raises(ValueError, match=bad):
+            global_running_total(
+                base.withColumn(bad, F.lit(0)), "ord", "val"
+            )
+    with pytest.raises(ValueError, match="cum"):
+        global_running_total(
+            base.withColumn("cum", F.lit(0)), "ord", "val", out_col="cum"
+        )
+    with pytest.raises(ValueError, match="internal temp"):
+        global_running_total(base, "ord", "val", out_col="_b")

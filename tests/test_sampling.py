@@ -467,3 +467,51 @@ def test_token_budget_select_rejects_negative_tokens(spark):
     )
     with pytest.raises(SparkRuntimeException, match="negative tok"):
         token_budget_select(df, "doc_id", "score", "tok", budget=10).collect()
+
+
+def test_mixture_sample_zero_row_weighted_group(spark):
+    """ADVICE r11: a weighted group with no corpus rows must not be
+    silently dropped from the quota arithmetic. Default target -> 0
+    (empty result, not a skewed 100%-'a' mixture); explicit target ->
+    the infeasibility raise_error fires."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hadoop_multiple_streaming_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id long, grp string"
+    )
+    # no 'b' rows at all: the largest achievable 1:1 mixture is empty
+    assert mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1}).count() == 0
+    with pytest.raises(SparkRuntimeException, match="infeasible mixture"):
+        mixture_sample(
+            df, "doc_id", "grp", {"a": 1, "b": 1}, target_total=10
+        ).collect()
+
+
+def test_token_budget_select_narrow_int_min_score(spark):
+    """ADVICE r11: an INT_MIN score in a narrow int column must rank
+    LAST (lowest score), not wrap to the front of the fill order."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (2, -(2**31), 5)], "doc_id long, score int, tok int"
+    )
+    out = token_budget_select(df, "doc_id", "score", "tok", budget=5)
+    # budget fits one doc: the higher score (0) wins; pre-fix the
+    # wrapped -INT_MIN ranked doc 2 first
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # Long.MIN_VALUE cannot be negated at all -> loud per-row error
+    big = spark.createDataFrame(
+        [(1, -(2**63), 5)], "doc_id long, score long, tok int"
+    )
+    # the raise_error may surface wrapped in a stage-materialization
+    # SparkException (both prefix-sum branches hit it) — match the text
+    with pytest.raises(Exception, match="Long.MIN_VALUE"):
+        token_budget_select(big, "doc_id", "score", "tok", budget=5).collect()

@@ -447,3 +447,38 @@ def test_ivfpq_adc_multiprobe_union_no_double_count(spark):
     ).collect()
     by_n = {r.neighbor_id: (r.rank, r.adc_dist) for r in got}
     assert by_n == {3: (1, 0), 2: (2, 400)}
+
+
+def test_ivfpq_adc_duplicate_probe_rows_do_not_double_count(spark):
+    """ADVICE r11: duplicate (query_id, bucket) probe rows must not
+    inflate adc_dist — candidates are generated from the DISTINCT
+    probe set, so the result is identical to the deduped probe list."""
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        pq_encode,
+    )
+
+    cb = spark.createDataFrame(
+        [(0, 0, [0, 0]), (0, 1, [10, 10]), (1, 0, [0, 0]), (1, 1, [10, 10])],
+        "subspace int, code long, cw array<long>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [0, 0, 10, 10]), (2, [9, 9, 0, 0]), (3, [1, 0, 10, 9])],
+        "id long, qv array<long>",
+    )
+    buckets = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "id long, bucket string"
+    )
+    dup_probes = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "B"), (1, "B"), (1, "B")],
+        "query_id long, bucket string",
+    )
+    codes = pq_encode(vecs, cb, m=2, dim=4)
+    got = {
+        r.neighbor_id: (r.rank, r.adc_dist)
+        for r in ivfpq_adc_topk(
+            codes, buckets, dup_probes, cb, vecs.where("id = 1"), k=3, m=2, dim=4
+        ).collect()
+    }
+    # identical to the clean-probe run in the multiprobe-union test
+    assert got == {3: (1, 0), 2: (2, 400)}
