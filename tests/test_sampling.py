@@ -515,3 +515,99 @@ def test_token_budget_select_narrow_int_min_score(spark):
     # SparkException (both prefix-sum branches hit it) — match the text
     with pytest.raises(Exception, match="Long.MIN_VALUE"):
         token_budget_select(big, "doc_id", "score", "tok", budget=5).collect()
+
+
+# ---- subgroup-decomposed hash rank (the dominant-group pre-trim) ----
+
+
+def test_grouped_hash_topk_membership_invariant_in_subgroups(spark):
+    """The r12 scale fix must be INVISIBLE in the answer: quota /
+    temperature / mixture keep bit-identical row sets at any
+    num_subgroups (1 == the old whole-group window shape)."""
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        mixture_sample,
+        quota_sample,
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(5000 + i, "mid") for i in range(80)]
+        + [(9000 + i, "tiny") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def ids(out):
+        return sorted(r["doc_id"] for r in out.collect())
+
+    for nsg in (1, 4, 64, 4096):
+        assert ids(quota_sample(df, "doc_id", "grp", 37, num_subgroups=nsg)) == ids(
+            quota_sample(df, "doc_id", "grp", 37, num_subgroups=1)
+        )
+        assert ids(
+            temperature_sample(df, "doc_id", "grp", num_subgroups=nsg)
+        ) == ids(temperature_sample(df, "doc_id", "grp", num_subgroups=1))
+        assert ids(
+            mixture_sample(
+                df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
+                num_subgroups=nsg,
+            )
+        ) == ids(
+            mixture_sample(
+                df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
+                num_subgroups=1,
+            )
+        )
+
+
+def test_grouped_hash_topk_validation(spark):
+    import pytest
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        quota_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, grp string")
+    # num_subgroups must divide 16^6
+    with pytest.raises(ValueError, match="num_subgroups"):
+        quota_sample(df, "doc_id", "grp", 5, num_subgroups=7)
+    # internal temp name collision fails fast
+    with pytest.raises(ValueError, match="_sg"):
+        quota_sample(
+            df.withColumn("_sg", F.lit(0)), "doc_id", "grp", 5
+        )
+    with pytest.raises(ValueError, match="_quota"):
+        quota_sample(
+            df.withColumn("_quota", F.lit(0)), "doc_id", "grp", 5
+        )
+
+
+def test_sampler_rank_window_partitions_by_subgroup(spark):
+    """The 100 TB shape: the corpus rank window partitions by
+    (group, _sg) — never by the bare group — and a pre-trim filter on
+    the subgroup offset precedes it, so a dominant group can never
+    become one whole-window partition."""
+    import contextlib
+    import io as _io
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 10 else "b") for i in range(1000)],
+        "doc_id long, grp string",
+    )
+    out = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1})
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the rank window's exchange carries both the group and _sg
+    assert any(
+        "hashpartitioning(grp" in l and "_sg" in l for l in plan.splitlines()
+    ), plan
+    # whole-group window exchanges (grp alone) must be gone from the
+    # corpus rank; the only grp-only partitioning left is the tiny
+    # offsets-relation window (input: the groupBy(grp, _sg) counts)
+    assert "_goff" in plan  # the pre-trim offset join exists
