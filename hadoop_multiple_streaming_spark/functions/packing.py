@@ -66,7 +66,7 @@ def assign_packs_global(
     order_col: str,
     token_col: str,
     budget: int,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     pack_col: str = "pack_id",
     tiebreak_col: str | None = None,
 ) -> DataFrame:
@@ -118,9 +118,10 @@ def global_running_total(
     df: DataFrame,
     order_col: str,
     value_col: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     tiebreak_col: str | None = None,
     out_col: str = "_cum_before",
+    warn_skew: bool = False,
 ) -> DataFrame:
     """Distributed global prefix sum: adds ``out_col`` = sum of
     ``value_col`` over all rows STRICTLY PRECEDING this one in the
@@ -137,7 +138,23 @@ def global_running_total(
     corpus. Bucket boundaries never leak into the result (bucketing is
     monotone in the order column), so a plain global-window SQL replay
     matches exactly. Duplicate order values need ``tiebreak_col``
-    (unique, totally ordered) or in-bucket order is shuffle-dependent."""
+    (unique, totally ordered) or in-bucket order is shuffle-dependent.
+
+    ``num_buckets=None`` (default) auto-sizes to
+    ``min(4096, max(32, 4 * defaultParallelism))`` — 32 was a
+    single-node setting; at 1000 executors the per-bucket windows want
+    ~4-8x the executor count so each bucket is a fraction of executor
+    memory (the sketch and offsets relation stay tiny at any count,
+    and the answer is bucket-count-independent — property-tested).
+    Skew caveat: a single order value holding more than ~1/num_buckets
+    of the rows collapses percentile boundaries and piles its ties
+    into one bucket (the tiebreak keeps the ORDER exact, not the bucket
+    sizes). Pass ``warn_skew=True`` to pay one eager sketch pass that
+    detects collapsed boundaries and emits a warning naming the
+    effective bucket count."""
+    if num_buckets is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        num_buckets = min(4096, max(32, 4 * int(par)))
     if num_buckets < 1:
         raise ValueError(
             f"global_running_total: num_buckets must be >= 1, got {num_buckets}"
@@ -162,6 +179,29 @@ def global_running_total(
             " internal temp name; pick another"
         )
     fracs = [i / num_buckets for i in range(1, num_buckets)]
+    if warn_skew and fracs:
+        import warnings
+
+        raw = (
+            df.agg(
+                F.percentile_approx(
+                    F.col(order_col).cast("double"), fracs, 10_000
+                ).alias("_raw")
+            ).collect()[0]["_raw"]
+            or []
+        )
+        n_dup = len(raw) - len(set(raw))
+        if n_dup:
+            warnings.warn(
+                f"global_running_total: order column {order_col!r} has heavy"
+                f" ties — {n_dup} of {len(raw)} bucket boundaries collapse"
+                f" (effective buckets ~{len(set(raw)) + 1} of {num_buckets})."
+                " A hot order value lands all its ties in ONE bucket; the"
+                " result stays exact but that bucket's window is the"
+                " straggler. Use a more dispersed order key or accept the"
+                " skew.",
+                stacklevel=2,
+            )
     if fracs:
         bounds = df.agg(
             F.array_distinct(

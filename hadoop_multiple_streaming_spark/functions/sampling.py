@@ -531,7 +531,7 @@ def global_shuffle(
     key_col: str,
     seed: int | str = 0,
     ordinal_col: str = "ordinal",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a
     0-based ``ordinal_col`` = its rank in (md5(seed:key), key) order —
@@ -579,7 +579,8 @@ def token_budget_select(
     score_col: str,
     token_col: str,
     budget: int,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
+    warn_skew: bool = False,
 ) -> DataFrame:
     """Fill a token budget with the best documents first: order by
     ``score_col`` DESCENDING (ties by ``key_col``) and keep the
@@ -652,6 +653,7 @@ def token_budget_select(
         num_buckets=num_buckets,
         tiebreak_col=key_col,
         out_col="_cum_before",
+        warn_skew=warn_skew,
     )
     return summed.where(
         F.col("_cum_before") + F.col(token_col).cast("long") <= F.lit(int(budget))

@@ -289,3 +289,49 @@ def test_global_running_total_rejects_reserved_columns(spark):
         )
     with pytest.raises(ValueError, match="internal temp"):
         global_running_total(base, "ord", "val", out_col="_b")
+
+
+def test_global_running_total_autosizes_buckets_and_warns_on_skew(spark):
+    """r12: num_buckets=None resolves from defaultParallelism (answers
+    are bucket-count independent, so only the mechanism needs pinning),
+    and warn_skew=True flags an order column whose hot value collapses
+    percentile boundaries."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        global_running_total,
+    )
+
+    df = (
+        spark.range(500)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("val", F.lit(1).cast("long"))
+    )
+    # auto-sized default matches an explicit bucket count exactly
+    auto = {
+        r["doc_id"]: r["cum"]
+        for r in global_running_total(
+            df, "doc_id", "val", tiebreak_col="doc_id", out_col="cum"
+        ).collect()
+    }
+    assert auto == {i: i for i in range(500)}
+
+    # 90% of rows share one order value -> boundaries collapse -> warn
+    skewed = df.withColumn(
+        "ord", F.when(F.col("doc_id") % 10 < 9, F.lit(7)).otherwise(F.col("doc_id"))
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        global_running_total(
+            skewed, "ord", "val", tiebreak_col="doc_id", warn_skew=True
+        )
+        assert any("heavy" in str(x.message) for x in w), [str(x.message) for x in w]
+    # a dispersed key does not warn
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        global_running_total(
+            df, "doc_id", "val", tiebreak_col="doc_id", warn_skew=True
+        )
+        assert not any("heavy" in str(x.message) for x in w)
