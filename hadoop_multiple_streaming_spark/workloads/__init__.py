@@ -53,113 +53,107 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
-    # ---- round-11 window (driver checks ~first 50) ----
-    # NEW r11: explicit-mixture sampling, global training-order
-    # shuffle ordinals, token-budget selection
+    # ---- round-12 window (driver checks ~first 50) ----
+    # CHANGED r12: subgroup-decomposed hash rank (dominant-group
+    # pre-trim), prefix-sum bucket auto-sizing, score-negation fix,
+    # IVF-PQ probe dedupe — every query whose plan moved this round
     "mixture_sample_docs",
+    "quota_sample",
+    "temperature_sample",
     "global_shuffle_docs",
     "token_budget_pick",
-    "ann_ivfpq_adc",
     "selection_pipeline",
-    # Touched r11: assign_packs_global now routes through the shared
-    # global_running_total prefix-sum core
     "pack_sequences_global",
-    # Touched r11: score_quality_classifier keep_cols passthrough
-    "quality_model_score",
-    # Touched r11: shingle df-cap arg (cap non-binding at sf0.01 — the
-    # oracle replays the identical HAVING filter)
-    "dedup_ngram_jaccard",
-    # Touched r11: weight dtype/overflow/collision guards
-    "priority_sample_docs",
-    # Pipe/fanout sentinels (runner grew the typed -outputformat final
-    # sink r11; these cover the untyped default path end-to-end)
-    "pipe_wordcount",
+    "ann_ivfpq_adc",
+    # evidence-refresh: stalest driver greens (r08, never re-proved)
+    "agg_double_sum",
+    "agg_salted_sum",
+    "dedup_simhash_pairs",
+    "agg_long_sum_native",
+    "ann_pq_train_recall",
+    "salted_join_revenue",
+    "incremental_dedup",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q21_sole_failing_supplier",
+    "orders_grouping_sets",
+    "multimodal_features",
+    # evidence-refresh: next-stalest (r10 greens)
+    "pipe_grouped_reduce",
+    "pipe_identity_cat",
+    "semantic_dedup_hier",
+    "semantic_dedup_auto",
+    "semantic_dedup",
+    "substring_decontamination",
+    "decontaminate_cut_spans",
+    "incremental_minhash_dedup",
+    "part_supplier_topn",
+    "text_pii_redact",
+    "text_boilerplate_removal",
+    "ann_cosine_topk",
+    "ann_ivf_multiprobe",
+    "q13_customer_distribution",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "secondary_sort_events",
+    "events_exact_profile",
+    "agg_long_sum",
+    "agg_uniq_count",
+    "agg_value_histogram",
+    "q1_pricing_summary",
+    # family representative: fan-out (r11 green, kept in-window)
     "fanout_two_branches",
-    # evidence-refresh: stalest driver greens first (last green r07)
-    "pack_texts",
-    "stratified_sample",
-    "quota_sample",
-    "text_langid",
-    "text_tfidf_top_terms",
-    "text_sentence_stats",
-    "text_repetition",
-    "curation_pipeline",
-    "ann_ivf_topk",
-    "embedding_centroids",
-    "ann_recall",
-    "kmeans_refine",
-    "ivf_assignment",
-    "embedding_sq8",
-    "interval_click_errors",
-    "anti_join_dormant_customers",
-    "first_event_per_user",
-    "events_json_props",
-    "agg_long_max_min",
-    "ann_ivf_index",
-    # evidence-refresh: r08 greens never re-proved since
-    "top_quality_docs",
-    "text_normalize",
-    "text_winnowing",
-    "winnowing_pairs",
-    "duplicate_span_mining",
-    "customer_order_counts",
-    "set_ops_customers",
-    "lineitem_rollup",
-    "lineitem_cube",
-    "orders_priority_pivot",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q22_global_sales_opportunity",
-    "text_top_bigrams",
-    "agg_string_max_min",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
-    "agg_double_sum",  # r08 green
-    "agg_salted_sum",  # r08 green
-    "dedup_simhash_pairs",  # r08 green
-    "agg_long_sum_native",  # r08 green
-    "ann_pq_train_recall",  # r08 green
-    "salted_join_revenue",  # r08 green
-    "temperature_sample",  # r08 green
-    "incremental_dedup",  # r08 green
-    "q2_min_cost_supplier",  # r08 green
-    "q7_nation_volume",  # r08 green
-    "q8_market_share",  # r08 green
-    "q14_promo_revenue",  # r08 green
-    "q15_top_supplier",  # r08 green
-    "q16_supplier_part_counts",  # r08 green
-    "q17_small_quantity_revenue",  # r08 green + r10 judge re-run
-    "q19_disjunctive_revenue",  # r08 green
-    "q20_heavy_shippers",  # r08 green
-    "q21_sole_failing_supplier",  # r08 green
-    "orders_grouping_sets",  # r08 green
-    "multimodal_features",  # r08 green + r10 judge re-run
-    "pipe_grouped_reduce",  # r10 green
-    "pipe_identity_cat",  # r10 green
-    "semantic_dedup_hier",  # r10 green
-    "semantic_dedup_auto",  # r10 green
-    "semantic_dedup",  # r10 green
-    "substring_decontamination",  # r10 green (+ sf4.0 hash-proof)
-    "decontaminate_cut_spans",  # r10 green
-    "incremental_minhash_dedup",  # r10 green
-    "part_supplier_topn",  # r10 green
-    "text_pii_redact",  # r10 green
-    "text_boilerplate_removal",  # r10 green
-    "ann_cosine_topk",  # r10 green
-    "ann_ivf_multiprobe",  # r10 green
-    "q13_customer_distribution",  # r10 green
-    "events_hourly_rollup",  # r10 green
-    "events_sessionize",  # r10 green
-    "secondary_sort_events",  # r10 green + r11 sf1.0 re-anchor
-    "events_exact_profile",  # r10 green
-    "agg_long_sum",  # r10 green
-    "agg_uniq_count",  # r10 green
-    "agg_value_histogram",  # r10 green
+    "quality_model_score",  # r11 green
+    "dedup_ngram_jaccard",  # r11 green
+    "priority_sample_docs",  # r11 green
+    "pipe_wordcount",  # r11 green
+    "pack_texts",  # r11 green
+    "stratified_sample",  # r11 green
+    "text_langid",  # r11 green
+    "text_tfidf_top_terms",  # r11 green
+    "text_sentence_stats",  # r11 green
+    "text_repetition",  # r11 green
+    "curation_pipeline",  # r11 green
+    "ann_ivf_topk",  # r11 green
+    "embedding_centroids",  # r11 green
+    "ann_recall",  # r11 green
+    "kmeans_refine",  # r11 green
+    "ivf_assignment",  # r11 green
+    "embedding_sq8",  # r11 green
+    "interval_click_errors",  # r11 green
+    "anti_join_dormant_customers",  # r11 green
+    "first_event_per_user",  # r11 green
+    "events_json_props",  # r11 green
+    "agg_long_max_min",  # r11 green
+    "ann_ivf_index",  # r11 green
+    "top_quality_docs",  # r11 green
+    "text_normalize",  # r11 green
+    "text_winnowing",  # r11 green
+    "winnowing_pairs",  # r11 green
+    "duplicate_span_mining",  # r11 green
+    "customer_order_counts",  # r11 green
+    "set_ops_customers",  # r11 green
+    "lineitem_rollup",  # r11 green
+    "lineitem_cube",  # r11 green
+    "orders_priority_pivot",  # r11 green
+    "q3_shipping_priority",  # r11 green
+    "q4_order_priority",  # r11 green
+    "q6_forecast_revenue",  # r11 green
+    "q10_returned_items",  # r11 green
+    "q11_important_parts",  # r11 green
+    "q12_priority_by_status",  # r11 green
+    "q22_global_sales_opportunity",  # r11 green
+    "text_top_bigrams",  # r11 green
+    "agg_string_max_min",  # r11 green
     "contamination_rate",  # r10 green
-    "q1_pricing_summary",  # r10 green
     "q5_local_supplier_volume",  # r10 green
     "asof_click_attribution",  # r10 green
     "q18_large_orders",  # r10 green
@@ -185,7 +179,7 @@ _PRIORITY_ORDER = [
     "multimodal_frame_sample",  # r10 green
     "pack_sequences",  # r10 judge re-run green
     "dataset_split",  # r07 green + r11 sf1.0 re-anchor
-    "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile
+    "events_approx_profile",  # r11 green
 ]
 
 

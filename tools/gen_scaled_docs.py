@@ -84,9 +84,44 @@ def gen_embeddings(sf: float, seed: int = 4242) -> "pa.Table":
     )
 
 
-def gen_documents(sf: float, seed: int = 42) -> pa.Table:
+def zipf_vocab(size: int = 4000, exponent: float = 1.05):
+    """A Zipfian vocabulary + cumulative weights: token i drawn with
+    p(i) ∝ 1/(i+1)^exponent — the realistic word-frequency shape. The
+    driver's 31-token uniform vocabulary saturates EVERY 3-gram at
+    sf >= 4.0 (all shingles exceed any df cap; capped result empty by
+    construction — round-11 verdict "What's missing" #2); a Zipfian
+    vocab makes the ngram df-cap BIND selectively: head-token shingles
+    blow past the cap (stop-phrase analogue), tail shingles survive,
+    and near-dup pairs still share enough kept shingles to answer."""
+    import itertools
+
+    weights = [1.0 / (i + 1) ** exponent for i in range(size)]
+    cum = list(itertools.accumulate(weights))
+    vocab = [f"tok{i:04d}" for i in range(size)]
+    return vocab, cum
+
+
+def gen_documents(sf: float, seed: int = 42, zipf: bool = False) -> pa.Table:
     n = round(50_000 * sf)
     rng = random.Random(seed)
+    if zipf:
+        vocab, cum = zipf_vocab()
+
+        def draw(k: int) -> list[str]:
+            return rng.choices(vocab, cum_weights=cum, k=k)
+
+        def one() -> str:
+            return rng.choices(vocab, cum_weights=cum, k=1)[0]
+
+    else:
+        vocab = VOCAB
+
+        def draw(k: int) -> list[str]:
+            return [rng.choice(vocab) for _ in range(k)]
+
+        def one() -> str:
+            return rng.choice(vocab)
+
     texts: list[str] = []
     langs: list[str] = []
     for i in range(n):
@@ -94,11 +129,11 @@ def gen_documents(sf: float, seed: int = 42) -> pa.Table:
             # near-duplicate of an earlier doc: 0-3 token edits
             base = texts[rng.randrange(len(texts))].split(" ")
             for _ in range(rng.randint(0, 3)):
-                base[rng.randrange(len(base))] = rng.choice(VOCAB)
+                base[rng.randrange(len(base))] = one()
             texts.append(" ".join(base))
         else:
             nw = rng.randint(10, 100)
-            texts.append(" ".join(rng.choice(VOCAB) for _ in range(nw)))
+            texts.append(" ".join(draw(nw)))
         langs.append(rng.choices(LANGS, weights=LANG_W)[0])
     return pa.table(
         {
@@ -112,11 +147,15 @@ def gen_documents(sf: float, seed: int = 42) -> pa.Table:
 
 
 def main() -> int:
-    sfs = [float(a) for a in sys.argv[1:]] or [0.5, 1.0]
+    args = list(sys.argv[1:])
+    zipf = "--zipf" in args
+    if zipf:
+        args.remove("--zipf")
+    sfs = [float(a) for a in args] or [0.5, 1.0]
     for sf in sfs:
-        out = os.path.join(OUT_ROOT, f"sf{sf}")
+        out = os.path.join(OUT_ROOT, f"sf{sf}-zipf" if zipf else f"sf{sf}")
         os.makedirs(out, exist_ok=True)
-        tbl = gen_documents(sf)
+        tbl = gen_documents(sf, zipf=zipf)
         pq.write_table(tbl, os.path.join(out, "documents.parquet"))
         emb = gen_embeddings(sf)
         pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
