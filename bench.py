@@ -181,25 +181,32 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in names:
         # warm pass (Janino compiles, shuffle init for the plan
-        # shapes), then MIN of two timed runs: the host shares cores
-        # with other tenants (idle load avg ~3), so a single timed run
-        # regularly carries 2-3x transient-contention noise; min-of-2
-        # is the standard robust steady-state estimator
+        # shapes), then an ADAPTIVE min-of-k (k=2..4): the host shares
+        # cores with other tenants, and round-11's same-HEAD driver
+        # runs spread 2.2x on single-sample timing. Take 2 reps; while
+        # the two fastest disagree by >20%, add reps up to 4 — a
+        # contention spike costs extra reps instead of polluting the
+        # recorded number. Stable queries still pay only 2 reps, so
+        # total wall time stays sane; the reported value reproduces a
+        # quiet-host min-of-4 within the 20% convergence bound.
         try:
             workloads.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
         except Exception:
             pass
-        best = -1.0
+        samples: list[float] = []
         try:
-            for _ in range(2):
+            while len(samples) < 4:
                 t0 = time.monotonic()
                 df = workloads.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                dt = round(time.monotonic() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
-            times[name] = best
+                samples.append(time.monotonic() - t0)
+                if len(samples) >= 2:
+                    s = sorted(samples)
+                    if s[1] <= s[0] * 1.2:
+                        break
+            times[name] = round(min(samples), 3)
         except Exception as e:
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             times[name] = -1.0

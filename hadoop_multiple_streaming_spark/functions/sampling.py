@@ -72,12 +72,48 @@ def deterministic_sample(
 _RANK_SUBGROUPS = 64
 
 
+def _check_subgroup_args(df: DataFrame, num_subgroups: int) -> None:
+    if num_subgroups < 1 or SPACE % num_subgroups != 0:
+        raise ValueError(
+            f"_grouped_hash_topk: num_subgroups must divide {SPACE},"
+            f" got {num_subgroups}"
+        )
+    for reserved in ("_hv", "_sg", "_sgn", "_goff", "_rk"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"_grouped_hash_topk: input already has a {reserved!r}"
+                " column (internal temp name); rename it first"
+            )
+
+
+def _subgroup_counts(
+    df: DataFrame, key_col: str, group_col: str, num_subgroups: int
+) -> DataFrame:
+    """The (group, _sg, _sgn) hash-subgroup count relation — the ONE
+    corpus aggregation the subgroup-decomposed rank needs. Callers that
+    also need plain per-group counts (temperature/mixture quota
+    arithmetic) roll THIS relation up instead of paying a second
+    corpus pass, and hand it back to ``_grouped_hash_topk`` via
+    ``sg_counts`` so the whole sampler costs one count aggregate plus
+    the rank join — the same corpus-pass budget as the old
+    whole-group-window form."""
+    _check_subgroup_args(df, num_subgroups)
+    sub_width = SPACE // num_subgroups
+    return (
+        df.withColumn("_hv", hash_value(key_col))
+        .withColumn("_sg", F.expr(f"_hv div {sub_width}"))
+        .groupBy(group_col, "_sg")
+        .agg(F.count(F.lit(1)).alias("_sgn"))
+    )
+
+
 def _grouped_hash_topk(
     df: DataFrame,
     key_col: str,
     group_col: str,
     quota_col: str,
     num_subgroups: int = _RANK_SUBGROUPS,
+    sg_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Keep each group's ``quota`` lowest rows in (hash_value(key), key)
     order — the shared membership kernel of ``quota_sample`` /
@@ -101,27 +137,23 @@ def _grouped_hash_topk(
     (the md5 hash is uniform, so subgroups self-balance) — and the
     offsets join PRE-TRIMS every row of a subgroup that starts at or
     past the quota, so the window's input is ~quota + n/num_subgroups
-    rows per group, not n. Cost: one extra (group, subgroup) count
-    aggregate (map-side partial, tiny exchange) per call."""
-    if num_subgroups < 1 or SPACE % num_subgroups != 0:
-        raise ValueError(
-            f"_grouped_hash_topk: num_subgroups must divide {SPACE},"
-            f" got {num_subgroups}"
-        )
-    for reserved in ("_hv", "_sg", "_sgn", "_goff", "_rk"):
-        if reserved in df.columns:
-            raise ValueError(
-                f"_grouped_hash_topk: input already has a {reserved!r}"
-                " column (internal temp name); rename it first"
-            )
+    rows per group, not n. ``sg_counts`` (a relation from
+    ``_subgroup_counts`` over the same rows/key/num_subgroups) lets a
+    caller that already counted per (group, subgroup) share that
+    aggregation instead of paying it twice."""
+    _check_subgroup_args(df, num_subgroups)
     from pyspark.sql.window import Window
 
     sub_width = SPACE // num_subgroups
     keyed = df.withColumn("_hv", hash_value(key_col)).withColumn(
         "_sg", F.expr(f"_hv div {sub_width}")
     )
-    counts = keyed.groupBy(group_col, "_sg").agg(
-        F.count(F.lit(1)).alias("_sgn")
+    counts = (
+        sg_counts
+        if sg_counts is not None
+        else keyed.groupBy(group_col, "_sg").agg(
+            F.count(F.lit(1)).alias("_sgn")
+        )
     )
     w_off = (
         Window.partitionBy(group_col)
@@ -226,7 +258,10 @@ def temperature_sample(
             "temperature_sample: input already has a '_quota' column;"
             " rename it"
         )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # ONE corpus count aggregation: per-group counts roll up from the
+    # (group, subgroup) relation the rank offsets also consume
+    sgc = _subgroup_counts(df, key_col, group_col, num_subgroups)
+    counts = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
     power = (
         F.sqrt(F.col("_n").cast("double"))
         if alpha == 0.5
@@ -255,7 +290,7 @@ def temperature_sample(
     )
     joined = df.join(F.broadcast(quotas), group_col)
     return _grouped_hash_topk(
-        joined, key_col, group_col, "_quota", num_subgroups
+        joined, key_col, group_col, "_quota", num_subgroups, sg_counts=sgc
     ).drop("_quota")
 
 
@@ -485,11 +520,11 @@ def mixture_sample(
     # With _n = 0 the default target becomes (0 * W) div w = 0 (the
     # largest mixture achievable without the missing group is empty),
     # and an explicit target_total trips the raise_error quota check.
-    present = (
-        df.join(F.broadcast(wdf.select(group_col)), group_col, "left_semi")
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    # ONE corpus count aggregation shared with the rank offsets: the
+    # (group, subgroup) relation over the weighted subset rolls up to
+    # the per-group counts the quota arithmetic needs
+    sgc = _subgroup_counts(in_mix, key_col, group_col, num_subgroups)
+    present = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
     counts = wdf.join(present, group_col, "left").select(
         group_col, "_w", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("_n")
     )
@@ -522,7 +557,7 @@ def mixture_sample(
     )
     joined = in_mix.join(F.broadcast(quotas), group_col)
     return _grouped_hash_topk(
-        joined, key_col, group_col, "_quota", num_subgroups
+        joined, key_col, group_col, "_quota", num_subgroups, sg_counts=sgc
     ).drop("_quota", "_w")
 
 
