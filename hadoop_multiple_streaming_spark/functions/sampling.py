@@ -111,37 +111,57 @@ def _grouped_hash_topk(
     df: DataFrame,
     key_col: str,
     group_col: str,
-    quota_col: str,
+    quota: int | None = None,
+    quotas: DataFrame | None = None,
     num_subgroups: int = _RANK_SUBGROUPS,
     sg_counts: DataFrame | None = None,
 ) -> DataFrame:
-    """Keep each group's ``quota`` lowest rows in (hash_value(key), key)
+    """Keep each group's quota lowest rows in (hash_value(key), key)
     order — the shared membership kernel of ``quota_sample`` /
     ``temperature_sample`` / ``mixture_sample`` — WITHOUT a
-    whole-group window partition. ``df`` must carry a long ``quota_col``
-    (constant within each group); output preserves ``df``'s columns.
+    whole-group window partition. The quota is either a scalar
+    (``quota``) or a small per-group relation ``quotas`` with columns
+    (group_col, _quota) — exactly one must be given. With a relation,
+    membership is restricted to its groups (the broadcast join is
+    inner), which is how mixture_sample drops unlisted groups without
+    ever joining the corpus against the weights. Output preserves
+    ``df``'s columns.
 
     Mechanism (exact, not approximate): subgroup = hash div
     (SPACE/num_subgroups) is MONOTONE in the rank order, so a group's
     global (hash, key) order is the concatenation of its subgroups in
     subgroup order, and rank-in-group = (rows in earlier subgroups) +
     rank-in-subgroup. The per-(group, subgroup) row counts are a tiny
-    relation (|groups| x num_subgroups); their running totals join back
-    broadcast. Equal hashes share a subgroup, so the key tie-break
-    never straddles a boundary — membership is bit-identical to the
-    single row_number() window at any num_subgroups (pytest-pinned).
+    relation (|groups| x num_subgroups); their running totals — and
+    the per-group quotas, when relational — fold into ONE broadcast
+    relation, so the corpus-side plan is scan -> one broadcast join ->
+    one (group, subgroup) window: the same number of corpus passes as
+    the old single-window form (main pass + one count aggregation).
+    Equal hashes share a subgroup, so the key tie-break never
+    straddles a boundary — membership is bit-identical to the single
+    row_number() window at any num_subgroups (pytest-pinned).
 
     Scale shape (the round-11 verdict's last named 100 TB wall): the
     corpus window partitions by (group, subgroup) — a 40%-of-corpus
     group becomes num_subgroups parallel partitions, ~n/64 rows each
     (the md5 hash is uniform, so subgroups self-balance) — and the
-    offsets join PRE-TRIMS every row of a subgroup that starts at or
-    past the quota, so the window's input is ~quota + n/num_subgroups
-    rows per group, not n. ``sg_counts`` (a relation from
-    ``_subgroup_counts`` over the same rows/key/num_subgroups) lets a
-    caller that already counted per (group, subgroup) share that
-    aggregation instead of paying it twice."""
+    broadcast relation PRE-TRIMS every row of a subgroup that starts
+    at or past its group's quota, so the window's input is
+    ~quota + n/num_subgroups rows per group, not n. ``sg_counts``
+    (a relation from ``_subgroup_counts`` over the same
+    rows/key/num_subgroups) lets a caller that already counted per
+    (group, subgroup) share that aggregation instead of paying it
+    twice."""
+    if (quota is None) == (quotas is None):
+        raise ValueError(
+            "_grouped_hash_topk: exactly one of quota/quotas must be given"
+        )
     _check_subgroup_args(df, num_subgroups)
+    if quotas is not None and "_quota" in df.columns:
+        raise ValueError(
+            "_grouped_hash_topk: input already has a '_quota' column;"
+            " rename it first"
+        )
     from pyspark.sql.window import Window
 
     sub_width = SPACE // num_subgroups
@@ -151,9 +171,7 @@ def _grouped_hash_topk(
     counts = (
         sg_counts
         if sg_counts is not None
-        else keyed.groupBy(group_col, "_sg").agg(
-            F.count(F.lit(1)).alias("_sgn")
-        )
+        else _subgroup_counts(df, key_col, group_col, num_subgroups)
     )
     w_off = (
         Window.partitionBy(group_col)
@@ -167,16 +185,28 @@ def _grouped_hash_topk(
             "_goff"
         ),
     )
+    if quotas is not None:
+        # fold quota into the SAME tiny broadcast relation (both sides
+        # derive from the one count aggregation — one broadcast job,
+        # not two corpus-agg subtrees). LEFT from the quotas side: a
+        # quota row for a group with no corpus rows still MATERIALIZES
+        # (its raise_error guard must fire) but carries a null _sg that
+        # can never match the corpus equi-join.
+        rel = quotas.join(offsets, [group_col], "left")
+        qcol = F.col("_quota")
+    else:
+        rel = offsets
+        qcol = F.lit(int(quota)).cast("long")
     w_rank = Window.partitionBy(group_col, "_sg").orderBy(
         "_hv", F.col(key_col)
     )
     kept = (
-        keyed.join(F.broadcast(offsets), [group_col, "_sg"])
+        keyed.join(F.broadcast(rel), [group_col, "_sg"])
         # pre-trim: a subgroup whose offset already reaches the quota
         # cannot contribute — its rows never enter the rank window
-        .where(F.col("_goff") < F.col(quota_col))
+        .where(F.col("_goff") < qcol)
         .withColumn("_rk", F.row_number().over(w_rank))
-        .where(F.col("_goff") + F.col("_rk") <= F.col(quota_col))
+        .where(F.col("_goff") + F.col("_rk") <= qcol)
     )
     return kept.select(*df.columns)
 
@@ -203,14 +233,9 @@ def quota_sample(
     identical at any ``num_subgroups``."""
     if quota < 1:
         raise ValueError(f"quota_sample: quota must be >= 1, got {quota}")
-    if "_quota" in df.columns:
-        raise ValueError(
-            "quota_sample: input already has a '_quota' column; rename it"
-        )
-    with_quota = df.withColumn("_quota", F.lit(int(quota)).cast("long"))
     return _grouped_hash_topk(
-        with_quota, key_col, group_col, "_quota", num_subgroups
-    ).drop("_quota")
+        df, key_col, group_col, quota=quota, num_subgroups=num_subgroups
+    )
 
 
 #: integer weight scale for temperature_sample: quotas come from exact
@@ -288,10 +313,14 @@ def temperature_sample(
             ).alias("_quota"),
         )
     )
-    joined = df.join(F.broadcast(quotas), group_col)
     return _grouped_hash_topk(
-        joined, key_col, group_col, "_quota", num_subgroups, sg_counts=sgc
-    ).drop("_quota")
+        df,
+        key_col,
+        group_col,
+        quotas=quotas,
+        num_subgroups=num_subgroups,
+        sg_counts=sgc,
+    )
 
 
 def upsample_epochs(
@@ -501,9 +530,9 @@ def mixture_sample(
             f"mixture_sample: group_col must be string (weights are keyed"
             f" by label), got {gtype} — cast it first"
         )
-    if "_quota" in df.columns or "_w" in df.columns:
+    if "_quota" in df.columns:
         raise ValueError(
-            "mixture_sample: input already has a '_quota'/'_w' column;"
+            "mixture_sample: input already has a '_quota' column;"
             " rename it first"
         )
     total_w = sum(weights.values())
@@ -512,7 +541,14 @@ def mixture_sample(
         [(g, int(w)) for g, w in sorted(weights.items())],
         schema=f"{group_col} string, _w long",
     )
-    in_mix = df.join(F.broadcast(wdf), group_col)
+    # The corpus side never joins the weights: the quota relation only
+    # carries weight groups, and _grouped_hash_topk's broadcast join is
+    # the membership filter that drops unlisted groups. ONE corpus
+    # count aggregation (over all groups — unlisted ones fall out at
+    # the tiny wdf join) feeds both the quota arithmetic (rolled up per
+    # group) and the rank offsets.
+    sgc = _subgroup_counts(df, key_col, group_col, num_subgroups)
+    present = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
     # LEFT-join the weights relation against the per-group corpus
     # counts (ADVICE r11): an inner join would silently DROP a weighted
     # group with zero corpus rows from the quota arithmetic — the
@@ -520,11 +556,6 @@ def mixture_sample(
     # With _n = 0 the default target becomes (0 * W) div w = 0 (the
     # largest mixture achievable without the missing group is empty),
     # and an explicit target_total trips the raise_error quota check.
-    # ONE corpus count aggregation shared with the rank offsets: the
-    # (group, subgroup) relation over the weighted subset rolls up to
-    # the per-group counts the quota arithmetic needs
-    sgc = _subgroup_counts(in_mix, key_col, group_col, num_subgroups)
-    present = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
     counts = wdf.join(present, group_col, "left").select(
         group_col, "_w", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("_n")
     )
@@ -555,10 +586,14 @@ def mixture_sample(
         .otherwise(raw_quota)
         .alias("_quota"),
     )
-    joined = in_mix.join(F.broadcast(quotas), group_col)
     return _grouped_hash_topk(
-        joined, key_col, group_col, "_quota", num_subgroups, sg_counts=sgc
-    ).drop("_quota", "_w")
+        df,
+        key_col,
+        group_col,
+        quotas=quotas,
+        num_subgroups=num_subgroups,
+        sg_counts=sgc,
+    )
 
 
 def global_shuffle(

@@ -576,9 +576,20 @@ def test_grouped_hash_topk_validation(spark):
         quota_sample(
             df.withColumn("_sg", F.lit(0)), "doc_id", "grp", 5
         )
+    # _quota is reserved only in relation mode (mixture/temperature);
+    # scalar quota_sample never materializes it on the corpus side
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        mixture_sample,
+        temperature_sample,
+    )
+
     with pytest.raises(ValueError, match="_quota"):
-        quota_sample(
-            df.withColumn("_quota", F.lit(0)), "doc_id", "grp", 5
+        mixture_sample(
+            df.withColumn("_quota", F.lit(0)), "doc_id", "grp", {"a": 1}
+        )
+    with pytest.raises(ValueError, match="_quota"):
+        temperature_sample(
+            df.withColumn("_quota", F.lit(0)), "doc_id", "grp"
         )
 
 
