@@ -154,7 +154,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the engine to executors unconditionally: module-level
+    # closures (mapInPandas feature extractors, pandas_udf kernels,
+    # the sentence UDTF) unpickle BY REFERENCE to engine modules, so a
+    # worker whose cwd is not the repo (any real cluster; local runs
+    # launched from another directory) dies with ModuleNotFoundError
+    # unless the package zip rides sc.addPyFile. Idempotent per app.
+    ensure_package_shipped(spark)
+    return spark
 
 
 _SHIPPED: set[str] = set()
@@ -202,4 +210,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static confs on a running session — leave as-is
+    # the driver's session needs the engine on its executors for the
+    # same reason get_spark ships it (see ensure_package_shipped)
+    ensure_package_shipped(spark)
     return spark
