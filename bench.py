@@ -92,6 +92,10 @@ HEADLINE = [
     # pipeline (the new corpus-selection operators working as one plan)
     "ann_ivfpq_adc",
     "selection_pipeline",
+    # round-12 extension surface: the Bloom-prefiltered exact
+    # anti-join (blocklist screen past broadcast range — negatives
+    # keep scan speed, only the might-contain sliver shuffles)
+    "bloom_decontaminate",
 ]
 
 

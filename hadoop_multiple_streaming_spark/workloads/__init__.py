@@ -54,6 +54,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # representative.
 _PRIORITY_ORDER = [
     # ---- round-12 window (driver checks ~first 50) ----
+    # NEW r12: Bloom-prefiltered exact anti-join (blocklist screen at
+    # past-broadcast probe scale)
+    "bloom_decontaminate",
     # CHANGED r12: subgroup-decomposed hash rank (dominant-group
     # pre-trim), prefix-sum bucket auto-sizing, score-negation fix,
     # IVF-PQ probe dedupe — every query whose plan moved this round
@@ -107,10 +110,10 @@ _PRIORITY_ORDER = [
     "agg_long_sum",
     "agg_uniq_count",
     "agg_value_histogram",
-    "q1_pricing_summary",
     # family representative: fan-out (r11 green, kept in-window)
     "fanout_two_branches",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
+    "q1_pricing_summary",  # r10 green; slot ceded to bloom_decontaminate (entry() smokes it every round anyway)
     "quality_model_score",  # r11 green
     "dedup_ngram_jaccard",  # r11 green
     "priority_sample_docs",  # r11 green
@@ -179,7 +182,7 @@ _PRIORITY_ORDER = [
     "multimodal_frame_sample",  # r10 green
     "pack_sequences",  # r10 judge re-run green
     "dataset_split",  # r07 green + r11 sf1.0 re-anchor
-    "events_approx_profile",  # r11 green
+    "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile + pytest bounds
 ]
 
 

@@ -694,3 +694,34 @@ def incremental_minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFra
     return minhash_store_hits(
         sig.where(F.col("id") % 2 == 1), store, rows_per_band=2
     )
+
+
+@register(
+    "bloom_decontaminate",
+    oracle="""
+    SELECT c.doc_id, c.lang
+    FROM documents c
+    WHERE c.doc_id % 97 <> 0
+      AND NOT EXISTS (SELECT 1 FROM documents p
+                      WHERE p.doc_id % 97 = 0 AND p.text = c.text)
+    """,
+)
+def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text blocklist screen through the Bloom prefilter
+    (operators.bloom.bloom_anti_join — r12): every 97th document plays
+    a blocklist too large to broadcast at production scale; corpus
+    rows whose text bloom-tests NEGATIVE are kept at scan speed (no
+    false negatives), and only the might-contain sliver routes through
+    the exact LeftAnti join. The result is bit-identical to the plain
+    anti-join — the NOT EXISTS oracle hash-verifies it — while the
+    corpus-wide shuffle shrinks to the contaminated fraction."""
+    from ..operators.bloom import bloom_anti_join
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "lang", "text"
+    )
+    probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return bloom_anti_join(corpus, "text", probes, "text").select(
+        "doc_id", "lang"
+    )

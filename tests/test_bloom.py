@@ -1,0 +1,85 @@
+"""Tests for the Bloom-prefiltered exact anti-join (operators.bloom)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_multiple_streaming_spark.operators.bloom import (
+    BloomFilterSpec,
+    bloom_anti_join,
+    build_bloom,
+    might_contain,
+)
+
+
+def _corpus(spark, n=600):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("key"), (F.col("id") % 211).cast("string")).alias("k"),
+    )
+
+
+def _probes(spark):
+    # every key ending in 0..3 of the 211-key space, with duplicates
+    rows = [(f"key{i}",) for i in range(211) if i % 10 < 4] * 2
+    return spark.createDataFrame(rows, "pk string")
+
+
+def test_build_bloom_has_no_false_negatives(spark):
+    probes = _probes(spark)
+    bloom = build_bloom(probes, "pk")
+    bf = spark.createDataFrame([(bloom.words,)], "bf array<bigint>")
+    checked = probes.join(F.broadcast(bf)).select(
+        might_contain(F.col("pk"), F.col("bf"), bloom).alias("hit")
+    )
+    assert checked.where(~F.col("hit")).count() == 0  # the Bloom law
+
+
+def test_build_bloom_fpp_is_small(spark):
+    probes = _probes(spark)
+    bloom = build_bloom(probes, "pk")
+    assert bloom.fpp < 0.01
+    # disjoint key space: observed false-positive rate near the bound
+    others = spark.range(5000).select(
+        F.concat(F.lit("absent"), F.col("id").cast("string")).alias("k")
+    )
+    bf = spark.createDataFrame([(bloom.words,)], "bf array<bigint>")
+    hits = (
+        others.join(F.broadcast(bf))
+        .where(might_contain(F.col("k"), F.col("bf"), bloom))
+        .count()
+    )
+    assert hits / 5000 < 0.05, hits
+
+
+def test_bloom_anti_join_matches_plain_anti_join(spark):
+    corpus = _corpus(spark)
+    probes = _probes(spark)
+    got = bloom_anti_join(corpus, "k", probes, "pk")
+    want = corpus.join(
+        probes.select(F.col("pk")), corpus.k == F.col("pk"), "left_anti"
+    )
+    g = sorted(r.doc_id for r in got.collect())
+    w = sorted(r.doc_id for r in want.collect())
+    assert g == w and len(g) > 0
+    assert got.columns == corpus.columns
+    # forcing a tiny bitmap (high FPR) cannot change the ANSWER — only
+    # how many rows route through the verify join
+    tiny = bloom_anti_join(corpus, "k", probes, "pk", num_bits=1024, num_hashes=2)
+    assert sorted(r.doc_id for r in tiny.collect()) == w
+
+
+def test_bloom_anti_join_validation(spark):
+    corpus = _corpus(spark).withColumn("_bloom_pk", F.lit(0))
+    with pytest.raises(ValueError, match="_bloom_pk"):
+        bloom_anti_join(corpus, "k", _probes(spark), "pk")
+    with pytest.raises(ValueError, match="num_hashes"):
+        build_bloom(_probes(spark), "pk", num_hashes=0)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(_probes(spark), "pk", num_bits=100)
+
+
+def test_bloom_spec_fpp_formula():
+    spec = BloomFilterSpec(words=[], num_bits=16 * 1000, num_hashes=5, n_keys=1000)
+    assert 0 < spec.fpp < 0.01

@@ -285,3 +285,17 @@ def test_selection_pipeline_no_corpus_global_window(spark, sf_dir):
     assert not corpus_windows, corpus_windows
     assert "hashpartitioning(_b" in plan  # the bucketed prefix sums
     assert "hashpartitioning(lang" in plan  # the mixture window
+
+
+def test_bloom_decontaminate_plan_shape(spark, sf_dir):
+    # the Bloom screen's contract: a 1-row bitmap broadcast (benign
+    # BroadcastNestedLoopJoin), an exact LeftAnti verify join for the
+    # might-contain sliver, and never a cartesian pair explosion. The
+    # clean branch is scan -> filter -> output by construction (the
+    # union's first child carries the negated might_contain filter).
+    df = workloads.QUERIES["bloom_decontaminate"](spark, sf_dir)
+    plan = _plan_of(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan

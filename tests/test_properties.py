@@ -273,3 +273,46 @@ def test_upsample_epochs_multiplicity_property(spark, sources, wa, wb):
     for i, s in enumerate(sources):
         want = reps(weights.get(s, 1.0), i)
         assert sorted(got.get(i, [])) == list(range(1, want + 1)), (s, i)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+    st.sampled_from([1, 4, 64]),
+)
+def test_grouped_hash_topk_matches_python_reference(spark, rows, quota, nsg):
+    """The subgroup-decomposed hash rank (r12 skew fix) against a plain
+    Python golden: per group, keep the `quota` smallest
+    (md5-nibble-hash, key) rows — exact membership at every subgroup
+    count, on arbitrary corpora."""
+    import hashlib
+
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        quota_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        (r.grp, r.doc_id)
+        for r in quota_sample(
+            df, "doc_id", "grp", quota, num_subgroups=nsg
+        ).collect()
+    }
+
+    def hv(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:6], 16)
+
+    want = set()
+    by_grp = {}
+    for doc_id, grp in rows:
+        by_grp.setdefault(grp, []).append(doc_id)
+    for grp, ids in by_grp.items():
+        ids.sort(key=lambda i: (hv(i), i))
+        want |= {(grp, i) for i in ids[:quota]}
+    assert got == want
