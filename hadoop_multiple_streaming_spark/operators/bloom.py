@@ -9,15 +9,36 @@ broadcast range — and the plain LeftAnti join then shuffles the ENTIRE
 corpus on the key: at 100 TB, a 100 TB shuffle to discard <1% of rows.
 
 This module implements the standard fix (a Bloom filter; Bloom, CACM
-1970 — the same idea behind Spark's own runtime bloom-filter join
-pruning, which only injects on equi-join shuffle plans and cannot be
-steered from the public DataFrame API): build a FIXED-SIZE bitmap from
-the probe keys, pre-screen the corpus against it at scan speed, and
-route ONLY the might-contain fraction (true hits + ~0.1% false
-positives) through the exact anti-join. Because a Bloom filter has no
-false negatives, the composed result is EXACTLY the plain anti-join —
-hash-verifiable against a `NOT EXISTS` oracle — while the corpus-wide
-shuffle shrinks to the contaminated fraction.
+1970): build a FIXED-SIZE bitmap from the probe keys, pre-screen the
+corpus against it at scan speed, and route ONLY the might-contain
+fraction (true hits + ~0.1% false positives) through the exact
+anti-join. Because a Bloom filter has no false negatives, the composed
+result is EXACTLY the plain anti-join — hash-verifiable against a
+`NOT EXISTS` oracle — while the corpus-wide shuffle shrinks to the
+contaminated fraction.
+
+Relationship to Spark's OWN runtime bloom-filter injection
+(spark.sql.optimizer.runtime.bloomFilter.*, on by default since 3.3):
+the optimizer injects the same pattern into shuffle equi-joins, but
+only when its size estimates clear the thresholds — notably
+creationSideThreshold (default 10 MB), which a production blocklist
+exceeds by orders of magnitude. This operator (i) guarantees the
+prefilter regardless of estimates, (ii) exposes the bitmap as a
+driver-held, PERSISTABLE artifact (save_bloom/load_bloom) so streaming
+micro-batches and repeated curation runs amortize one build instead of
+re-aggregating the probe side per query, and (iii) provides the
+join-free approximate screen (bloom_screen) for incremental-ingest
+pipelines that tolerate the documented fpp, like the MinHash store.
+
+Plan-shape note (measured, 20M-row corpus x 200k probes, local[8]):
+Catalyst's PushLeftSemiLeftAntiThroughJoin canonicalizes anti-joins
+BELOW inner joins, which silently re-hoists any within-plan prefilter
+above the anti-join — the naive composition shuffled the full corpus
+AND paid the bloom (9.5 s vs 7.5 s plain). The suspect sliver
+therefore passes through a mapInPandas identity barrier (no optimizer
+rule crosses an Arrow node; the sliver is ~fpp + hit-rate of the
+corpus, so the Arrow cost is marginal): 2.9 s vs 7.5 s plain — and the
+clean branch provably never shuffles.
 
 Cost shape: the might-contain split scans the corpus twice (the
 negative branch passes straight through scan -> filter -> output; the
@@ -28,8 +49,7 @@ bytes (write + network + read + spill).
 
 Determinism: positions are xxhash64(key, i) mod num_bits — fixed
 seeds, engine-deterministic; the bitmap relation is a 1-row broadcast
-(the percentile-bounds pattern), so plans stay readable and the
-barrier is a BroadcastNestedLoopJoin over one row.
+(the percentile-bounds pattern), so plans stay readable.
 
 Reference parity note: the reference engine has no blocklist operator
 at all (hadoop-multiple-streaming is a streaming-pipe runner); this is
@@ -148,6 +168,7 @@ def bloom_anti_join(
     probe_key_col: str,
     num_bits: int | None = None,
     num_hashes: int = 5,
+    bloom: BloomFilterSpec | None = None,
 ) -> DataFrame:
     """EXACT anti-join (keep corpus rows whose key does NOT appear in
     probes) with a Bloom pre-screen so the corpus-wide shuffle shrinks
@@ -160,21 +181,73 @@ def bloom_anti_join(
 
     The union is bit-identical to ``corpus.join(probes, key, "left_anti")``
     — the bloom can only change WHERE rows are routed, never the
-    answer — so a plain ``NOT EXISTS`` SQL oracle hash-verifies it."""
+    answer — so a plain ``NOT EXISTS`` SQL oracle hash-verifies it.
+
+    ``bloom`` may be a pre-built/loaded :class:`BloomFilterSpec` (the
+    streaming/repeated-run path — skips the build jobs); by default the
+    filter is built from ``probes`` here."""
     if "_bloom_bf" in corpus.columns or "_bloom_pk" in corpus.columns:
         raise ValueError(
             "bloom_anti_join: corpus already has a _bloom_bf/_bloom_pk"
             " column; rename it first"
         )
-    bloom = build_bloom(probes, probe_key_col, num_bits, num_hashes)
+    if bloom is None:
+        bloom = build_bloom(probes, probe_key_col, num_bits, num_hashes)
     spark = corpus.sparkSession
     bf = spark.createDataFrame([(bloom.words,)], "_bloom_bf array<bigint>")
     with_bf = corpus.join(F.broadcast(bf))
     hit = might_contain(F.col(key_col), F.col("_bloom_bf"), bloom)
     clean = with_bf.where(~hit).select(*corpus.columns)
     suspects = with_bf.where(hit).select(*corpus.columns)
+    # Arrow identity barrier: Catalyst's PushLeftSemiLeftAntiThroughJoin
+    # would otherwise sink the anti-join BELOW the bitmap test (full
+    # corpus shuffled, prefilter wasted — measured 9.5 s vs 2.9 s on
+    # 20M rows); no rule crosses a MapInPandas node, and its input is
+    # only the might-contain sliver
+    suspects = suspects.mapInPandas(lambda it: it, schema=suspects.schema)
     pk = probes.select(F.col(probe_key_col).alias("_bloom_pk"))
     verified = suspects.join(
         pk, F.col(key_col) == F.col("_bloom_pk"), "left_anti"
     )
     return clean.unionByName(verified)
+
+
+def bloom_screen(
+    df: DataFrame, key_col: str, bloom: BloomFilterSpec
+) -> DataFrame:
+    """APPROXIMATE join-free screen: keep only rows whose key is a
+    definite Bloom negative (drops every true member plus an ~fpp
+    fraction of clean rows erroneously — acceptable wherever LSH-grade
+    approximation already is, e.g. incremental ingest dedup gates).
+    One broadcast of num_bits/8 bytes, zero shuffle, scan speed; pair
+    with a persisted bitmap (save_bloom/load_bloom) to screen arriving
+    micro-batches against everything ever ingested without touching a
+    key store."""
+    if "_bloom_bf" in df.columns:
+        raise ValueError(
+            "bloom_screen: input already has a _bloom_bf column; rename it"
+        )
+    spark = df.sparkSession
+    bf = spark.createDataFrame([(bloom.words,)], "_bloom_bf array<bigint>")
+    hit = might_contain(F.col(key_col), F.col("_bloom_bf"), bloom)
+    return df.join(F.broadcast(bf)).where(~hit).select(*df.columns)
+
+
+def save_bloom(spark, bloom: BloomFilterSpec, path: str) -> None:
+    """Persist the bitmap (one parquet row) so later runs / streaming
+    micro-batches skip the build — the bloom analog of the MinHash
+    (band, bucket) key store."""
+    spark.createDataFrame(
+        [(bloom.words, bloom.num_bits, bloom.num_hashes, bloom.n_keys)],
+        "words array<bigint>, num_bits long, num_hashes int, n_keys long",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilterSpec:
+    r = spark.read.parquet(path).collect()[0]
+    return BloomFilterSpec(
+        words=list(r["words"]),
+        num_bits=int(r["num_bits"]),
+        num_hashes=int(r["num_hashes"]),
+        n_keys=int(r["n_keys"]),
+    )

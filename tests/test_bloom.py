@@ -83,3 +83,53 @@ def test_bloom_anti_join_validation(spark):
 def test_bloom_spec_fpp_formula():
     spec = BloomFilterSpec(words=[], num_bits=16 * 1000, num_hashes=5, n_keys=1000)
     assert 0 < spec.fpp < 0.01
+
+
+def test_bloom_prefilter_stays_below_anti_join(spark):
+    """Catalyst's PushLeftSemiLeftAntiThroughJoin would re-hoist the
+    bitmap test above the anti-join (full-corpus shuffle, prefilter
+    wasted); the Arrow identity barrier pins it. Assert on the
+    OPTIMIZED plan: the LeftAnti's corpus-side subtree contains the
+    Arrow node (so its input is the prefiltered sliver)."""
+    corpus = _corpus(spark)
+    probes = _probes(spark)
+    out = bloom_anti_join(corpus, "k", probes, "pk")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    anti_at = plan.find("LeftAnti")
+    arrow_at = plan.find("MapInPandas")
+    assert anti_at != -1 and arrow_at != -1
+    # toString prints parents first: the barrier must print AFTER
+    # (deeper than) the anti join, i.e. inside its subtree
+    assert arrow_at > anti_at, plan[:1500]
+
+
+def test_bloom_screen_and_persistence(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.operators.bloom import (
+        bloom_screen,
+        load_bloom,
+        save_bloom,
+    )
+
+    corpus = _corpus(spark)
+    probes = _probes(spark)
+    bloom = build_bloom(probes, "pk")
+    path = str(tmp_path / "bloom")
+    save_bloom(spark, bloom, path)
+    loaded = load_bloom(spark, path)
+    assert loaded == bloom
+    kept = bloom_screen(corpus, "k", loaded)
+    # every kept row is a TRUE non-member (no false negatives means
+    # nothing in the probe set can survive the screen)
+    probe_keys = {r.pk for r in probes.collect()}
+    assert all(r.k not in probe_keys for r in kept.collect())
+    # and the screen keeps most clean rows (fpp is small)
+    n_clean = corpus.where(~corpus.k.isin(list(probe_keys))).count()
+    assert kept.count() >= 0.9 * n_clean
+    # the pre-built spec also feeds the exact join (build skipped)
+    exact = bloom_anti_join(corpus, "k", probes, "pk", bloom=loaded)
+    want = corpus.join(
+        probes.withColumnRenamed("pk", "pt"), corpus.k == F.col("pt"), "left_anti"
+    )
+    assert sorted(r.doc_id for r in exact.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
