@@ -59,6 +59,32 @@ def assign_split(col: Column | str, weights: dict[str, float]) -> Column:
     return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
 
 
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the GROUP value (``assign_split`` on ``group_col``),
+    so every row of a group lands in the same split — no group ever
+    straddles the train/test boundary. This is the holdout rule for
+    grouped data (split by source domain / author / session, not by
+    row): a per-row split of near-identical documents from one site
+    leaks train content into test. Proportions apply to the GROUP
+    population, not the row population — a heavy group moves all its
+    rows together (that skew is the point).
+
+    Scale shape: one stateless projection — no shuffle, no join, no
+    group table. Adding new groups never reassigns existing ones
+    (hash-stable, unlike randomSplit), so yesterday's test set stays
+    test forever as the corpus grows.
+    """
+    if out_col in df.columns:
+        raise ValueError(f"grouped_split: column {out_col!r} already exists")
+    return df.withColumn(out_col, assign_split(group_col, weights))
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float
 ) -> DataFrame:

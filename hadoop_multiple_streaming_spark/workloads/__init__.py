@@ -57,6 +57,12 @@ _PRIORITY_ORDER = [
     # NEW r12: Bloom-prefiltered exact anti-join (blocklist screen at
     # past-broadcast probe scale)
     "bloom_decontaminate",
+    # NEW r12: corpus management (keep-best dedup, snapshot diff),
+    # blocked fuzzy linkage, leakage-safe grouped holdout split
+    "dedup_keep_best",
+    "corpus_diff",
+    "fuzzy_join_parts",
+    "grouped_holdout_split",
     # CHANGED r12: subgroup-decomposed hash rank (dominant-group
     # pre-trim), prefix-sum bucket auto-sizing, score-negation fix,
     # IVF-PQ probe dedupe — every query whose plan moved this round
@@ -106,14 +112,14 @@ _PRIORITY_ORDER = [
     "events_hourly_rollup",
     "events_sessionize",
     "secondary_sort_events",
-    "events_exact_profile",
-    "agg_long_sum",
-    "agg_uniq_count",
-    "agg_value_histogram",
     # family representative: fan-out (r11 green, kept in-window)
     "fanout_two_branches",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
     "q1_pricing_summary",  # r10 green; slot ceded to bloom_decontaminate (entry() smokes it every round anyway)
+    "events_exact_profile",  # r10 green; displaced by the r12 additions (events family keeps hourly_rollup/sessionize/secondary_sort in-window)
+    "agg_long_sum",  # r10 green; displaced by the r12 additions (agg family keeps double_sum/salted_sum/long_sum_native in-window)
+    "agg_uniq_count",  # r10 green; displaced by the r12 additions
+    "agg_value_histogram",  # r10 green; displaced by the r12 additions
     "quality_model_score",  # r11 green
     "dedup_ngram_jaccard",  # r11 green
     "priority_sample_docs",  # r11 green

@@ -725,3 +725,115 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(corpus, "text", probes, "text").select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+        SELECT md5(text) AS content_hash, doc_id, n_chars,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS dup_cnt,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    SELECT content_hash, doc_id AS keep_id, n_chars AS keep_score, dup_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators.corpus
+    keep_best_representative — r12): one row per distinct content
+    hash, keeping the HIGHEST-scoring member (longest here; min-id tie
+    break) via a single lexicographic max_by aggregate — no corpus
+    window, so a boilerplate mega-cluster can't create a straggler
+    partition. The oracle replays it as the row_number window it
+    semantically equals."""
+    from ..operators.corpus import keep_best_representative
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_hash"), "doc_id", "n_chars"
+    )
+    return keep_best_representative(
+        docs, ["content_hash"], "doc_id", "n_chars"
+    )
+
+
+@register(
+    "corpus_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]'
+                               ELSE text END) AS old_fp
+               FROM documents WHERE doc_id % 10 <> 3),
+         n AS (SELECT doc_id, md5(text) AS new_fp
+               FROM documents WHERE doc_id % 10 <> 6),
+         j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                      o.old_fp, n.new_fp
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+         s AS (SELECT doc_id,
+                      CASE WHEN old_fp IS NULL THEN 'added'
+                           WHEN new_fp IS NULL THEN 'removed'
+                           WHEN old_fp <> new_fp THEN 'changed'
+                           ELSE 'unchanged' END AS status,
+                      old_fp, new_fp
+               FROM j)
+    SELECT doc_id, status, old_fp, new_fp FROM s
+    WHERE status <> 'unchanged'
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators.corpus.snapshot_diff — r12): yesterday's
+    corpus (every 10th doc missing-to-be-added, every 7th doc's text at
+    an older revision) vs today's (every other 10th doc deleted), by
+    id + md5 fingerprint. One full-outer join on the doc id over
+    2-column projections; the result is sized to the change volume,
+    not the corpus."""
+    from ..operators.corpus import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 10 != 6)
+    return snapshot_diff(old, new, "doc_id", F.md5("text"))
+
+
+@register(
+    "fuzzy_join_parts",
+    oracle="""
+    WITH kept AS (SELECT p_type, p_size FROM part
+                  GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+         s AS (SELECT p.p_type, p.p_size, p.p_partkey, p.p_name
+               FROM part p JOIN kept USING (p_type, p_size))
+    SELECT a.p_type, a.p_size,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM s a JOIN s b USING (p_type, p_size)
+    WHERE a.p_partkey < b.p_partkey
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators.linkage.blocked_fuzzy_pairs —
+    r12): near-identical part names within (p_type, p_size) blocks at
+    Levenshtein distance <= 2. Equi-join candidate generation, sound
+    length-difference prefilter, exact verify — all JVM builtins; the
+    max_block_rows=64 governor drops oversized blocks before pair
+    expansion (binds at sf0.1 where the largest block holds 88 rows;
+    the oracle replays the HAVING filter)."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    part = load(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        part,
+        ["p_type", "p_size"],
+        "p_partkey",
+        "p_name",
+        max_dist=2,
+        max_block_rows=64,
+    )
+    return pairs.withColumn("dist", F.col("dist").cast("long"))

@@ -1609,3 +1609,41 @@ def selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle(picked, "doc_id", seed=7).select(
         "doc_id", "lang", "n_tokens", "score_micro", "ordinal"
     )
+
+
+def _grouped_split_oracle() -> str:
+    from ..functions.sampling import SPACE
+
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    t_train = int(0.8 * SPACE)
+    t_val = int((0.8 + 0.1) * SPACE)
+    return f"""
+    WITH hashed AS (SELECT source, md5(source) AS h FROM documents),
+    valued AS (SELECT source, {nibbles} AS v FROM hashed)
+    SELECT CASE WHEN v < {t_train} THEN 'train'
+                WHEN v < {t_val} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+    FROM valued GROUP BY 1
+    """
+
+
+@register("grouped_holdout_split", oracle=_grouped_split_oracle())
+def grouped_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split (functions.sampling.grouped_split —
+    r12): the split is a pure function of the SOURCE value, so no
+    source ever straddles train/test — the grouped-data holdout rule
+    (per-row splits of near-identical same-site documents leak train
+    content into test). Stateless projection, zero shuffle beyond the
+    count; hash-stable as the corpus grows."""
+    from ..functions.sampling import grouped_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = grouped_split(docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
