@@ -96,6 +96,11 @@ HEADLINE = [
     # anti-join (blocklist screen past broadcast range — negatives
     # keep scan speed, only the might-contain sliver shuffles)
     "bloom_decontaminate",
+    # round-12 extension surface: corpus management (quality-aware
+    # keep rule, snapshot diff) and blocked fuzzy record linkage
+    "dedup_keep_best",
+    "corpus_diff",
+    "fuzzy_join_parts",
 ]
 
 

@@ -297,6 +297,7 @@ def write_training_shards(
     seed: int | str = 0,
     fmt: str = "parquet",
     mode: str = "error",
+    manifest: bool = True,
     **options,
 ) -> None:
     """The LAST step of a curation pipeline: emit the corpus as
@@ -313,7 +314,19 @@ def write_training_shards(
     ``shard=k`` in ordinal order (`ordinal` is written inside each
     shard) and epoch re-shuffles are a new ``seed``, not a new layout.
     Shards are contiguous ordinal ranges, so any shard subset is
-    itself an unbiased sample of the corpus."""
+    itself an unbiased sample of the corpus.
+
+    With ``manifest`` (default), the DURABLE output is read back and a
+    ``path/_manifest`` parquet is written with one row per shard
+    (shard, n_rows, min_ordinal, max_ordinal) — what a trainer needs
+    to schedule reads and what an auditor needs to prove completeness.
+    The read-back doubles as an integrity gate: every shard must hold
+    a contiguous ordinal range starting at shard*rows_per_shard with
+    exactly rows_per_shard rows (last shard ragged), else ValueError.
+    Cost: one column-pruned scan of (shard, ordinal) over the files
+    just written — two int columns, not the payload. The underscore
+    prefix keeps the manifest invisible to readers of ``path`` (the
+    convention Spark's own _spark_metadata relies on)."""
     if rows_per_shard < 1:
         raise ValueError(
             f"write_training_shards: rows_per_shard must be >= 1,"
@@ -333,6 +346,40 @@ def write_training_shards(
         .partitionBy("shard")
         .save(path)
     )
+    if manifest:
+        spark = df.sparkSession
+        back = spark.read.format(fmt).options(**options).load(path)
+        m = (
+            back.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("ordinal").alias("min_ordinal"),
+                F.max("ordinal").alias("max_ordinal"),
+            )
+        ).persist()
+        rps = int(rows_per_shard)
+        n_shards = m.count()
+        # dense ids: a missing middle shard shifts max(shard) past
+        # n_shards-1 even when every surviving shard checks out
+        max_shard = m.agg(F.max("shard")).first()[0]
+        bad = 0 if max_shard == n_shards - 1 else 1
+        bad += m.where(
+            (F.col("min_ordinal") != F.col("shard") * rps)
+            | (F.col("max_ordinal") - F.col("min_ordinal") + 1 != F.col("n_rows"))
+            | (
+                (F.col("shard") != F.lit(n_shards - 1))
+                & (F.col("n_rows") != rps)
+            )
+        ).count()
+        if bad:
+            m.unpersist()
+            raise ValueError(
+                f"write_training_shards: integrity check failed for {bad} "
+                f"shard(s) under {path} — non-contiguous or mis-sized "
+                "ordinal ranges in the written output"
+            )
+        m.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+        m.unpersist()
 
 
 def ship_files(

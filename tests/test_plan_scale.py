@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import io as _io
+import re
 
 import pytest
 
@@ -299,3 +300,32 @@ def test_bloom_decontaminate_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_snapshot_diff_full_outer_smj_pruned_scan(spark, sf_dir, no_broadcast):
+    # full-outer on the id under "everything is huge": must be ONE
+    # SortMergeJoin FullOuter, and each scan must prune to the two
+    # columns the diff needs (id + fingerprint input), not the corpus
+    # width
+    plan = _plan_of(workloads.QUERIES["corpus_diff"](spark, sf_dir))
+    assert "SortMergeJoin FullOuter" in plan, plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_fuzzy_pairs_equi_join_no_cartesian(spark, sf_dir, no_broadcast):
+    # pair generation must ride the block-key equi-join (SMJ once
+    # broadcast is off) — never a cartesian with a post-filter; the
+    # block-cap semi join rides the same key
+    plan = _plan_of(workloads.QUERIES["fuzzy_join_parts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 2, plan  # semi (cap) + inner (pairs)
+
+
+def test_keep_best_no_window_in_catalog_form(spark, sf_dir):
+    plan = _plan_of(workloads.QUERIES["dedup_keep_best"](spark, sf_dir))
+    assert "Window" not in plan, plan

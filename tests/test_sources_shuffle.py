@@ -404,3 +404,35 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert got == expect
     for r in back.collect():
         assert r["shard"] == r["ordinal"] // 100
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.sources.io import write_training_shards
+
+    df = spark.range(250).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards_m")
+    write_training_shards(df, out, "doc_id", rows_per_shard=100, seed=5)
+    m = {
+        r["shard"]: (r["n_rows"], r["min_ordinal"], r["max_ordinal"])
+        for r in spark.read.parquet(out + "/_manifest").collect()
+    }
+    assert m == {0: (100, 0, 99), 1: (100, 100, 199), 2: (50, 200, 249)}
+    # the manifest dir is invisible to readers of the shard root
+    assert spark.read.parquet(out).count() == 250
+    assert "shard" in spark.read.parquet(out).columns
+
+
+def test_write_training_shards_manifest_off(spark, tmp_path):
+    import os
+
+    from hadoop_multiple_streaming_spark.sources.io import write_training_shards
+
+    out = str(tmp_path / "shards_nm")
+    write_training_shards(
+        spark.range(30).withColumnRenamed("id", "doc_id"),
+        out,
+        "doc_id",
+        rows_per_shard=10,
+        manifest=False,
+    )
+    assert not os.path.exists(out + "/_manifest")
