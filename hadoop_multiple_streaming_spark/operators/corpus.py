@@ -76,6 +76,84 @@ def keep_best_representative(
 #: diff statuses, in output order
 DIFF_STATUSES = ("added", "removed", "changed")
 
+#: change-feed operation codes accepted by apply_changes
+CDC_OPS = ("upsert", "delete")
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Merge a CDC change feed into a corpus snapshot (the batch form
+    of Delta/Iceberg MERGE, without a table format): ``changes``
+    carries full rows plus ``op_col`` in {'upsert', 'delete'} and a
+    numeric ``seq_col``; for each id the HIGHEST-seq change wins
+    (ties broken toward delete, so a same-seq upsert+delete converges
+    to the conservative outcome), a winning upsert replaces/inserts
+    the row, a winning delete removes it. Returns the new snapshot
+    with the snapshot's columns. Determinism contract: at most one
+    UPSERT row per (id, seq) — two same-seq upserts with different
+    payloads have no defined winner (same as any MERGE). Unknown op codes fail the job
+    (raise_error) rather than silently dropping changes.
+
+    Scale shape: the change feed compacts FIRST (one groupBy(id)
+    max_by — change feeds are change-sized, not corpus-sized), then
+    the snapshot anti-joins the touched ids and unions the winning
+    upserts. Persist the snapshot bucketed by the id and the nightly
+    apply shuffles only the (small) compacted feed; the union is a
+    zero-shuffle concatenation. Companion to ``snapshot_diff``:
+    ``apply_changes(s1, diff-as-feed)`` reconstructs s2.
+    """
+    cols = [c for c in snapshot.columns]
+    for c in (op_col, seq_col):
+        if c not in changes.columns:
+            raise ValueError(f"apply_changes: changes is missing column {c!r}")
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"apply_changes: changes is missing snapshot columns {missing}"
+        )
+    seq_t = dict(changes.dtypes)[seq_col]
+    if seq_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"apply_changes: {seq_col} must be integral for exact "
+            f"ordering, got {seq_t}"
+        )
+    op_ok = F.col(op_col).isin(*CDC_OPS)
+    checked = changes.withColumn(
+        op_col,
+        F.when(op_ok, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_changes: unknown {op_col} code: "),
+                    F.col(op_col).cast("string"),
+                )
+            )
+        ),
+    )
+    # latest change per id; seq ties resolve to delete ('delete' <
+    # 'upsert' lexically, so max_by on (seq, op DESC) needs a flag):
+    # rank = (seq, is_upsert) — delete outranks upsert at equal seq
+    rank = F.struct(
+        F.col(seq_col).alias("q"),
+        F.when(F.col(op_col) == "delete", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("d"),
+    )
+    winners = checked.groupBy(F.col(id_col).alias("_cid")).agg(
+        F.max_by(F.struct(*cols, F.col(op_col).alias("_op")), rank).alias("_w")
+    )
+    upserts = winners.where(F.col("_w._op") == "upsert").select(
+        *[F.col(f"_w.{c}").alias(c) for c in cols]
+    )
+    untouched = snapshot.join(
+        winners.select(F.col("_cid").alias(id_col)), id_col, "left_anti"
+    )
+    return untouched.unionByName(upserts)
+
 
 def snapshot_diff(
     old: DataFrame,

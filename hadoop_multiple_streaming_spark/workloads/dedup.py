@@ -837,3 +837,84 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_rows=64,
     )
     return pairs.withColumn("dist", F.col("dist").cast("long"))
+
+
+@register(
+    "cdc_apply",
+    oracle="""
+    WITH changes AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               'delete' AS op, CAST(1 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id, text, 'xx' AS lang, source, n_chars,
+               'upsert' AS op, CAST(2 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, 'cdc' AS source,
+               n_chars, 'upsert' AS op, CAST(3 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars,
+               'upsert' AS op, CAST(5 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 19 = 0
+        UNION ALL
+        SELECT doc_id, text, lang, source, n_chars,
+               'delete' AS op, CAST(5 AS BIGINT) AS seq
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY seq DESC, (op = 'delete') DESC
+        ) AS rn
+        FROM changes
+    ),
+    winners AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+    FROM documents s ANTI JOIN winners w ON s.doc_id = w.doc_id
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM winners WHERE op = 'upsert'
+    """,
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators.corpus.apply_changes — r12): a synthetic
+    change feed (deletes for every 11th doc at seq 1, lang re-tags for
+    every 13th at seq 2 — overriding the delete where both apply —
+    brand-new docs for every 17th at seq 3, and a same-seq
+    upsert+delete collision for every 19th that must converge to the
+    delete) merged into the documents snapshot. Feed compacts first
+    (one change-sized max_by groupBy), snapshot anti-joins the touched
+    ids, winners union in — the Delta-MERGE shape without a table
+    format."""
+    from ..operators.corpus import apply_changes
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+    def feed(cond_mod, op, seq, **overrides):
+        out = docs.where(F.col("doc_id") % cond_mod == 0)
+        for c, expr in overrides.items():
+            out = out.withColumn(c, expr)
+        return out.withColumn("op", F.lit(op)).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
+
+    changes = (
+        feed(11, "delete", 1)
+        .unionByName(feed(13, "upsert", 2, lang=F.lit("xx")))
+        .unionByName(
+            feed(
+                17,
+                "upsert",
+                3,
+                doc_id=F.col("doc_id") + 1000000,
+                source=F.lit("cdc"),
+            )
+        )
+        .unionByName(feed(19, "upsert", 5))
+        .unionByName(feed(19, "delete", 5))
+    )
+    return apply_changes(docs, changes, "doc_id")

@@ -147,3 +147,90 @@ def test_grouped_split_rejects_existing_out_col(spark):
     df = spark.range(3).select("id", F.lit("x").alias("split"))
     with pytest.raises(ValueError, match="already exists"):
         grouped_split(df, "id", {"a": 0.5, "b": 0.5})
+
+
+def _cdc(spark):
+    from hadoop_multiple_streaming_spark.operators.corpus import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id long, text string"
+    )
+    return apply_changes, snap
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    apply_changes, snap = _cdc(spark)
+    changes = spark.createDataFrame(
+        [
+            (2, "TWO", "upsert", 1),
+            (3, None, "delete", 1),
+            (4, "four", "upsert", 1),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    out = {r["id"]: r["text"] for r in apply_changes(snap, changes, "id").collect()}
+    assert out == {1: "one", 2: "TWO", 4: "four"}
+
+
+def test_apply_changes_highest_seq_wins_tie_to_delete(spark):
+    apply_changes, snap = _cdc(spark)
+    changes = spark.createDataFrame(
+        [
+            (2, "v1", "upsert", 1),
+            (2, "v2", "upsert", 5),   # highest seq -> wins over delete at 3
+            (2, None, "delete", 3),
+            (3, "x", "upsert", 7),    # same seq as delete -> delete wins
+            (3, None, "delete", 7),
+        ],
+        "id long, text string, op string, seq long",
+    )
+    out = {r["id"]: r["text"] for r in apply_changes(snap, changes, "id").collect()}
+    assert out == {1: "one", 2: "v2"}
+
+
+def test_apply_changes_rejects_bad_op_and_schema(spark):
+    apply_changes, snap = _cdc(spark)
+    bad_op = spark.createDataFrame(
+        [(1, "x", "replace", 1)], "id long, text string, op string, seq long"
+    )
+    with pytest.raises(Exception, match="unknown op code|USER_RAISED_EXCEPTION"):
+        apply_changes(snap, bad_op, "id").collect()
+    missing = spark.createDataFrame([(1, "upsert", 1)], "id long, op string, seq long")
+    with pytest.raises(ValueError, match="missing snapshot columns"):
+        apply_changes(snap, missing, "id")
+    float_seq = spark.createDataFrame(
+        [(1, "x", "upsert", 1.0)], "id long, text string, op string, seq double"
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        apply_changes(snap, float_seq, "id")
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark):
+    # apply_changes(old, diff-as-feed) must reconstruct new exactly
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.operators.corpus import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, text string"
+    )
+    diff = snapshot_diff(old, new, "id", F.md5("text"))
+    feed = (
+        diff.join(new, "id", "left")
+        .select(
+            "id",
+            "text",
+            F.when(F.col("status") == "removed", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    rebuilt = apply_changes(old, feed, "id")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
