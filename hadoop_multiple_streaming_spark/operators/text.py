@@ -571,3 +571,52 @@ def rare_word_scores(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.expr("sum(_ppb) div count(1)").alias("mean_freq_ppb"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """One BPE merge-selection step at corpus scale (Sennrich et al.
+    2016): count adjacent character pairs over the corpus, weighting
+    each word's internal pairs by the word's corpus frequency — the
+    statistic a tokenizer trainer computes to pick its next merge.
+    Returns (left, right, cnt); with ``top_k``, the k most frequent
+    pairs (ties broken by (left, right) so the cut is deterministic).
+
+    Scale shape: the ONLY corpus-sized exchange is the groupBy(word)
+    frequency count (map-side combined). Pair expansion then runs over
+    the DISTINCT-WORD relation — vocabulary-sized, not corpus-sized —
+    so a 100 TB corpus with a 10M-word vocabulary explodes ~100M pair
+    rows instead of ~100T: the word-frequency rollup is what makes
+    tokenizer training tractable at scale, and it falls out of the
+    plan for free. The final pair aggregate is alphabet^2-sized. With
+    top_k the cut is a TakeOrderedAndProject (no global sort).
+    """
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # char pairs of each distinct word; sequence() counts DOWN when
+    # start > stop, so 1-char words need the explicit empty array
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr(
+                "case when length(w) >= 2 then "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) as l, "
+                "substring(w, i + 1, 1) as r)) "
+                "else array() end"
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy(
+        F.col("p.l").alias("left"), F.col("p.r").alias("right")
+    ).agg(F.sum("f").alias("cnt"))
+    if top_k is None:
+        return counts
+    return counts.orderBy(F.desc("cnt"), "left", "right").limit(int(top_k))

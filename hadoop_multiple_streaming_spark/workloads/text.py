@@ -1647,3 +1647,29 @@ def grouped_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "text_bpe_pairs",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wf AS (SELECT w, COUNT(*) AS f FROM toks WHERE w <> '' GROUP BY w),
+    pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS "left",
+                     substr(w, CAST(i AS INT) + 1, 1) AS "right", f
+              FROM wf, UNNEST(range(1, length(w))) t(i))
+    SELECT "left", "right", CAST(SUM(f) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1, 2
+    ORDER BY cnt DESC, "left", "right" LIMIT 32
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistic (operators.text.bpe_pair_counts —
+    r12): the 32 most frequent adjacent character pairs, each word's
+    pairs weighted by its corpus frequency — one BPE merge-selection
+    step. Pair expansion runs over the DISTINCT-WORD relation
+    (vocabulary-sized), not the corpus; the only corpus-sized exchange
+    is the word-frequency rollup."""
+    from ..operators.text import bpe_pair_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", "doc_id", top_k=32)

@@ -310,3 +310,30 @@ def test_winnowing_pairs_counts_and_guard(spark):
         ).count()
         == 0
     )
+
+
+def test_bpe_pair_counts_weighted_and_single_char_safe(spark):
+    from hadoop_multiple_streaming_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        # 'ab' appears 3x across the corpus, 'a' (1-char: no pairs) 2x,
+        # 'abc' once -> pairs: (a,b) 3+1=4, (b,c) 1
+        [(1, "ab ab a"), (2, "ab a abc")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["left"], r["right"]): r["cnt"]
+        for r in bpe_pair_counts(df, "text", "doc_id").collect()
+    }
+    assert out == {("a", "b"): 4, ("b", "c"): 1}
+
+
+def test_bpe_pair_counts_topk_take_ordered(spark):
+    from hadoop_multiple_streaming_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "ab ab bc")], "doc_id long, text string")
+    topk = bpe_pair_counts(df, "text", "doc_id", top_k=1)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = topk.collect()
+    assert [(r["left"], r["right"], r["cnt"]) for r in rows] == [("a", "b", 2)]
