@@ -310,6 +310,38 @@ def ngram_jaccard_pairs(
     pass word_shingles(distinct=False) and the per-doc dedup happens
     INSIDE this aggregation's map-side partial — no separate distinct
     Exchange over the full shingle multiset."""
+    return _ngram_overlap_pairs(
+        shingles, threshold, candidates, max_doc_freq, kind="jaccard"
+    )
+
+
+def ngram_containment_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT over shingle sets: |A ∩ B| / min(|A|, |B|) >=
+    threshold — the asymmetric near-dup measure (Broder's containment)
+    that catches what Jaccard structurally misses: a short document
+    fully quoted inside a long one scores containment 1.0 but Jaccard
+    ~|A|/|B| (arbitrarily low as the host grows). Same physical plan,
+    governors, and args as ngram_jaccard_pairs (one shared
+    groupBy(shingle) Exchange feeding sizes + streamed pair expansion,
+    optional candidates restriction, optional ``max_doc_freq`` cap);
+    only the final ratio differs. Returns (id_a, id_b, containment)."""
+    return _ngram_overlap_pairs(
+        shingles, threshold, candidates, max_doc_freq, kind="containment"
+    )
+
+
+def _ngram_overlap_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None,
+    max_doc_freq: int | None,
+    kind: str,
+) -> DataFrame:
     grouped = shingles.groupBy("shingle").agg(
         F.expr("array_sort(collect_set(id))").alias("ids")
     )
@@ -366,17 +398,19 @@ def ngram_jaccard_pairs(
     if candidates is None:
         na = na.hint("merge")
         nb = nb.hint("merge")
+    if kind == "jaccard":
+        measure = F.col("c").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("c")
+        )
+    elif kind == "containment":
+        measure = F.col("c").cast("double") / F.least("na", "nb")
+    else:  # pragma: no cover - internal
+        raise ValueError(f"_ngram_overlap_pairs: unknown kind {kind!r}")
     return (
         counts.join(na, "id_a")
         .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", measure.alias(kind))
+        .where(F.col(kind) >= threshold)
     )
 
 

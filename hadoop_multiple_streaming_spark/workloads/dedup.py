@@ -918,3 +918,37 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(feed(19, "delete", 5))
     )
     return apply_changes(docs, changes, "doc_id")
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    kept AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_NGRAM_DF_CAP}),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN kept USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n FROM shc GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / least(na.n, nb.n) AS containment
+    FROM inter
+    JOIN sizes na ON na.id = id_a
+    JOIN sizes nb ON nb.id = id_b
+    WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.4
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs (operators.dedup
+    ngram_containment_pairs — r12): |A∩B| / min(|A|,|B|) >= 0.4 over
+    word-3-gram shingle sets — Broder containment, which catches a
+    short document quoted inside a long one (Jaccard ~|A|/|B| misses
+    it). Same single-exchange plan and df-cap governor as the Jaccard
+    twin; only the final ratio differs."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents").repartition(32)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    return ngram_containment_pairs(
+        sh, threshold=0.4, max_doc_freq=_NGRAM_DF_CAP
+    )

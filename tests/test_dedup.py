@@ -921,3 +921,26 @@ def test_semantic_dedup_hier_matches_duckdb_oracle(spark):
         for i, c, k in con.execute(w.ORACLES["semantic_dedup_hier"]).fetchall()
     )
     assert got == want
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    host = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, host)], "doc_id long, text string"
+    )
+    sh = word_shingles(df, "text", "doc_id", n=3, distinct=False)
+    cont = ngram_containment_pairs(sh, threshold=0.9).collect()
+    jac = ngram_jaccard_pairs(sh, threshold=0.9).collect()
+    # every shingle of the short doc appears in the host -> containment 1.0
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    # ...but Jaccard is |A|/|B| (tiny) and misses the pair entirely
+    assert jac == []
