@@ -233,6 +233,34 @@ def bloom_screen(
     return df.join(F.broadcast(bf)).where(~hit).select(*df.columns)
 
 
+def merge_blooms(*blooms: BloomFilterSpec) -> BloomFilterSpec:
+    """Bitwise-OR union of same-geometry bitmaps: the merged filter
+    answers might_contain for the UNION of the key sets (Bloom filters
+    are union-homomorphic under OR). Geometry (num_bits, num_hashes)
+    must match — a mixed-geometry OR would silently answer wrong."""
+    if not blooms:
+        raise ValueError("merge_blooms: need at least one bloom")
+    first = blooms[0]
+    words = list(first.words)
+    n_keys = first.n_keys
+    for b in blooms[1:]:
+        if (b.num_bits, b.num_hashes) != (first.num_bits, first.num_hashes):
+            raise ValueError(
+                "merge_blooms: geometry mismatch "
+                f"({b.num_bits},{b.num_hashes}) != "
+                f"({first.num_bits},{first.num_hashes})"
+            )
+        for i, w in enumerate(b.words):
+            words[i] |= w
+        n_keys += b.n_keys  # upper bound: duplicates across inputs overcount
+    return BloomFilterSpec(
+        words=words,
+        num_bits=first.num_bits,
+        num_hashes=first.num_hashes,
+        n_keys=n_keys,
+    )
+
+
 def save_bloom(spark, bloom: BloomFilterSpec, path: str) -> None:
     """Persist the bitmap (one parquet row) so later runs / streaming
     micro-batches skip the build — the bloom analog of the MinHash

@@ -427,3 +427,129 @@ def streaming_incremental_minhash(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_bloom_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    output_path: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> None:
+    """One micro-batch of the streaming Bloom ingest gate (foreachBatch
+    body; replay-safe — see streaming_bloom_screen)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.bloom import (
+        BloomFilterSpec,
+        bloom_screen,
+        build_bloom,
+        merge_blooms,
+        save_bloom,
+    )
+
+    spark = batch_df.sparkSession
+    # heal a torn replay (same rule as ingest_minhash_batch: this
+    # batch's subdir has exactly one writer — us, at the end)
+    _best_effort_delete(spark, f"{store_path}/batch_id={int(batch_id)}")
+    try:
+        rows = (
+            spark.read.parquet(store_path)
+            # EXCLUDE this batch's own bitmap: a replay that crashed
+            # after the store write would otherwise screen out its own
+            # survivors and overwrite them empty
+            .where(F.col("batch_id") != int(batch_id))
+            .collect()
+        )
+    except AnalysisException:
+        rows = []
+    blooms = [
+        BloomFilterSpec(
+            words=list(r["words"]),
+            num_bits=int(r["num_bits"]),
+            num_hashes=int(r["num_hashes"]),
+            n_keys=int(r["n_keys"]),
+        )
+        for r in rows
+    ]
+    fresh = (
+        bloom_screen(batch_df, key_col, merge_blooms(*blooms))
+        if blooms
+        else batch_df
+    )
+    # within-batch exact dedup (batch-sized): min-id representative
+    keep_ids = fresh.groupBy(key_col).agg(F.min(id_col).alias(id_col)).select(
+        id_col
+    )
+    survivors = fresh.join(keep_ids, id_col, "left_semi").persist()
+    try:
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={int(batch_id)}"
+        )
+        batch_bloom = build_bloom(
+            survivors.select(key_col), key_col, num_bits=num_bits,
+            num_hashes=num_hashes,
+        )
+        save_bloom(spark, batch_bloom, f"{store_path}/batch_id={int(batch_id)}")
+    finally:
+        survivors.unpersist()
+
+
+def streaming_bloom_screen(
+    stream_df: DataFrame,
+    store_path: str,
+    output_path: str,
+    checkpoint: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    available_now: bool = True,
+):
+    """Streaming EXACT-key ingestion gate through the Bloom bitmap
+    store (operators.bloom) — the zero-key-store sibling of
+    streaming_incremental_minhash for exact-duplicate screening:
+
+      1. screen the arriving batch against the OR of every prior
+         batch's persisted bitmap (bloom_screen: scan speed, zero
+         shuffle, no key store read) — drops every already-ingested
+         key plus an ~fpp fraction of clean rows (APPROXIMATE gate;
+         acceptable where LSH-grade approximation already is);
+      2. exact within-batch dedup (min-id representative per key);
+      3. write survivors to ``output_path/batch_id=N/`` and THEIR
+         bitmap (fixed geometry) to ``store_path/batch_id=N/``.
+
+    Replay/exactly-once: both writes overwrite batch_id-keyed subdirs
+    (the idempotent crash-restart layout shared with the minhash
+    ingest), and the screen excludes the current batch's own bitmap,
+    so a replayed batch makes the identical drop decision whichever
+    side of a crash the store write landed on. The per-batch bitmaps
+    are num_bits/8 bytes each; on long streams, compact old subdirs
+    periodically (load_bloom each + merge_blooms + save_bloom to one
+    subdir) — the OR is exactly the union filter, so compaction never
+    changes answers. Geometry is FIXED by the operator args: size
+    num_bits for the total ingested-corpus cardinality, not the batch
+    (fpp is driven by total set bits)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_bloom_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            output_path,
+            key_col=key_col,
+            id_col=id_col,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

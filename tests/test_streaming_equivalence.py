@@ -572,3 +572,79 @@ def test_streaming_incremental_minhash_corrupt_store_fails_batch(spark, tmp_path
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(300)
         raise AssertionError("query should have failed on the corrupt store")
+
+
+def test_streaming_bloom_screen_exact_dedup_across_batches(spark, tmp_path):
+    """The Bloom ingest gate: exact duplicates of already-ingested keys
+    drop across micro-batches (no false negatives), within-batch dups
+    keep the min id, and the per-batch bitmap store unions to exactly
+    the survivor key set (merge_blooms law)."""
+    from hadoop_multiple_streaming_spark.operators.bloom import (
+        load_bloom,
+        merge_blooms,
+        might_contain,
+    )
+    from hadoop_multiple_streaming_spark.streaming.fanout import (
+        streaming_bloom_screen,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 = within-batch dup
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "beta")],  # 10/12 = cross-batch dups
+        "doc_id long, text string",
+    )
+    indir = str(tmp_path / "in")
+    _stage_files(spark, [b1, b2], indir)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    q = streaming_bloom_screen(
+        _read_stream(spark, indir, "doc_id long, text string"),
+        store,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    }
+    # fpp at 2^20 bits / ~4 keys is ~0, so the approximate gate is
+    # exact on this input
+    assert got == {(1, "alpha"), (2, "beta"), (11, "gamma")}
+
+    # the merged store bitmap answers might_contain for every survivor
+    import glob as _glob
+
+    blooms = [
+        load_bloom(spark, d) for d in sorted(_glob.glob(store + "/batch_id=*"))
+    ]
+    merged = merge_blooms(*blooms)
+    probe = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("never-seen",)], "k string"
+    )
+    bf = spark.createDataFrame([(merged.words,)], "_b array<bigint>")
+    hits = {
+        r["k"]
+        for r in probe.join(F.broadcast(bf))
+        .where(might_contain(F.col("k"), F.col("_b"), merged))
+        .collect()
+    }
+    assert {"alpha", "beta", "gamma"} <= hits  # no false negatives
+
+
+def test_merge_blooms_rejects_geometry_mismatch(spark):
+    from hadoop_multiple_streaming_spark.operators.bloom import (
+        BloomFilterSpec,
+        merge_blooms,
+    )
+
+    a = BloomFilterSpec(words=[1, 2], num_bits=128, num_hashes=5, n_keys=1)
+    b = BloomFilterSpec(words=[1], num_bits=64, num_hashes=5, n_keys=1)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_blooms(a, b)
+    m = merge_blooms(a, BloomFilterSpec(words=[4, 8], num_bits=128, num_hashes=5, n_keys=2))
+    assert m.words == [5, 10] and m.n_keys == 3
