@@ -280,6 +280,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    expand_partitions: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: |A ∩ B| / |A ∪ B| >= threshold.
     With ``candidates`` (e.g. from lsh_candidate_pairs) the intersect
@@ -311,7 +312,8 @@ def ngram_jaccard_pairs(
     INSIDE this aggregation's map-side partial — no separate distinct
     Exchange over the full shingle multiset."""
     return _ngram_overlap_pairs(
-        shingles, threshold, candidates, max_doc_freq, kind="jaccard"
+        shingles, threshold, candidates, max_doc_freq, kind="jaccard",
+        expand_partitions=expand_partitions,
     )
 
 
@@ -320,6 +322,7 @@ def ngram_containment_pairs(
     threshold: float,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    expand_partitions: int | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT over shingle sets: |A ∩ B| / min(|A|, |B|) >=
     threshold — the asymmetric near-dup measure (Broder's containment)
@@ -331,7 +334,8 @@ def ngram_containment_pairs(
     optional candidates restriction, optional ``max_doc_freq`` cap);
     only the final ratio differs. Returns (id_a, id_b, containment)."""
     return _ngram_overlap_pairs(
-        shingles, threshold, candidates, max_doc_freq, kind="containment"
+        shingles, threshold, candidates, max_doc_freq, kind="containment",
+        expand_partitions=expand_partitions,
     )
 
 
@@ -341,7 +345,24 @@ def _ngram_overlap_pairs(
     candidates: DataFrame | None,
     max_doc_freq: int | None,
     kind: str,
+    expand_partitions: int | None = None,
 ) -> DataFrame:
+    if expand_partitions is not None:
+        if expand_partitions < 1:
+            raise ValueError(
+                f"ngram pairs: expand_partitions must be >= 1, "
+                f"got {expand_partitions}"
+            )
+        # USER-pinned shuffle width for the pair-expansion stage. AQE
+        # coalesces post-shuffle partitions by COMPRESSED PRE-EXPANSION
+        # bytes, but the two-Generate expansion multiplies rows after
+        # the exchange: measured at sf4.0-zipf, AQE coalesced 32 -> 16
+        # and one task holding the hottest near-cap shingle groups
+        # straggled (best 83.6 s vs 45.9 s with full width — see
+        # DEPLOY.md). An explicit repartition(n, col) is exempt from
+        # AQE coalescing, and the groupBy below reuses its
+        # hashpartitioning, so this adds NO extra exchange.
+        shingles = shingles.repartition(expand_partitions, "shingle")
     grouped = shingles.groupBy("shingle").agg(
         F.expr("array_sort(collect_set(id))").alias("ids")
     )

@@ -949,6 +949,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").repartition(32)
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    # expansion width pinned past AQE coalescing once the corpus is
+    # big enough for the pair expansion to dominate (measured
+    # sf4.0-zipf: 68.8 s coalesced -> 47.1 s pinned, identical rows —
+    # DEPLOY.md); at toy SFs the 32-wide stages would only add
+    # small-task overhead, so the plan self-sizes on count() (the
+    # auto_band_params precedent: plan-only, result-invariant)
+    expand = (
+        4 * spark.sparkContext.defaultParallelism
+        if docs.count() >= 50_000
+        else None
+    )
     return ngram_containment_pairs(
-        sh, threshold=0.4, max_doc_freq=_NGRAM_DF_CAP
+        sh,
+        threshold=0.4,
+        max_doc_freq=_NGRAM_DF_CAP,
+        expand_partitions=expand,
     )

@@ -944,3 +944,29 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     ]
     # ...but Jaccard is |A|/|B| (tiny) and misses the pair entirely
     assert jac == []
+
+
+def test_ngram_pairs_expand_partitions_pins_width_same_answer(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 4} alpha beta gamma tok{i % 4}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(df, "text", "doc_id", n=3, distinct=False)
+    base = ngram_jaccard_pairs(sh, threshold=0.5)
+    wide = ngram_jaccard_pairs(sh, threshold=0.5, expand_partitions=64)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, wide.collect()))
+    # the user repartition is in the plan and AQE must not coalesce it:
+    # executed plan keeps 64 partitions on the expansion exchange
+    wide.collect()
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expand_partitions"):
+        ngram_jaccard_pairs(sh, threshold=0.5, expand_partitions=0)
