@@ -1181,6 +1181,69 @@ def embedding_lsh_pairs(
     )
 
 
+def embedding_lsh_buckets(
+    quantized: DataFrame,
+    num_planes: int,
+    rows_per_band: int,
+    dim: int = 64,
+) -> DataFrame:
+    """The (id, band, bucket) sign-LSH key relation standalone — what
+    embedding_lsh_pairs computes internally, exposed so an INCREMENTAL
+    pipeline can persist it as the at-rest key store (the embedding
+    analog of minhash_band_buckets; bucket = rows_per_band sign bits
+    as a bit string). Pure-JVM expression plan: one projection, no
+    Python, no shuffle."""
+    if num_planes % rows_per_band != 0:
+        raise ValueError(
+            f"embedding_lsh_buckets: rows_per_band {rows_per_band} must "
+            f"divide num_planes {num_planes}"
+        )
+    bands = num_planes // rows_per_band
+    planes = rademacher_planes(num_planes, dim)
+    sig = F.expr(
+        f"array_join(transform({planes_spark_literal(planes)}, pl -> "
+        "case when aggregate(zip_with(qv, pl, (x, c) -> x * c), 0L, "
+        "(a, x) -> a + x) > 0 then '1' else '0' end), '')"
+    )
+    band_expr = F.expr(
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> substring(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    return quantized.select("id", sig.alias("sig")).select(
+        "id", band_expr.alias("band", "bucket")
+    )
+
+
+def embedding_lsh_store_hits(
+    new_quantized: DataFrame,
+    store_buckets: DataFrame,
+    num_planes: int,
+    rows_per_band: int,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental embedding near-dup screening — completes the
+    incremental-ingest matrix (exact: incremental_dedup, text fuzzy:
+    minhash_store_hits, exact-key approximate: bloom_screen): which
+    arriving vectors sign-LSH-collide with the already-ingested
+    corpus? ``store_buckets`` is the persisted (band, bucket) key set
+    (embedding_lsh_buckets output appended per batch, SAME geometry).
+    Returns (id, n_hit_bands), n_hit_bands in [1, bands] as a crude
+    confidence — run the exact cosine verify on suspects only.
+
+    Scale shape: identical to minhash_store_hits — one left-semi join
+    of the batch's keys against the store; keep the store parquet
+    bucketed on `bucket` so daily batches probe without re-shuffling
+    the store side. The store holds rows_per_band-char bit strings +
+    a band int per band per vector; never the vectors themselves."""
+    nb = embedding_lsh_buckets(new_quantized, num_planes, rows_per_band, dim)
+    hits = nb.join(
+        store_buckets.select("band", "bucket").distinct(),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hit_bands"))
+
+
 #: flat-vs-hierarchical auto switch: past this many n*k assignment
 #: cells the flat path's nearest-centroid work (n rows x k centroids
 #: x dim fused-multiply-adds) is the catalog's only superlinear curve

@@ -966,3 +966,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=_NGRAM_DF_CAP,
         expand_partitions=expand,
     )
+
+
+def _incr_embedding_lsh_oracle() -> str:
+    from ..operators.dedup import planes_duckdb_literal, rademacher_planes
+
+    pl = planes_duckdb_literal(rademacher_planes(64, 64))
+    return f"""
+    WITH {_QUANT_CTE},
+    bits AS (SELECT id, p,
+                    CASE WHEN list_inner_product(qv, ({pl})[p + 1]) > 0
+                         THEN '1' ELSE '0' END AS bit
+             FROM n, UNNEST(range(0, 64)) t(p)),
+    sig AS (SELECT id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY id),
+    bands AS (SELECT id, b, substr(sig, CAST(b * 16 + 1 AS INT), 16) AS bucket
+              FROM sig, UNNEST(range(0, 4)) t(b)),
+    store AS (SELECT DISTINCT b, bucket FROM bands WHERE id % 2 = 0),
+    batch AS (SELECT * FROM bands WHERE id % 2 = 1)
+    SELECT batch.id, COUNT(*) AS n_hit_bands
+    FROM batch SEMI JOIN store USING (b, bucket)
+    GROUP BY batch.id
+    """
+
+
+@register("incremental_embedding_lsh", oracle=_incr_embedding_lsh_oracle())
+def incremental_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup screen (operators.dedup
+    embedding_lsh_store_hits — r12): even vec_ids play the persisted
+    corpus (its (band, bucket) keys the at-rest store), odd vec_ids the
+    arriving batch; a batch vector sharing ANY band bucket with the
+    store is a near-dup suspect (planted ~1% near-dups: 5 suspects at
+    sf0.01, 110 at sf0.1). Completes the incremental-ingest matrix
+    (exact / minhash / bloom / embedding-LSH). One left-semi join of
+    batch keys against store keys — the store never holds vectors."""
+    from ..operators.dedup import embedding_lsh_buckets, embedding_lsh_store_hits
+
+    emb = load(spark, sf_dir, "embeddings").repartition(32)
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    # 4 bands x 16-bit buckets: selective on the isotropic synthetic
+    # vectors (narrower bands saturate the bucket space and every
+    # vector "hits" — the auto_band_params bits-grow-with-corpus law)
+    store = embedding_lsh_buckets(
+        q.where(F.col("id") % 2 == 0), num_planes=64, rows_per_band=16, dim=64
+    )
+    return embedding_lsh_store_hits(
+        q.where(F.col("id") % 2 == 1), store, num_planes=64, rows_per_band=16,
+        dim=64,
+    )

@@ -970,3 +970,46 @@ def test_ngram_pairs_expand_partitions_pins_width_same_answer(spark):
 
     with _pytest.raises(ValueError, match="expand_partitions"):
         ngram_jaccard_pairs(sh, threshold=0.5, expand_partitions=0)
+
+
+def test_embedding_lsh_store_hits_screens_planted_twin(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        embedding_lsh_buckets,
+        embedding_lsh_store_hits,
+        quantize_embeddings,
+    )
+
+    # store: two orthogonal-ish vectors; batch: a copy of store[0]
+    # (must hit every band) and a fresh orthogonal vector
+    dim = 64
+    v0 = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    v1 = [1.0 if i % 3 == 0 else -1.0 for i in range(dim)]
+    v2 = [1.0 if i % 5 == 0 else -1.0 for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(0, v0), (2, v1), (1, v0), (3, v2)],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    store = embedding_lsh_buckets(
+        q.where("id % 2 = 0"), num_planes=64, rows_per_band=16
+    )
+    hits = {
+        r["id"]: r["n_hit_bands"]
+        for r in embedding_lsh_store_hits(
+            q.where("id % 2 = 1"), store, num_planes=64, rows_per_band=16
+        ).collect()
+    }
+    assert hits.get(1) == 4  # exact copy collides in all 4 bands
+    assert 3 not in hits or hits[3] < 4
+
+
+def test_embedding_lsh_buckets_validates_geometry(spark):
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        embedding_lsh_buckets,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [1000000] * 64)], "id long, qv array<bigint>")
+    with _pytest.raises(ValueError, match="must divide"):
+        embedding_lsh_buckets(df, num_planes=64, rows_per_band=7)
