@@ -271,6 +271,48 @@ def save_bloom(spark, bloom: BloomFilterSpec, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def compact_bloom_store(spark, store_path: str) -> BloomFilterSpec:
+    """Fold a streaming ingest's per-batch bitmap subdirs
+    (``store_path/batch_id=N/`` — streaming_bloom_screen's layout)
+    into ONE merged bitmap under a fresh negative batch_id (-1, then
+    -2, ...), deleting the originals. Bloom OR is exactly the union
+    filter, so answers never change; run on a schedule to keep the
+    store at one row + the newest batches. Crash-safe: the merged
+    bitmap lands (staged hidden, then renamed) BEFORE any original is
+    deleted, and a merged+originals overlap is harmless because
+    OR-union is idempotent. Returns the merged spec."""
+    rows = spark.read.parquet(store_path).collect()
+    if not rows:
+        raise ValueError(f"compact_bloom_store: empty store at {store_path}")
+    batch_ids = sorted({int(r["batch_id"]) for r in rows})
+    merged = merge_blooms(
+        *[
+            BloomFilterSpec(
+                words=list(r["words"]),
+                num_bits=int(r["num_bits"]),
+                num_hashes=int(r["num_hashes"]),
+                n_keys=int(r["n_keys"]),
+            )
+            for r in rows
+        ]
+    )
+    # fresh descending target (-1, then -2, ...) so the move never
+    # lands inside an existing compaction dir; dot-prefixed staging is
+    # hidden from partition discovery, so readers never see a
+    # half-written bitmap or a malformed batch_id value
+    target = min(batch_ids + [0]) - 1
+    save_bloom(spark, merged, f"{store_path}/.compact.tmp")
+    import shutil
+
+    shutil.move(f"{store_path}/.compact.tmp", f"{store_path}/batch_id={target}")
+    # delete originals LAST: a crash anywhere here leaves merged +
+    # originals coexisting, and OR-union is idempotent — readers get
+    # the same answers; re-running the compaction finishes the cleanup
+    for b in batch_ids:
+        shutil.rmtree(f"{store_path}/batch_id={b}", ignore_errors=True)
+    return merged
+
+
 def load_bloom(spark, path: str) -> BloomFilterSpec:
     r = spark.read.parquet(path).collect()[0]
     return BloomFilterSpec(

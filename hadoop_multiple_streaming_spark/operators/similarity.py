@@ -345,6 +345,29 @@ def write_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> Non
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(
+    new_quantized: DataFrame, path: str, impl: str = "expr"
+) -> None:
+    """Incremental IVF index maintenance: assign ARRIVING vectors to
+    the index's EXISTING centroids and append them to the partitioned
+    corpus — no retrain, no rewrite of the at-rest lists. This is how
+    a daily embedding ingest keeps a 100 TB ANN index current: the
+    coarse quantizer is computed once (the FAISS add-after-train
+    pattern), appends touch only the cluster directories the new
+    vectors land in, and probe_ivf_index sees the union immediately
+    (partition discovery picks up new files; pruning unchanged).
+    Probing after append is IDENTICAL to probing a full rebuild with
+    the same centroids — assignment is the same deterministic argmin
+    (test-asserted). Re-train (fresh write_ivf_index) when drift makes
+    lists lopsided: monitor per-cluster counts vs the training-time
+    distribution."""
+    spark = new_quantized.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign_centroids(new_quantized, cent, impl=impl).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(f"{path}/corpus")
+
+
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(corpus, centroids) back from write_ivf_index."""
     return (

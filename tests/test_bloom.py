@@ -133,3 +133,37 @@ def test_bloom_screen_and_persistence(spark, tmp_path):
     assert sorted(r.doc_id for r in exact.collect()) == sorted(
         r.doc_id for r in want.collect()
     )
+
+
+def test_compact_bloom_store_preserves_answers(spark, tmp_path):
+    import glob
+
+    from hadoop_multiple_streaming_spark.operators.bloom import (
+        build_bloom,
+        compact_bloom_store,
+        load_bloom,
+        merge_blooms,
+        save_bloom,
+    )
+
+    store = str(tmp_path / "bstore")
+    keysets = [["a", "b"], ["c"], ["d", "e", "f"]]
+    for i, ks in enumerate(keysets):
+        bl = build_bloom(
+            spark.createDataFrame([(k,) for k in ks], "k string"),
+            "k",
+            num_bits=1024,
+        )
+        save_bloom(spark, bl, f"{store}/batch_id={i}")
+    before = merge_blooms(
+        *[load_bloom(spark, d) for d in sorted(glob.glob(store + "/batch_id=*"))]
+    )
+    merged = compact_bloom_store(spark, store)
+    dirs = sorted(glob.glob(store + "/batch_id=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-1"]
+    assert load_bloom(spark, dirs[0]).words == before.words == merged.words
+    # second compaction (single dir) lands at -2 and is a no-op union
+    merged2 = compact_bloom_store(spark, store)
+    dirs2 = sorted(glob.glob(store + "/batch_id=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs2] == ["-2"]
+    assert merged2.words == merged.words

@@ -482,3 +482,46 @@ def test_ivfpq_adc_duplicate_probe_rows_do_not_double_count(spark):
     }
     # identical to the clean-probe run in the multiprobe-union test
     assert got == {3: (1, 0), 2: (2, 400)}
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        quantize_embeddings,
+    )
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        append_ivf_index,
+        assign_centroids,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    vecs = [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df, "embedding", "vec_id")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0, 1000000.0]), (1, [3000000.0, 4000000.0, 1000000.0])],
+        "cluster long, c array<double>",
+    )
+    first, second = q.where("id < 25"), q.where("id >= 25")
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_index(assign_centroids(first, cent), cent, inc)
+    append_ivf_index(second, inc)
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_index(assign_centroids(q, cent), cent, full)
+
+    queries = q.where(F.col("id") < 3)
+
+    def probe(path):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in probe_ivf_index(
+                spark, path, queries, nprobe=2, k=3
+            ).collect()
+        )
+
+    assert probe(inc) == probe(full)
+    assert spark.read.parquet(inc + "/corpus").count() == 40
