@@ -67,6 +67,7 @@ _PRIORITY_ORDER = [
     "text_bpe_pairs",
     "dedup_containment",
     "incremental_embedding_lsh",
+    "corpus_health",
     # CHANGED r12: subgroup-decomposed hash rank (dominant-group
     # pre-trim), prefix-sum bucket auto-sizing, score-negation fix,
     # IVF-PQ probe dedupe — every query whose plan moved this round
@@ -111,13 +112,13 @@ _PRIORITY_ORDER = [
     "text_pii_redact",
     "text_boilerplate_removal",
     "ann_cosine_topk",
-    "ann_ivf_multiprobe",
     # family representative: fan-out (r11 green, kept in-window)
     "fanout_two_branches",
     # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
     "q1_pricing_summary",  # r10 green; slot ceded to bloom_decontaminate (entry() smokes it every round anyway)
     "secondary_sort_events",  # r11 sf1.0 re-anchor; displaced by cdc_apply (events family keeps hourly_rollup in-window)
-    "q13_customer_distribution",  # r11 green; displaced by dedup_containment
+    "q13_customer_distribution",  # r11 green; displaced by dedup_containment/corpus_health
+    "ann_ivf_multiprobe",  # r10 green; displaced by corpus_health (ann family keeps cosine_topk/pq_train_recall/ivfpq_adc in-window)
     "events_hourly_rollup",  # r11 green; displaced by incremental_embedding_lsh (events family: secondary_sort re-anchored r11 sf1.0; all greens unchanged plans)
     "events_sessionize",  # r11 green; displaced by text_bpe_pairs (events family keeps hourly_rollup in-window)
     "events_exact_profile",  # r10 green; displaced by the r12 additions (events family keeps hourly_rollup/sessionize in-window)

@@ -1673,3 +1673,51 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, "text", "doc_id", top_k=32)
+
+
+@register(
+    "corpus_health",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY ROLLUP (lang)
+    """,
+)
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health dashboard in ONE scan: per-language and
+    overall (ROLLUP) document counts, exact-duplicate counts (distinct
+    content hashes), char/token totals and length extrema — the
+    numbers every curation run reports before and after each stage.
+    Single pass, map-side partial aggregation; the only corpus-sized
+    exchange is the rollup's hash aggregate (the distinct-md5 column
+    expands to the standard two-level distinct aggregate plan). All
+    columns exact integers, so the oracle hashes bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.md5("text").alias("_h"),
+            toks.alias("_tok"),
+        )
+        .rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_h").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_dup_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("lang", F.coalesce(F.col("lang"), F.lit("<all>")))
+    )
