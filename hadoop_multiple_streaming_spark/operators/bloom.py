@@ -271,20 +271,38 @@ def save_bloom(spark, bloom: BloomFilterSpec, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
-def compact_bloom_store(spark, store_path: str) -> BloomFilterSpec:
+def compact_bloom_store(spark, store_path: str) -> BloomFilterSpec | None:
     """Fold a streaming ingest's per-batch bitmap subdirs
     (``store_path/batch_id=N/`` — streaming_bloom_screen's layout)
     into ONE merged bitmap under a fresh negative batch_id (-1, then
     -2, ...), deleting the originals. Bloom OR is exactly the union
     filter, so answers never change; run on a schedule to keep the
-    store at one row + the newest batches. Crash-safe: the merged
-    bitmap lands (staged hidden, then renamed) BEFORE any original is
-    deleted, and a merged+originals overlap is harmless because
-    OR-union is idempotent. Returns the merged spec."""
+    store at one row + the newest batches.
+
+    The NEWEST real batch (max non-negative batch_id) is always left
+    out of the fold: ingest_bloom_batch's replay guard excludes a
+    replayed batch's OWN bitmap by ``batch_id != current``, and a
+    compaction that swallowed the newest batch before the stream's
+    checkpoint committed it would make a crash-replay screen against a
+    merged bloom containing its own keys — dropping every survivor and
+    overwriting its output empty. Excluding the max id keeps
+    compaction safe to run at ANY time, checkpoint committed or not
+    (negative ids are prior compactions, always older, always safe).
+
+    Crash-safe: the merged bitmap lands (staged hidden, then renamed)
+    BEFORE any original is deleted, and a merged+originals overlap is
+    harmless because OR-union is idempotent. All store mutations go
+    through the Hadoop FileSystem API, so the store may live on HDFS /
+    object stores, not just local disk. Returns the merged spec, or
+    None when fewer than two foldable batches exist (no-op)."""
     rows = spark.read.parquet(store_path).collect()
     if not rows:
         raise ValueError(f"compact_bloom_store: empty store at {store_path}")
     batch_ids = sorted({int(r["batch_id"]) for r in rows})
+    newest = batch_ids[-1]
+    fold_ids = set(batch_ids[:-1]) if newest >= 0 else set(batch_ids)
+    if len(fold_ids) < 2:
+        return None
     merged = merge_blooms(
         *[
             BloomFilterSpec(
@@ -294,22 +312,33 @@ def compact_bloom_store(spark, store_path: str) -> BloomFilterSpec:
                 n_keys=int(r["n_keys"]),
             )
             for r in rows
+            if int(r["batch_id"]) in fold_ids
         ]
     )
-    # fresh descending target (-1, then -2, ...) so the move never
+    # fresh descending target (-1, then -2, ...) so the rename never
     # lands inside an existing compaction dir; dot-prefixed staging is
     # hidden from partition discovery, so readers never see a
     # half-written bitmap or a malformed batch_id value
     target = min(batch_ids + [0]) - 1
     save_bloom(spark, merged, f"{store_path}/.compact.tmp")
-    import shutil
-
-    shutil.move(f"{store_path}/.compact.tmp", f"{store_path}/batch_id={target}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(f"{store_path}/.compact.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={target}")
+    fs = src.getFileSystem(conf)
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compact_bloom_store: rename {src} -> {dst} failed"
+        )
     # delete originals LAST: a crash anywhere here leaves merged +
     # originals coexisting, and OR-union is idempotent — readers get
     # the same answers; re-running the compaction finishes the cleanup
-    for b in batch_ids:
-        shutil.rmtree(f"{store_path}/batch_id={b}", ignore_errors=True)
+    for b in sorted(fold_ids):
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/batch_id={b}")
+        try:
+            fs.delete(p, True)
+        except Exception:
+            pass
     return merged
 
 

@@ -38,17 +38,27 @@ def keep_best_representative(
     form's per-cluster state is a single (score, id) pair regardless
     of cluster size.
 
-    ``id_col`` and ``score_col`` must be numeric: the min-id tie-break
-    rides the same max_by as ``-id`` (struct comparison is
-    lexicographic), which has no string analogue.
+    ``id_col`` must be integral and ``score_col`` numeric: the min-id
+    tie-break rides the same max_by as ``-id`` (struct comparison is
+    lexicographic), which has no string analogue and no exact float
+    form.
     """
-    for col, role in ((id_col, "id_col"), (score_col, "score_col")):
+    # id_col must be INTEGRAL: the tie-break casts it to long before
+    # negating, so fractional ids would collapse (1.2 and 1.7 both
+    # negate to -1) and doubles past 2^53 lose precision — either way
+    # the documented (score desc, id asc) order turns nondeterministic
+    _integral = ("tinyint", "smallint", "int", "bigint")
+    for col, role, allowed in (
+        (id_col, "id_col", _integral),
+        (score_col, "score_col", _integral + ("float", "double")),
+    ):
         dtype = dict(df.dtypes).get(col)
         if dtype is None:
             raise ValueError(f"keep_best_representative: missing column {col!r}")
-        if dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        if dtype not in allowed:
+            kind = "an integral type" if allowed is _integral else "numeric"
             raise ValueError(
-                f"keep_best_representative: {role} {col!r} must be numeric "
+                f"keep_best_representative: {role} {col!r} must be {kind} "
                 f"for the (score desc, id asc) tie-break, got {dtype}"
             )
     # widen the id before negating and reject Long.MIN_VALUE per-row:

@@ -576,7 +576,6 @@ def rare_word_scores(
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_k: int | None = None,
 ) -> DataFrame:
     """One BPE merge-selection step at corpus scale (Sennrich et al.

@@ -347,18 +347,41 @@ def write_training_shards(
         .save(path)
     )
     if manifest:
+        from pyspark.errors import AnalysisException
+
         spark = df.sparkSession
-        back = spark.read.format(fmt).options(**options).load(path)
+        _MANIFEST_SCHEMA = (
+            "shard long, n_rows long, min_ordinal long, max_ordinal long"
+        )
+        try:
+            back = spark.read.format(fmt).options(**options).load(path)
+        except AnalysisException:
+            # an empty input wrote zero data files; some formats can't
+            # infer a schema from that — a valid empty corpus, not an
+            # integrity failure
+            spark.createDataFrame([], _MANIFEST_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/_manifest")
+            return
+        # cast ordinal too: schemaless formats (csv) read it back as
+        # string, and a lexicographic min/max would flag valid shards
+        ordinal = F.col("ordinal").cast("long")
         m = (
             back.groupBy(F.col("shard").cast("long").alias("shard"))
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.min("ordinal").alias("min_ordinal"),
-                F.max("ordinal").alias("max_ordinal"),
+                F.min(ordinal).alias("min_ordinal"),
+                F.max(ordinal).alias("max_ordinal"),
             )
         ).persist()
         rps = int(rows_per_shard)
         n_shards = m.count()
+        if n_shards == 0:
+            # empty input -> zero shards is a VALID write; emit the
+            # (empty) manifest rather than tripping the density gate
+            m.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+            m.unpersist()
+            return
         # dense ids: a missing middle shard shifts max(shard) past
         # n_shards-1 even when every surviving shard checks out
         max_shard = m.agg(F.max("shard")).first()[0]

@@ -1672,7 +1672,7 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_pair_counts
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_pair_counts(docs, "text", "doc_id", top_k=32)
+    return bpe_pair_counts(docs, "text", top_k=32)
 
 
 @register(
@@ -1680,8 +1680,8 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(lang, '<all>') AS lang,
            COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(text)) AS n_distinct,
-           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT text) AS n_dup_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
                 AS BIGINT) AS total_tokens,
@@ -1694,26 +1694,39 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-health dashboard in ONE scan: per-language and
     overall (ROLLUP) document counts, exact-duplicate counts (distinct
-    content hashes), char/token totals and length extrema — the
+    content fingerprints), char/token totals and length extrema — the
     numbers every curation run reports before and after each stage.
-    Single pass, map-side partial aggregation; the only corpus-sized
-    exchange is the rollup's hash aggregate (the distinct-md5 column
-    expands to the standard two-level distinct aggregate plan). All
+
+    The distinct key is the 96-bit pair (xxhash64(text),
+    length(text)) — two cheap JVM bigint/int columns — instead of a
+    32-char md5 hex string (the round-12 form): the two-level distinct
+    aggregate's expanded shuffle then carries 12 bytes per row instead
+    of ~40, and the map-side partials hash fixed-width ints instead of
+    strings. A same-hash-same-length collision is the only error mode
+    (~2^-96 per pair); the oracle counts DISTINCT raw text, so the
+    hash-exact driver gate continuously proves collision-freeness at
+    every SF it runs. NULL text stays out of the distinct count on
+    both engines (the xxhash64 is null-guarded; COUNT DISTINCT skips
+    nulls). Single pass, map-side partial aggregation; the only
+    corpus-sized exchange is the rollup's expanded hash aggregate. All
     columns exact integers, so the oracle hashes bit-for-bit."""
     docs = load(spark, sf_dir, "documents")
     toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
+    t = F.col("text")
+    n_distinct = F.countDistinct("_h", "_len")
     return (
         docs.select(
             "lang",
             "n_chars",
-            F.md5("text").alias("_h"),
+            F.when(t.isNotNull(), F.xxhash64(t)).alias("_h"),
+            F.length(t).alias("_len"),
             toks.alias("_tok"),
         )
         .rollup("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("_h").alias("n_distinct"),
-            (F.count(F.lit(1)) - F.countDistinct("_h")).alias("n_dup_docs"),
+            n_distinct.alias("n_distinct"),
+            (F.count(F.lit(1)) - n_distinct).alias("n_dup_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("_tok").cast("long").alias("total_tokens"),
             F.min("n_chars").alias("min_chars"),

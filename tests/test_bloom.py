@@ -155,15 +155,34 @@ def test_compact_bloom_store_preserves_answers(spark, tmp_path):
             num_bits=1024,
         )
         save_bloom(spark, bl, f"{store}/batch_id={i}")
-    before = merge_blooms(
-        *[load_bloom(spark, d) for d in sorted(glob.glob(store + "/batch_id=*"))]
+    older = merge_blooms(
+        *[load_bloom(spark, f"{store}/batch_id={i}") for i in (0, 1)]
     )
     merged = compact_bloom_store(spark, store)
     dirs = sorted(glob.glob(store + "/batch_id=*"))
-    assert [d.rsplit("=", 1)[1] for d in dirs] == ["-1"]
-    assert load_bloom(spark, dirs[0]).words == before.words == merged.words
-    # second compaction (single dir) lands at -2 and is a no-op union
+    # the NEWEST batch (2) survives untouched: ingest_bloom_batch's
+    # replay guard needs it addressable by its own batch_id
+    assert sorted(d.rsplit("=", 1)[1] for d in dirs) == ["-1", "2"]
+    assert load_bloom(spark, f"{store}/batch_id=-1").words == older.words
+    assert merged.words == older.words
+    # a second compaction has only {-1} foldable (2 is still newest):
+    # no-op, store unchanged
+    assert compact_bloom_store(spark, store) is None
+    assert sorted(
+        d.rsplit("=", 1)[1] for d in glob.glob(store + "/batch_id=*")
+    ) == ["-1", "2"]
+    # after batch 3 arrives, {-1, 2} fold into -2 and 3 survives
+    bl3 = build_bloom(
+        spark.createDataFrame([("g",)], "k string"), "k", num_bits=1024
+    )
+    save_bloom(spark, bl3, f"{store}/batch_id=3")
     merged2 = compact_bloom_store(spark, store)
     dirs2 = sorted(glob.glob(store + "/batch_id=*"))
-    assert [d.rsplit("=", 1)[1] for d in dirs2] == ["-2"]
-    assert merged2.words == merged.words
+    assert sorted(d.rsplit("=", 1)[1] for d in dirs2) == ["-2", "3"]
+    want = merge_blooms(
+        older, build_bloom(
+            spark.createDataFrame([(k,) for k in keysets[2]], "k string"),
+            "k", num_bits=1024,
+        ),
+    )
+    assert merged2.words == want.words

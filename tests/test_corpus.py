@@ -38,8 +38,24 @@ def test_keep_best_picks_max_score_min_id_tiebreak(spark):
 
 def test_keep_best_rejects_string_id(spark):
     df = spark.createDataFrame([("x", "a", 1)], "id string, h string, score long")
-    with pytest.raises(ValueError, match="must be numeric"):
+    with pytest.raises(ValueError, match="must be an integral type"):
         keep_best_representative(df, ["h"], "id", "score")
+
+
+def test_keep_best_rejects_fractional_id_allows_float_score(spark):
+    # fractional ids collapse under the cast-to-long tie-break (1.2 and
+    # 1.7 both negate to -1), so doubles are rejected for id_col...
+    df = spark.createDataFrame(
+        [(1.2, "a", 1.0), (1.7, "a", 1.0)], "id double, h string, score double"
+    )
+    with pytest.raises(ValueError, match="id_col .* integral"):
+        keep_best_representative(df, ["h"], "id", "score")
+    # ...but stay fine for score_col
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.5)], "id long, h string, score double"
+    )
+    out = keep_best_representative(df2, ["h"], "id", "score").collect()
+    assert [(r["keep_id"], r["keep_score"]) for r in out] == [(2, 2.5)]
 
 
 def test_keep_best_is_single_aggregate_no_window(spark):

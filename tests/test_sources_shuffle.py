@@ -436,3 +436,40 @@ def test_write_training_shards_manifest_off(spark, tmp_path):
         manifest=False,
     )
     assert not os.path.exists(out + "/_manifest")
+
+
+def test_write_training_shards_empty_input_valid(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.sources.io import write_training_shards
+
+    out = str(tmp_path / "shards_empty")
+    # zero rows -> zero shards is a VALID write, not an integrity
+    # failure; the manifest lands empty
+    write_training_shards(
+        spark.range(0).withColumnRenamed("id", "doc_id"),
+        out,
+        "doc_id",
+        rows_per_shard=10,
+    )
+    assert spark.read.parquet(out + "/_manifest").count() == 0
+
+
+def test_write_training_shards_csv_manifest_casts_ordinal(spark, tmp_path):
+    from hadoop_multiple_streaming_spark.sources.io import write_training_shards
+
+    out = str(tmp_path / "shards_csv")
+    # csv reads ordinal back as string; the manifest must cast before
+    # min/max or row 9 vs 10 compares lexicographically and the
+    # integrity gate false-positives
+    write_training_shards(
+        spark.range(25).withColumnRenamed("id", "doc_id"),
+        out,
+        "doc_id",
+        rows_per_shard=12,
+        fmt="csv",
+        header=True,
+    )
+    m = {
+        r["shard"]: (r["n_rows"], r["min_ordinal"], r["max_ordinal"])
+        for r in spark.read.parquet(out + "/_manifest").collect()
+    }
+    assert m == {0: (12, 0, 11), 1: (12, 12, 23), 2: (1, 24, 24)}

@@ -323,7 +323,7 @@ def test_bpe_pair_counts_weighted_and_single_char_safe(spark):
     )
     out = {
         (r["left"], r["right"]): r["cnt"]
-        for r in bpe_pair_counts(df, "text", "doc_id").collect()
+        for r in bpe_pair_counts(df, "text").collect()
     }
     assert out == {("a", "b"): 4, ("b", "c"): 1}
 
@@ -332,7 +332,7 @@ def test_bpe_pair_counts_topk_take_ordered(spark):
     from hadoop_multiple_streaming_spark.operators.text import bpe_pair_counts
 
     df = spark.createDataFrame([(1, "ab ab bc")], "doc_id long, text string")
-    topk = bpe_pair_counts(df, "text", "doc_id", top_k=1)
+    topk = bpe_pair_counts(df, "text", top_k=1)
     plan = topk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     rows = topk.collect()
