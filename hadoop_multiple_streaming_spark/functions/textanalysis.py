@@ -152,3 +152,63 @@ def sentence_udtf():
                     yield s, len(s.split(" "))
 
     return SplitSentences
+
+
+def grouped_token_partials(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-group PARTIAL sums of the whitespace-segment token count
+    (``spaces + 1`` — empty segments included, the dashboard formula
+    ``length(t) - length(replace(t, ' ', '')) + 1``): returns
+    (group_col, _tok) partial rows, at most one per (input batch,
+    group). Sum the partials (``groupBy``/``rollup`` + ``sum``) for
+    exact totals; NULL text contributes nothing on either engine (the
+    kernel nulls it out; SUM skips nulls).
+
+    ``impl='arrow'`` (default) counts spaces with pyarrow's
+    ``count_substring`` — a memchr-speed C kernel over the Arrow
+    buffers — and pre-aggregates per batch, so only group-cardinality
+    partials return to the JVM. Measured 1.4x over the best
+    whole-stage-codegen form at sf4.0 (0.88 s vs 1.24 s for
+    length-replace; string search in UTF8String is the JVM's cost,
+    not the regex — see CROSSOVER.md r13). ``impl='expr'`` is the
+    pure-JVM twin (``size(split(t, ' ', -1))`` — -1 keeps trailing
+    empties, preserving the spaces+1 identity), asserted identical in
+    tests; prefer it where a Python worker pool is unavailable.
+    """
+    if impl == "expr":
+        t = F.col(text_col)
+        return df.select(
+            F.col(group_col),
+            F.size(F.split(t, " ", -1)).cast("long").alias("_tok"),
+        )
+    if impl != "arrow":
+        raise ValueError(f"grouped_token_partials: unknown impl {impl!r}")
+
+    def gen(it):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in it:
+            # explicit type: an all-null batch would otherwise infer
+            # arrow type 'null', which count_substring has no kernel for
+            arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
+            toks = pc.if_else(
+                pc.is_null(arr),
+                pa.scalar(None, pa.int64()),
+                pc.add(pc.count_substring(arr, " ").cast(pa.int64()), 1),
+            )
+            out = pd.DataFrame(
+                {group_col: pdf[group_col], "_tok": toks.to_pandas()}
+            )
+            yield out.groupby(group_col, dropna=False, as_index=False)[
+                "_tok"
+            ].sum()
+
+    return df.select(group_col, text_col).mapInPandas(
+        gen, f"{group_col} string, _tok long"
+    )

@@ -1692,35 +1692,45 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-health dashboard in ONE scan: per-language and
-    overall (ROLLUP) document counts, exact-duplicate counts (distinct
-    content fingerprints), char/token totals and length extrema — the
-    numbers every curation run reports before and after each stage.
+    """The corpus-health dashboard: per-language and overall (ROLLUP)
+    document counts, exact-duplicate counts (distinct content
+    fingerprints), char/token totals and length extrema — the numbers
+    every curation run reports before and after each stage.
 
-    The distinct key is the 96-bit pair (xxhash64(text),
-    length(text)) — two cheap JVM bigint/int columns — instead of a
-    32-char md5 hex string (the round-12 form): the two-level distinct
-    aggregate's expanded shuffle then carries 12 bytes per row instead
-    of ~40, and the map-side partials hash fixed-width ints instead of
-    strings. A same-hash-same-length collision is the only error mode
-    (~2^-96 per pair); the oracle counts DISTINCT raw text, so the
-    hash-exact driver gate continuously proves collision-freeness at
-    every SF it runs. NULL text stays out of the distinct count on
-    both engines (the xxhash64 is null-guarded; COUNT DISTINCT skips
-    nulls). Single pass, map-side partial aggregation; the only
-    corpus-sized exchange is the rollup's expanded hash aggregate. All
-    columns exact integers, so the oracle hashes bit-for-bit."""
+    r13 shape (was 4.8x DuckDB at sf4.0 as a single md5-keyed rollup;
+    now 1.7x — CROSSOVER.md): two branches over the same scan, joined
+    on the 6-row rollup output.
+
+    * Distinct/count branch (pure JVM): the distinct key is the 96-bit
+      pair (xxhash64(text), octet_length(text)) — two cheap bigint/int
+      columns instead of a 32-char md5 hex string, so the two-level
+      distinct aggregate's expanded shuffle carries 12 bytes per row
+      and the partials hash fixed-width ints (octet_length reads the
+      stored byte length; char-counting length() decodes UTF-8). A
+      same-hash-same-length collision is the only error mode (~2^-96
+      per pair); the oracle counts DISTINCT raw text, so the
+      hash-exact driver gate continuously proves collision-freeness.
+    * Token branch (Arrow kernel): functions.textanalysis.
+      grouped_token_partials counts spaces at memchr speed and returns
+      per-batch per-lang partials — group-cardinality rows cross the
+      Python boundary, never the corpus.
+
+    NULL text stays out of the distinct count on both engines (the
+    xxhash64 is null-guarded; COUNT DISTINCT skips nulls) and out of
+    the token sum (kernel nulls it; SUM skips). Both rollups are 6
+    rows, so the join is a broadcast of nothing. All columns exact
+    integers, so the oracle hashes bit-for-bit."""
+    from ..functions.textanalysis import grouped_token_partials
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
     t = F.col("text")
     n_distinct = F.countDistinct("_h", "_len")
-    return (
+    stats = (
         docs.select(
             "lang",
             "n_chars",
             F.when(t.isNotNull(), F.xxhash64(t)).alias("_h"),
-            F.length(t).alias("_len"),
-            toks.alias("_tok"),
+            F.octet_length(t).alias("_len"),
         )
         .rollup("lang")
         .agg(
@@ -1728,9 +1738,27 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_distinct.alias("n_distinct"),
             (F.count(F.lit(1)) - n_distinct).alias("n_dup_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.sum("_tok").cast("long").alias("total_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
+    )
+    toks = (
+        grouped_token_partials(docs, "lang", "text")
+        .rollup("lang")
+        .agg(F.sum("_tok").cast("long").alias("total_tokens"))
+    )
+    return (
+        stats.join(toks, stats["lang"].eqNullSafe(toks["lang"]), "inner")
+        .drop(toks["lang"])
         .withColumn("lang", F.coalesce(F.col("lang"), F.lit("<all>")))
+        .select(
+            "lang",
+            "n_docs",
+            "n_distinct",
+            "n_dup_docs",
+            "total_chars",
+            "total_tokens",
+            "min_chars",
+            "max_chars",
+        )
     )

@@ -337,3 +337,46 @@ def test_bpe_pair_counts_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     rows = topk.collect()
     assert [(r["left"], r["right"], r["cnt"]) for r in rows] == [("a", "b", 2)]
+
+
+def test_grouped_token_partials_impls_identical(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.textanalysis import (
+        grouped_token_partials,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b  c"),      # double space -> empty segment counts
+            (2, "en", " lead trail "),  # leading/trailing spaces
+            (3, "de", ""),            # empty string -> 1 segment
+            (4, "de", None),          # NULL -> contributes nothing
+            (5, None, "x y"),         # NULL group key
+        ],
+        "doc_id long, lang string, text string",
+    )
+    want = {("en", 4 + 4), ("de", 1), (None, 2)}
+    for impl in ("arrow", "expr"):
+        got = {
+            (r["lang"], r["s"])
+            for r in grouped_token_partials(df, "lang", "text", impl=impl)
+            .groupBy("lang")
+            .agg(F.sum("_tok").alias("s"))
+            .collect()
+        }
+        assert got == want, impl
+    # and both match the dashboard formula length - length(replace) + 1
+    formula = {
+        (r["lang"], r["s"])
+        for r in df.groupBy("lang")
+        .agg(
+            F.sum(
+                F.length("text")
+                - F.length(F.expr("replace(text, ' ', '')"))
+                + F.lit(1)
+            ).alias("s")
+        )
+        .collect()
+    }
+    assert formula == want

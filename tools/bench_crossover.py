@@ -58,6 +58,15 @@ QUERIES = [
     "token_budget_pick",
     "ann_ivfpq_adc",
     "selection_pipeline",
+    # round-12/13 additions: the session-two operators measured in the
+    # CROSSOVER round-12 addendum III (and re-measured in r13 after the
+    # corpus_health hash-pair rewrite), plus the containment twin on
+    # the Zipf corpora
+    "cdc_apply",
+    "text_bpe_pairs",
+    "corpus_health",
+    "dedup_containment",
+    "bloom_decontaminate",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
