@@ -573,10 +573,61 @@ def rare_word_scores(
     )
 
 
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", impl: str = "expr"
+) -> DataFrame:
+    """Corpus word-frequency relation (w, f) — text split on single
+    spaces, empty tokens dropped. The corpus-sized rollup every
+    vocabulary-shaped operator starts from.
+
+    ``impl='expr'``: explode(split) then a codegen'd ``WHERE w <> ''``
+    — measured 2.2x over filtering inside a higher-order function
+    BEFORE the explode (the HOF filter runs interpreted per element,
+    outside whole-stage codegen; 5.64 s vs 2.58 s at sf8.0).
+    ``impl='arrow'``: a pyarrow split_pattern + value_counts kernel
+    pre-aggregates per batch, so only batch-vocabulary-sized (w, f)
+    partials cross the Python boundary and the one exchange carries
+    partial counts (1.63 s at sf8.0 — CROSSOVER.md r13). Identical
+    outputs, test-asserted."""
+    if impl == "arrow":
+
+        def wc_partials(it):
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for pdf in it:
+                # explicit type: all-null batches infer arrow 'null'
+                arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
+                toks = pc.drop_null(
+                    pc.list_flatten(pc.split_pattern(arr, " "))
+                )
+                vc = toks.value_counts()
+                out = pd.DataFrame(
+                    {
+                        "w": vc.field("values").to_pandas(),
+                        "f": vc.field("counts").to_pandas(),
+                    }
+                )
+                yield out[out["w"] != ""]
+
+        part = df.select(text_col).mapInPandas(wc_partials, "w string, f long")
+        return part.groupBy("w").agg(F.sum("f").alias("f"))
+    if impl != "expr":
+        raise ValueError(f"word_frequencies: unknown impl {impl!r}")
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",
     top_k: int | None = None,
+    wf_impl: str = "expr",
 ) -> DataFrame:
     """One BPE merge-selection step at corpus scale (Sennrich et al.
     2016): count adjacent character pairs over the corpus, weighting
@@ -593,12 +644,11 @@ def bpe_pair_counts(
     tokenizer training tractable at scale, and it falls out of the
     plan for free. The final pair aggregate is alphabet^2-sized. With
     top_k the cut is a TakeOrderedAndProject (no global sort).
+    ``wf_impl`` selects the word-frequency stage form (see
+    :func:`word_frequencies` — 'arrow' for the batch-preaggregated
+    kernel, the corpus-dominated-scale choice).
     """
-    wf = (
-        df.select(F.explode(words(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
+    wf = word_frequencies(df, text_col, impl=wf_impl)
     # char pairs of each distinct word; sequence() counts DOWN when
     # start > stop, so 1-char words need the explicit empty array
     pairs = wf.select(

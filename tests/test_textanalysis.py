@@ -380,3 +380,19 @@ def test_grouped_token_partials_impls_identical(spark):
         .collect()
     }
     assert formula == want
+
+
+def test_word_frequencies_impls_identical(spark):
+    from hadoop_multiple_streaming_spark.operators.text import word_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "ab ab  a"), (2, ""), (3, None), (4, "a b ")],
+        "doc_id long, text string",
+    )
+    want = {("ab", 2), ("a", 2), ("b", 1)}
+    for impl in ("expr", "arrow"):
+        got = {
+            (r["w"], r["f"])
+            for r in word_frequencies(df, "text", impl=impl).collect()
+        }
+        assert got == want, impl
