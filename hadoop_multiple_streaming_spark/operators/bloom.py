@@ -166,13 +166,11 @@ def bloom_anti_join(
     key_col: str,
     probes: DataFrame,
     probe_key_col: str,
-    num_bits: int | None = None,
-    num_hashes: int = 5,
     bloom: BloomFilterSpec | None = None,
 ) -> DataFrame:
     """EXACT anti-join (keep corpus rows whose key does NOT appear in
-    probes) with a Bloom pre-screen so the corpus-wide shuffle shrinks
-    to the might-contain sliver:
+    probes). With a caller-supplied ``bloom`` spec, a Bloom pre-screen
+    shrinks the corpus-wide shuffle to the might-contain sliver:
 
       * bloom-NEGATIVE rows (no false negatives -> provably clean) are
         kept at scan speed, never shuffled;
@@ -183,16 +181,29 @@ def bloom_anti_join(
     — the bloom can only change WHERE rows are routed, never the
     answer — so a plain ``NOT EXISTS`` SQL oracle hash-verifies it.
 
-    ``bloom`` may be a pre-built/loaded :class:`BloomFilterSpec` (the
-    streaming/repeated-run path — skips the build jobs); by default the
-    filter is built from ``probes`` here."""
+    Cost gate (r13): with ``bloom=None`` this IS the plain LeftAnti
+    join. A one-shot build cannot pay for itself — the build is a
+    probe-side scan + collect, and the screen adds a second corpus
+    branch plus the Arrow anti-pushdown barrier, all to save shuffle
+    the plain join would do once anyway (measured at sf0.1: screen
+    1.47 s even with a FREE spec vs 0.41 s plain). The screen wins
+    only when the spec is AMORTIZED — prebuilt via
+    :func:`build_bloom`, persisted via save_bloom/load_bloom, or
+    maintained by the streaming ingest — and the corpus side is large
+    enough that scan-speed routing of clean rows beats re-shuffling
+    them every run. Callers who want the screen opt in by passing the
+    spec; geometry lives with :func:`build_bloom`."""
     if "_bloom_bf" in corpus.columns or "_bloom_pk" in corpus.columns:
         raise ValueError(
             "bloom_anti_join: corpus already has a _bloom_bf/_bloom_pk"
             " column; rename it first"
         )
     if bloom is None:
-        bloom = build_bloom(probes, probe_key_col, num_bits, num_hashes)
+        return corpus.join(
+            probes.select(F.col(probe_key_col).alias("_bloom_pk")),
+            F.col(key_col) == F.col("_bloom_pk"),
+            "left_anti",
+        )
     spark = corpus.sparkSession
     bf = spark.createDataFrame([(bloom.words,)], "_bloom_bf array<bigint>")
     with_bf = corpus.join(F.broadcast(bf))

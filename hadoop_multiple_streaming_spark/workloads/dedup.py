@@ -724,10 +724,18 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     false negatives), and only the might-contain sliver routes through
     the exact LeftAnti join. The result is bit-identical to the plain
     anti-join — the NOT EXISTS oracle hash-verifies it — while the
-    corpus-wide shuffle shrinks to the contaminated fraction. The
-    filter itself comes from the per-process store cache (r13): built
-    from the blocklist on first use, probed thereafter — the
-    save_bloom/load_bloom amortization pattern the operator is for."""
+    corpus-wide shuffle shrinks to the contaminated fraction.
+
+    Self-sizing (r13, the auto_band_params precedent — plan-only,
+    result-invariant): the screen engages only when the corpus clears
+    1M rows, with the filter amortized through the per-process store
+    cache (built from the blocklist once, probed thereafter — the
+    save_bloom/load_bloom pattern). Below that, bloom_anti_join's cost
+    gate routes to the plain LeftAnti — measured at sf0.1 the screen
+    costs 1.47 s even with a FREE spec (two corpus branches + the
+    Arrow anti-pushdown barrier) vs 0.41 s plain, while at production
+    scale re-shuffling a 100 TB corpus every run is exactly what the
+    prebuilt bitmap exists to avoid."""
     from ..operators.bloom import bloom_anti_join, build_bloom
 
     docs = load(spark, sf_dir, "documents").repartition(32)
@@ -735,10 +743,16 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
-    spec = _DECON_BLOOM_CACHE.get(sf_dir)
-    if spec is None:
-        spec = build_bloom(probes, "text")
-        _DECON_BLOOM_CACHE[sf_dir] = spec
+    n = _DECON_BLOOM_CACHE.get((sf_dir, "n"))
+    if n is None:
+        n = docs.count()
+        _DECON_BLOOM_CACHE[(sf_dir, "n")] = n
+    spec = None
+    if n >= 1_000_000:
+        spec = _DECON_BLOOM_CACHE.get(sf_dir)
+        if spec is None:
+            spec = build_bloom(probes, "text")
+            _DECON_BLOOM_CACHE[sf_dir] = spec
     return bloom_anti_join(corpus, "text", probes, "text", bloom=spec).select(
         "doc_id", "lang"
     )

@@ -56,7 +56,8 @@ def test_build_bloom_fpp_is_small(spark):
 def test_bloom_anti_join_matches_plain_anti_join(spark):
     corpus = _corpus(spark)
     probes = _probes(spark)
-    got = bloom_anti_join(corpus, "k", probes, "pk")
+    spec = build_bloom(probes, "pk")
+    got = bloom_anti_join(corpus, "k", probes, "pk", bloom=spec)
     want = corpus.join(
         probes.select(F.col("pk")), corpus.k == F.col("pk"), "left_anti"
     )
@@ -64,9 +65,17 @@ def test_bloom_anti_join_matches_plain_anti_join(spark):
     w = sorted(r.doc_id for r in want.collect())
     assert g == w and len(g) > 0
     assert got.columns == corpus.columns
+    # the cost gate: no spec -> the plain LeftAnti itself (no screen)
+    plain = bloom_anti_join(corpus, "k", probes, "pk")
+    assert sorted(r.doc_id for r in plain.collect()) == w
+    pstr = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in pstr
     # forcing a tiny bitmap (high FPR) cannot change the ANSWER — only
     # how many rows route through the verify join
-    tiny = bloom_anti_join(corpus, "k", probes, "pk", num_bits=1024, num_hashes=2)
+    tiny = bloom_anti_join(
+        corpus, "k", probes, "pk",
+        bloom=build_bloom(probes, "pk", num_bits=1024, num_hashes=2),
+    )
     assert sorted(r.doc_id for r in tiny.collect()) == w
 
 
@@ -93,7 +102,9 @@ def test_bloom_prefilter_stays_below_anti_join(spark):
     Arrow node (so its input is the prefiltered sliver)."""
     corpus = _corpus(spark)
     probes = _probes(spark)
-    out = bloom_anti_join(corpus, "k", probes, "pk")
+    out = bloom_anti_join(
+        corpus, "k", probes, "pk", bloom=build_bloom(probes, "pk")
+    )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     anti_at = plan.find("LeftAnti")
     arrow_at = plan.find("MapInPandas")
