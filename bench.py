@@ -179,6 +179,21 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # pre-warm the Python/Arrow worker POOL across every core before
+    # any timed rep (r13): the per-query warm pass forks workers only
+    # for the partitions its own plan touches, so the first Arrow-heavy
+    # queries were still paying pool cold-start inside their timed
+    # window on a cold driver host. One trivial mapInPandas over
+    # cpus-many partitions forks the whole pool once, here, untimed
+    # (workers are reused afterwards — spark.python.worker.reuse is
+    # pinned on in session.py).
+    try:
+        spark.range(int(cpus), numPartitions=int(cpus)).mapInPandas(
+            lambda it: it, "id long"
+        ).write.mode("overwrite").format("noop").save()
+    except Exception as e:
+        print(f"[bench] arrow pre-warm FAILED: {str(e)[:200]}", file=sys.stderr)
+
     names = [n for n in HEADLINE if n in workloads.QUERIES]
     # warm IMMEDIATELY before timing each query (not one global warm
     # pass): the generated-class cache is shared across queries, and a
@@ -188,6 +203,7 @@ def main() -> int:
     # steady-state measurement honest (session.py also raises
     # spark.sql.codegen.cache.maxEntries as a second line of defense).
     times: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in names:
         # warm pass (Janino compiles, shuffle init for the plan
         # shapes), then an ADAPTIVE min-of-k (k=2..4): the host shares
@@ -219,12 +235,18 @@ def main() -> int:
         except Exception as e:
             print(f"[bench] {name} FAILED: {str(e)[:200]}", file=sys.stderr)
             times[name] = -1.0
+        # every rep, not just the min (r13): a sustained-slow query
+        # (all reps high) reads differently from a convergence spike
+        # (one outlier rep) — the per-round record should tell them
+        # apart without a re-run
+        reps[name] = [round(s, 3) for s in samples]
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "reps": reps,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINTS", "1") != "0":

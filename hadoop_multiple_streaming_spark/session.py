@@ -146,6 +146,13 @@ def get_spark(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
         )
+        # default-true, pinned EXPLICITLY (r13, the r12 verdict's
+        # driver-host Arrow-inflation chase): every Arrow-fenced stage
+        # (mapInPandas kernels, pandas_udfs) forks a Python worker per
+        # core unless the pool is reused across jobs; an environment
+        # that flipped this off would pay worker cold-start on every
+        # rep and read as a sustained 3-6x Arrow-row inflation
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.memory",

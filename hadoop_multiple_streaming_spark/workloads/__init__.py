@@ -53,82 +53,107 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
-    # ---- round-12 window (driver checks ~first 50) ----
-    # NEW r12: Bloom-prefiltered exact anti-join (blocklist screen at
-    # past-broadcast probe scale)
-    "bloom_decontaminate",
-    # NEW r12: corpus management (keep-best dedup, snapshot diff),
-    # blocked fuzzy linkage, leakage-safe grouped holdout split
-    "dedup_keep_best",
-    "corpus_diff",
-    "cdc_apply",
-    "fuzzy_join_parts",
-    "grouped_holdout_split",
-    "text_bpe_pairs",
-    "dedup_containment",
-    "incremental_embedding_lsh",
+    # ---- round-13 window (driver checks ~first 50) ----
+    # CHANGED r13: corpus_health hash-pair + Arrow token branch;
+    # text_bpe_pairs codegen'd/Arrow word-frequency stage; bloom
+    # cost gate + self-sizing; trained-quantizer IVF-PQ; the
+    # driver-side-quota hash-rank sampler kernel (skew bypass)
     "corpus_health",
-    # CHANGED r12: subgroup-decomposed hash rank (dominant-group
-    # pre-trim), prefix-sum bucket auto-sizing, score-negation fix,
-    # IVF-PQ probe dedupe — every query whose plan moved this round
+    "text_bpe_pairs",
+    "bloom_decontaminate",
+    "ann_ivfpq_adc",
     "mixture_sample_docs",
     "quota_sample",
     "temperature_sample",
-    "global_shuffle_docs",
-    "token_budget_pick",
     "selection_pipeline",
-    "pack_sequences_global",
-    "ann_ivfpq_adc",
-    # evidence-refresh: stalest driver greens (r08, never re-proved)
-    "agg_double_sum",
-    "agg_salted_sum",
-    "dedup_simhash_pairs",
-    "agg_long_sum_native",
-    "ann_pq_train_recall",
-    "salted_join_revenue",
-    "incremental_dedup",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q21_sole_failing_supplier",
-    "orders_grouping_sets",
-    "multimodal_features",
-    # evidence-refresh: next-stalest (r10 greens)
-    "pipe_grouped_reduce",
-    "pipe_identity_cat",
-    "semantic_dedup_hier",
-    "semantic_dedup_auto",
-    "semantic_dedup",
-    "substring_decontamination",
-    "decontaminate_cut_spans",
-    "incremental_minhash_dedup",
-    "part_supplier_topn",
-    "text_pii_redact",
-    "text_boilerplate_removal",
-    "ann_cosine_topk",
-    # family representative: fan-out (r11 green, kept in-window)
+    "dedup_keep_best",
+    # evidence-refresh: stalest greens, never in-window since r10
+    # (the r12 verdict's task-7 list: agg_uniq_count,
+    # agg_value_histogram, ann_ivf_multiprobe, the events family),
+    # then the r10-green tail block in staleness order
+    "q1_pricing_summary",
+    "agg_long_sum",
+    "agg_uniq_count",
+    "agg_value_histogram",
+    "ann_ivf_multiprobe",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_exact_profile",
+    "secondary_sort_events",
+    "q13_customer_distribution",
+    "contamination_rate",
+    "q5_local_supplier_volume",
+    "asof_click_attribution",
+    "q18_large_orders",
+    "price_percentiles",
+    "q9_product_profit",
+    "ann_pq_adc",
+    "text_rare_words",
+    "text_profile",
+    "dedup_embedding_lsh_auto",
+    "upsample_epochs",
+    "chunk_documents",
+    "blocklist_screen",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_simhash",
+    "decontaminate_docs",
+    "text_fingerprint",
+    "text_token_count",
+    "text_quality_score",
+    "multimodal_frame_sample",
+    "pack_sequences",
+    "dataset_split",
+    # family representatives: pipe, fan-out, streaming-incremental
+    "pipe_wordcount",
     "fanout_two_branches",
-    # ---- index 51+: driver-green on an UNCHANGED plan (round noted) ----
-    "q1_pricing_summary",  # r10 green; slot ceded to bloom_decontaminate (entry() smokes it every round anyway)
-    "secondary_sort_events",  # r11 sf1.0 re-anchor; displaced by cdc_apply (events family keeps hourly_rollup in-window)
-    "q13_customer_distribution",  # r11 green; displaced by dedup_containment/corpus_health
-    "ann_ivf_multiprobe",  # r10 green; displaced by corpus_health (ann family keeps cosine_topk/pq_train_recall/ivfpq_adc in-window)
-    "events_hourly_rollup",  # r11 green; displaced by incremental_embedding_lsh (events family: secondary_sort re-anchored r11 sf1.0; all greens unchanged plans)
-    "events_sessionize",  # r11 green; displaced by text_bpe_pairs (events family keeps hourly_rollup in-window)
-    "events_exact_profile",  # r10 green; displaced by the r12 additions (events family keeps hourly_rollup/sessionize in-window)
-    "agg_long_sum",  # r10 green; displaced by the r12 additions (agg family keeps double_sum/salted_sum/long_sum_native in-window)
-    "agg_uniq_count",  # r10 green; displaced by the r12 additions
-    "agg_value_histogram",  # r10 green; displaced by the r12 additions
+    "incremental_dedup",
+    # ---- index 49+: driver-green on an UNCHANGED plan (round noted) ----
+    "corpus_diff",  # r12 green (driver r12 window; plan unchanged in r13)
+    "cdc_apply",  # r12 green (driver r12 window; plan unchanged in r13)
+    "fuzzy_join_parts",  # r12 green (driver r12 window; plan unchanged in r13)
+    "grouped_holdout_split",  # r12 green (driver r12 window; plan unchanged in r13)
+    "dedup_containment",  # r12 green (driver r12 window; plan unchanged in r13)
+    "incremental_embedding_lsh",  # r12 green (driver r12 window; plan unchanged in r13)
+    "global_shuffle_docs",  # r12 green (driver r12 window; plan unchanged in r13)
+    "token_budget_pick",  # r12 green (driver r12 window; plan unchanged in r13)
+    "pack_sequences_global",  # r12 green (driver r12 window; plan unchanged in r13)
+    "agg_double_sum",  # r12 green (driver r12 window; plan unchanged in r13)
+    "agg_salted_sum",  # r12 green (driver r12 window; plan unchanged in r13)
+    "dedup_simhash_pairs",  # r12 green (driver r12 window; plan unchanged in r13)
+    "agg_long_sum_native",  # r12 green (driver r12 window; plan unchanged in r13)
+    "ann_pq_train_recall",  # r12 green (driver r12 window; plan unchanged in r13)
+    "salted_join_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q2_min_cost_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q7_nation_volume",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q8_market_share",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q14_promo_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q15_top_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q16_supplier_part_counts",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q17_small_quantity_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q19_disjunctive_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q20_heavy_shippers",  # r12 green (driver r12 window; plan unchanged in r13)
+    "q21_sole_failing_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
+    "orders_grouping_sets",  # r12 green (driver r12 window; plan unchanged in r13)
+    "multimodal_features",  # r12 green (driver r12 window; plan unchanged in r13)
+    "pipe_grouped_reduce",  # r12 green (driver r12 window; plan unchanged in r13)
+    "pipe_identity_cat",  # r12 green (driver r12 window; plan unchanged in r13)
+    "semantic_dedup_hier",  # r12 green (driver r12 window; plan unchanged in r13)
+    "semantic_dedup_auto",  # r12 green (driver r12 window; plan unchanged in r13)
+    "semantic_dedup",  # r12 green (driver r12 window; plan unchanged in r13)
+    "substring_decontamination",  # r12 green (driver r12 window; plan unchanged in r13)
+    "decontaminate_cut_spans",  # r12 green (driver r12 window; plan unchanged in r13)
+    "incremental_minhash_dedup",  # r12 green (driver r12 window; plan unchanged in r13)
+    "part_supplier_topn",  # r12 green (driver r12 window; plan unchanged in r13)
+    "text_pii_redact",  # r12 green (driver r12 window; plan unchanged in r13)
+    "text_boilerplate_removal",  # r12 green (driver r12 window; plan unchanged in r13)
+    "ann_cosine_topk",  # r12 green (driver r12 window; plan unchanged in r13)
     "quality_model_score",  # r11 green
     "dedup_ngram_jaccard",  # r11 green
     "priority_sample_docs",  # r11 green
-    "pipe_wordcount",  # r11 green
     "pack_texts",  # r11 green
     "stratified_sample",  # r11 green
     "text_langid",  # r11 green
@@ -167,32 +192,6 @@ _PRIORITY_ORDER = [
     "q22_global_sales_opportunity",  # r11 green
     "text_top_bigrams",  # r11 green
     "agg_string_max_min",  # r11 green
-    "contamination_rate",  # r10 green
-    "q5_local_supplier_volume",  # r10 green
-    "asof_click_attribution",  # r10 green
-    "q18_large_orders",  # r10 green
-    "price_percentiles",  # r10 green
-    "q9_product_profit",  # r10 green
-    "ann_pq_adc",  # r10 green
-    "text_rare_words",  # r10 green
-    "text_profile",  # r10 green
-    "dedup_embedding_lsh_auto",  # r10 green
-    "upsample_epochs",  # r10 green
-    "chunk_documents",  # r10 green
-    "blocklist_screen",  # r10 green
-    "dedup_embedding_lsh",  # r10 green
-    "dedup_minhash_lsh",  # r10 green
-    "dedup_embedding_cosine",  # r10 green
-    "dedup_clusters",  # r10 green
-    "dedup_exact",  # r10 green
-    "dedup_simhash",  # r10 green
-    "decontaminate_docs",  # r10 green
-    "text_fingerprint",  # r10 green
-    "text_token_count",  # r10 green
-    "text_quality_score",  # r10 green
-    "multimodal_frame_sample",  # r10 green
-    "pack_sequences",  # r10 judge re-run green
-    "dataset_split",  # r07 green + r11 sf1.0 re-anchor
     "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile + pytest bounds
 ]
 

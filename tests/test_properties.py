@@ -290,20 +290,28 @@ def test_grouped_hash_topk_matches_python_reference(spark, rows, quota, nsg):
     """The subgroup-decomposed hash rank (r12 skew fix) against a plain
     Python golden: per group, keep the `quota` smallest
     (md5-nibble-hash, key) rows — exact membership at every subgroup
-    count, on arbitrary corpora."""
+    count, on arbitrary corpora. The bypass floor is dropped to 0 so
+    the DECOMPOSED plan is what the golden exercises (the r13 bypass
+    path is the plain window, covered by the invariance test)."""
     import hashlib
 
+    from hadoop_multiple_streaming_spark.functions import sampling
     from hadoop_multiple_streaming_spark.functions.sampling import (
         quota_sample,
     )
 
     df = spark.createDataFrame(rows, "doc_id long, grp string")
-    got = {
-        (r.grp, r.doc_id)
-        for r in quota_sample(
-            df, "doc_id", "grp", quota, num_subgroups=nsg
-        ).collect()
-    }
+    orig = sampling._SKEW_BYPASS_ROWS
+    sampling._SKEW_BYPASS_ROWS = 0
+    try:
+        got = {
+            (r.grp, r.doc_id)
+            for r in quota_sample(
+                df, "doc_id", "grp", quota, num_subgroups=nsg
+            ).collect()
+        }
+    finally:
+        sampling._SKEW_BYPASS_ROWS = orig
 
     def hv(x):
         return int(hashlib.md5(str(x).encode()).hexdigest()[:6], 16)

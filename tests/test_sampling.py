@@ -335,11 +335,11 @@ def test_mixture_sample_explicit_target_and_infeasible_raises(spark):
     got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert got == {"a": 200, "b": 200}
     # c has 150 rows; 1:1:2 at target 1200 needs 600 c rows -> raise
-    bad = mixture_sample(
-        df, "doc_id", "grp", {"a": 1, "b": 1, "c": 2}, target_total=1200
-    )
-    with pytest.raises(SparkRuntimeException, match="infeasible mixture"):
-        bad.collect()
+    # (r13: at query construction — the quota arithmetic is driver-side)
+    with pytest.raises(ValueError, match="infeasible mixture"):
+        mixture_sample(
+            df, "doc_id", "grp", {"a": 1, "b": 1, "c": 2}, target_total=1200
+        )
 
 
 def test_mixture_sample_validates_weights(spark):
@@ -484,10 +484,10 @@ def test_mixture_sample_zero_row_weighted_group(spark):
     )
     # no 'b' rows at all: the largest achievable 1:1 mixture is empty
     assert mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1}).count() == 0
-    with pytest.raises(SparkRuntimeException, match="infeasible mixture"):
+    with pytest.raises(ValueError, match="infeasible mixture"):
         mixture_sample(
             df, "doc_id", "grp", {"a": 1, "b": 1}, target_total=10
-        ).collect()
+        )
 
 
 def test_token_budget_select_narrow_int_min_score(spark):
@@ -523,7 +523,11 @@ def test_token_budget_select_narrow_int_min_score(spark):
 def test_grouped_hash_topk_membership_invariant_in_subgroups(spark):
     """The r12 scale fix must be INVISIBLE in the answer: quota /
     temperature / mixture keep bit-identical row sets at any
-    num_subgroups (1 == the old whole-group window shape)."""
+    num_subgroups (1 == the old whole-group window shape), on BOTH the
+    decomposed plan (bypass floor dropped to 0, so the 900-row 'big'
+    group counts as skewed) and the r13 single-window bypass plan
+    (default floor — this corpus is far under it)."""
+    from hadoop_multiple_streaming_spark.functions import sampling
     from hadoop_multiple_streaming_spark.functions.sampling import (
         mixture_sample,
         quota_sample,
@@ -540,24 +544,33 @@ def test_grouped_hash_topk_membership_invariant_in_subgroups(spark):
     def ids(out):
         return sorted(r["doc_id"] for r in out.collect())
 
-    for nsg in (1, 4, 64, 4096):
-        assert ids(quota_sample(df, "doc_id", "grp", 37, num_subgroups=nsg)) == ids(
-            quota_sample(df, "doc_id", "grp", 37, num_subgroups=1)
+    orig = sampling._SKEW_BYPASS_ROWS
+    want_q = ids(quota_sample(df, "doc_id", "grp", 37, num_subgroups=1))
+    want_t = ids(temperature_sample(df, "doc_id", "grp", num_subgroups=1))
+    want_m = ids(
+        mixture_sample(
+            df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
+            num_subgroups=1,
         )
-        assert ids(
-            temperature_sample(df, "doc_id", "grp", num_subgroups=nsg)
-        ) == ids(temperature_sample(df, "doc_id", "grp", num_subgroups=1))
-        assert ids(
-            mixture_sample(
-                df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
-                num_subgroups=nsg,
-            )
-        ) == ids(
-            mixture_sample(
-                df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
-                num_subgroups=1,
-            )
-        )
+    )
+    try:
+        for floor in (orig, 0):
+            sampling._SKEW_BYPASS_ROWS = floor
+            for nsg in (1, 4, 64, 4096):
+                assert ids(
+                    quota_sample(df, "doc_id", "grp", 37, num_subgroups=nsg)
+                ) == want_q, (floor, nsg)
+                assert ids(
+                    temperature_sample(df, "doc_id", "grp", num_subgroups=nsg)
+                ) == want_t, (floor, nsg)
+                assert ids(
+                    mixture_sample(
+                        df, "doc_id", "grp", {"big": 3, "mid": 2, "tiny": 1},
+                        num_subgroups=nsg,
+                    )
+                ) == want_m, (floor, nsg)
+    finally:
+        sampling._SKEW_BYPASS_ROWS = orig
 
 
 def test_grouped_hash_topk_validation(spark):
@@ -601,6 +614,7 @@ def test_sampler_rank_window_partitions_by_subgroup(spark):
     import contextlib
     import io as _io
 
+    from hadoop_multiple_streaming_spark.functions import sampling
     from hadoop_multiple_streaming_spark.functions.sampling import (
         mixture_sample,
     )
@@ -609,7 +623,14 @@ def test_sampler_rank_window_partitions_by_subgroup(spark):
         [(i, "a" if i % 10 else "b") for i in range(1000)],
         "doc_id long, grp string",
     )
-    out = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1})
+    # drop the absolute bypass floor so the 900-row dominant group
+    # exercises the decomposed (at-scale) plan shape under test
+    orig = sampling._SKEW_BYPASS_ROWS
+    sampling._SKEW_BYPASS_ROWS = 0
+    try:
+        out = mixture_sample(df, "doc_id", "grp", {"a": 1, "b": 1})
+    finally:
+        sampling._SKEW_BYPASS_ROWS = orig
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
