@@ -8,17 +8,18 @@ sf1.0-distribution embeddings (20k vectors, generated deterministically
 by the same tools/gen_scaled_docs recipe, seed 4242) — no external
 oracle needed, mirroring ann_pq_train_recall.
 
-Measured recall@3 = 3/30 = 0.10 on this corpus. That LOW number is the
-metric working, not the operator failing (same diagnosis as the
-ann_recall catalog query's 1/30): the synthetic vectors are isotropic —
-NOT clustered by label — so the label-mean coarse quantizer's nprobe=2
-of 10 cells holds ~20% of true neighbors, and the exemplar (untrained)
-codebooks cost the rest. The gate pins a floor under the measured value
-so a regression in candidate generation, encoding, or ADC ranking
-(e.g. a probe-join or distance-table bug that silently empties or
-corrupts the candidate set) fails loudly; real recall tuning is the
-trained path (pq_train + kmeans cells + more probes), tracked by
-ann_pq_train_recall.
+Measured recall@3 = 18/30 = 0.60 with the r13 trained pipeline
+(integer-Lloyd coarse cells from data-point init, residual-trained PQ,
+nprobe=4, exact top-100 refine). The r12 exemplar form measured 0.10 —
+and the instrumented decomposition showed WHY: with data-point-seeded
+k-means the coarse ceiling is 30/30 (every true neighbor in a probed
+cell, cells balanced 1170-1330), so the entire loss was ADC ranking on
+isotropic vectors, which no codebook size fixed (0.067 at k=16 probes
+4 AND 6; 0.100 at 32 cells) — distances concentrate, near-ties are
+sub-quantization-error. The refine stage is the fix real deployments
+use (FAISS IndexRefineFlat): exact bigint L2 over the ADC shortlist.
+The floor pins half the k*queries budget so a regression in candidate
+generation, training, encoding, ADC, or refine fails loudly.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-RECALL_FLOOR = 2 / 30  # measured 3/30; floor leaves one-hit slack
+RECALL_FLOOR = 15 / 30  # measured 18/30; the verdict's >= 0.5 bar
 _K = 3
 _N_QUERIES = 10
 
