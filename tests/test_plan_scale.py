@@ -289,17 +289,39 @@ def test_selection_pipeline_no_corpus_global_window(spark, sf_dir):
 
 
 def test_bloom_decontaminate_plan_shape(spark, sf_dir):
-    # the Bloom screen's contract: a 1-row bitmap broadcast (benign
-    # BroadcastNestedLoopJoin), an exact LeftAnti verify join for the
-    # might-contain sliver, and never a cartesian pair explosion. The
-    # clean branch is scan -> filter -> output by construction (the
-    # union's first child carries the negated might_contain filter).
+    # r13 cost gate: below the 1M-row self-sizing threshold the
+    # catalog query IS the plain LeftAnti — no bitmap broadcast, no
+    # Arrow barrier, no union (the screen machinery measured 1.47 s
+    # vs 0.41 s plain at sf0.1 even with a free spec)
     df = workloads.QUERIES["bloom_decontaminate"](spark, sf_dir)
     plan = _plan_of(df)
     assert "LeftAnti" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bitmap
     assert "CartesianProduct" not in plan
-    assert "Union" in plan
+    assert "MapInPandas" not in plan
+    assert "Union" not in plan
+    # the SCREEN shape (the at-scale path, engaged via a prebuilt
+    # spec): 1-row bitmap broadcast (benign BroadcastNestedLoopJoin),
+    # exact LeftAnti verify for the might-contain sliver, clean-branch
+    # union — and never a cartesian pair explosion
+    from hadoop_multiple_streaming_spark.operators.bloom import (
+        bloom_anti_join,
+        build_bloom,
+    )
+    from hadoop_multiple_streaming_spark.workloads.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "lang", "text")
+    probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    screened = bloom_anti_join(
+        corpus, "text", probes, "text",
+        bloom=build_bloom(probes, "text", num_bits=1 << 14),
+    )
+    splan = _plan_of(screened)
+    assert "LeftAnti" in splan
+    assert "BroadcastNestedLoopJoin" in splan  # the 1-row bitmap
+    assert "CartesianProduct" not in splan
+    assert "Union" in splan
 
 
 def test_snapshot_diff_full_outer_smj_pruned_scan(spark, sf_dir, no_broadcast):
