@@ -308,7 +308,7 @@ def chunk_documents(
     if stride < 1:
         raise ValueError(f"chunk_documents: stride must be >= 1, got {stride}")
     k, st = int(chunk_tokens), int(stride)
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    toks = F.expr(f"array_remove(split({text_col}, ' '), '')")
     n_chunks = (
         # ceil((n_tokens - chunk) / stride) + 1 for non-empty docs,
         # capped at the count of starts strictly below n_tokens
@@ -332,6 +332,6 @@ def chunk_documents(
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         .withColumn(
             "n_tokens",
-            F.size(F.expr("filter(split(chunk_text, ' '), t -> t != '')")),
+            F.size(F.expr("array_remove(split(chunk_text, ' '), '')")),
         )
     )

@@ -29,7 +29,7 @@ TOKEN_PATTERN = "[A-Za-z0-9]+"
 
 
 def _tokens(text_col: str) -> str:
-    return f"filter(split({text_col}, ' '), t -> t <> '')"
+    return f"array_remove(split({text_col}, ' '), '')"
 
 
 def ws_token_count(text_col: str) -> Column:

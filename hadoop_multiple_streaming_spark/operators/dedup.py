@@ -1539,7 +1539,7 @@ def substring_matches(
         raise ValueError(f"substring_matches: k must be >= 1, got {k}")
     ct = corpus.select(
         F.col(corpus_id).alias("corpus_id"),
-        F.expr(f"filter(split({corpus_text}, ' '), t -> t != '')").alias("_ct"),
+        F.expr(f"array_remove(split({corpus_text}, ' '), '')").alias("_ct"),
     )
     grams = F.when(
         F.size("_ct") >= k,
@@ -1564,7 +1564,7 @@ def substring_matches(
     )
     pt = probes.select(
         F.col(probe_id).alias("probe_id"),
-        F.expr(f"filter(split({probe_text}, ' '), t -> t != '')").alias("_pt"),
+        F.expr(f"array_remove(split({probe_text}, ' '), '')").alias("_pt"),
     ).where(F.size("_pt") >= k)
     if broadcast_probes and max_probe_rows is not None:
         # in-plan lazy guard (embedding_cosine_pairs pattern): the hint
@@ -1722,7 +1722,7 @@ def remove_spans(
     empty_ivs = F.expr("array()").cast("array<struct<s:bigint,e:bigint>>")
     base = df.join(ivs, id_col, "left").select(
         F.col(id_col),
-        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+        F.expr(f"array_remove(split({text_col}, ' '), '')").alias("_tk"),
         F.coalesce(F.col("_ivs"), empty_ivs).alias("_ivs"),
     )
     kept = F.expr(
@@ -1778,7 +1778,7 @@ def duplicate_spans(
     k = int(span_tokens)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+        F.expr(f"array_remove(split({text_col}, ' '), '')").alias("_tk"),
     )
     spans = F.when(
         F.size("_tk") >= k,

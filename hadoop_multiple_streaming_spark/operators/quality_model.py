@@ -50,7 +50,7 @@ def quality_features(
         F.col(id_col),
         *[F.col(c) for c in (keep_cols or [])],
         F.col(text_col).alias("_t"),
-        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_tk"),
+        F.expr(f"array_remove(split({text_col}, ' '), '')").alias("_tk"),
     )
     n_tok = F.size("_tk").cast("long")
     return base.select(

@@ -27,8 +27,12 @@ TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def words(text: Column | str) -> Column:
+    # array_remove instead of a filter() higher-order function: the
+    # HOF lambda evaluates INTERPRETED per element outside whole-stage
+    # codegen — measured 2.3x slower on the exploded shape and 1.26x
+    # on the array shape at sf8.0 (CROSSOVER.md r13); identical output
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(col, " "), lambda w: w != "")
+    return F.array_remove(F.split(col, " "), "")
 
 
 def normalize_text(
@@ -198,7 +202,7 @@ def winnowing_fingerprints(
         )
     toks = df.select(
         F.col(id_col),
-        F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias("_tk"),
+        F.expr(f"array_remove(split({text_col}, ' '), '')").alias("_tk"),
     )
     # 60-bit k-gram hashes (15 hex digits < 2^60: exact in bigint)
     hashes = F.when(
@@ -321,7 +325,7 @@ def remove_frequent_segments(
             f"got {segment_tokens}"
         )
     k = int(segment_tokens)
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    toks = F.expr(f"array_remove(split({text_col}, ' '), '')")
     chunks = F.when(
         F.size(F.col("_tk")) > 0,
         F.expr(

@@ -562,7 +562,7 @@ def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import substring_matches
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
-    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
         docs.where(F.col("doc_id") % 17 == 0)
         .select("doc_id", toks.alias("_t"))
@@ -607,7 +607,7 @@ def decontaminate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_spans, substring_matches
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
-    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
         docs.where(F.col("doc_id") % 17 == 0)
         .select("doc_id", toks.alias("_t"))
