@@ -21,7 +21,7 @@ from ..operators.dedup import (
     word_shingles,
 )
 from . import register
-from .tables import load
+from .tables import load, table_count
 
 # shared oracle CTE: distinct word 3-gram shingles per doc
 _SHINGLES_CTE = """
@@ -361,7 +361,7 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("n2", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
     allq = q.select("id", "qv", "n2").unionByName(twin.select("id", "qv", "n2"))
-    n0 = emb.count()
+    n0 = table_count(spark, sf_dir, "embeddings")
     return embedding_lsh_pairs(
         allq, threshold=0.95, n=2 * n0, sig_impl="arrow"
     )
@@ -743,10 +743,7 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
-    n = _DECON_BLOOM_CACHE.get((sf_dir, "n"))
-    if n is None:
-        n = docs.count()
-        _DECON_BLOOM_CACHE[(sf_dir, "n")] = n
+    n = table_count(spark, sf_dir, "documents")
     spec = None
     if n >= 1_000_000:
         spec = _DECON_BLOOM_CACHE.get(sf_dir)
@@ -988,7 +985,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto_band_params precedent: plan-only, result-invariant)
     expand = (
         4 * spark.sparkContext.defaultParallelism
-        if docs.count() >= 50_000
+        if table_count(spark, sf_dir, "documents") >= 50_000
         else None
     )
     return ngram_containment_pairs(
