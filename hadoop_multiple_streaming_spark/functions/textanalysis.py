@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # marker stopwords per language for the n-gram/stopword langid
 # heuristic; alphabetical lang order is the documented tie-break
@@ -205,10 +206,16 @@ def grouped_token_partials(
             out = pd.DataFrame(
                 {group_col: pdf[group_col], "_tok": toks.to_pandas()}
             )
+            # min_count=1: an all-NULL-text group yields a NULL partial
+            # (pandas' default sum would emit 0), keeping SUM-of-partials
+            # NULL like SQL SUM over an all-NULL group.
             yield out.groupby(group_col, dropna=False, as_index=False)[
                 "_tok"
-            ].sum()
+            ].sum(min_count=1)
 
-    return df.select(group_col, text_col).mapInPandas(
-        gen, f"{group_col} string, _tok long"
+    # Derive the group field's type from the input schema — hardcoding
+    # 'string' would silently mis-declare an int/bigint group column.
+    out_schema = T.StructType(
+        [df.schema[group_col], T.StructField("_tok", T.LongType())]
     )
+    return df.select(group_col, text_col).mapInPandas(gen, out_schema)

@@ -428,6 +428,13 @@ _L2_INT = (
     "0L, (acc, d) -> acc + d)"
 )
 
+#: exact integer dot product between two long arrays (same bigint
+#: fold discipline as _L2_INT); {a}={b} gives the squared norm
+_DOT_INT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "0L, (acc, d) -> acc + d)"
+)
+
 
 #: bigint argmin over an inlined centroid array: distance fold then
 #: lexicographic (dist, cluster) sort — ties break to the smaller id
@@ -711,6 +718,7 @@ def ivfpq_adc_topk(
     centroids: DataFrame | None = None,
     refine: int | None = None,
     vectors: DataFrame | None = None,
+    refine_metric: str = "l2",
 ) -> DataFrame:
     """IVF-PQ search (the FAISS IVFADC composition — the shape real
     billion-vector deployments run): the ADC scan of ``pq_adc_topk``
@@ -736,14 +744,26 @@ def ivfpq_adc_topk(
     ``refine`` (with ``vectors`` = (id, qv) original quantized
     vectors) adds the exact re-rank stage (FAISS IndexRefineFlat):
     the ADC ranking keeps its top-``refine`` shortlist per query and
-    the final top-k is exact bigint L2 on the original vectors —
+    the final top-k is exact re-rank on the original vectors —
     |queries| x refine exact distances, never corpus-sized. ADC alone
     cannot separate near-ties on isotropic data (measured recall@3
     0.07 -> 0.60 at 20k vectors with refine=100); the shortlist
     re-rank is how production IVFPQ deployments actually serve.
+    The query side of the re-rank takes qv from ``queries`` itself
+    (not a vectors-store lookup), so external query ids absent from
+    the corpus store are refined, never silently dropped.
     Output columns: (query_id, neighbor_id, rank, adc_dist) — in
     refine mode ``adc_dist`` is the EXACT refined distance (the
     ranking key, name kept stable for schema compatibility).
+
+    ``refine_metric``: ``'l2'`` (default) is exact bigint L2 —
+    cross-engine bit-identical, and COSINE-equivalent ranking only
+    when the corpus is constant-norm (unit-normalized then
+    quantized, the embeddings-table contract). On a mixed-norm
+    corpus L2 ranks by magnitude too; pass ``'cosine'`` there —
+    it ranks by exact angular order via integer cross-comparison-safe
+    double cosine distance 1 - dot/(|a||b|) (ties still break on
+    neighbor_id). Pick explicitly; there is no silent fallback.
 
     Scale shape: the per-query distance tables broadcast (queries x m
     x |codebook| rows); candidate generation is a bucket equi-join —
@@ -821,22 +841,44 @@ def ivfpq_adc_topk(
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "adc_dist")
         )
+    if refine_metric not in ("l2", "cosine"):
+        raise ValueError(
+            f"ivfpq_adc_topk: refine_metric must be 'l2' (constant-norm "
+            f"corpora) or 'cosine' (mixed-norm), got {refine_metric!r}"
+        )
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(refine))
         .select("query_id", "neighbor_id")
     )
-    exact_d2 = F.expr(_L2_INT.format(a="_qa", b="_qb"))
+    if refine_metric == "l2":
+        exact_d = F.expr(_L2_INT.format(a="_qa", b="_qb"))
+    else:
+        # cosine distance 1 - dot/(|a||b|): dot and squared norms are
+        # exact bigint sums (per-term |x*y| bounded well under 2^63 for
+        # quantized components); only the final sqrt/divide is double.
+        # Zero-norm vectors get distance 1.0 (no angular information).
+        dot = F.expr(_DOT_INT.format(a="_qa", b="_qb"))
+        na = F.expr(_DOT_INT.format(a="_qa", b="_qa"))
+        nb = F.expr(_DOT_INT.format(a="_qb", b="_qb"))
+        exact_d = F.when(
+            (na > 0) & (nb > 0),
+            F.lit(1.0)
+            - dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        ).otherwise(F.lit(1.0))
+    # _qa comes from `queries` (which always carries qv): an external
+    # query id absent from the corpus `vectors` store must refine, not
+    # silently vanish through an inner join against the store.
     refined = (
         shortlist.join(
             vectors.select(F.col("id").alias("neighbor_id"), F.col("qv").alias("_qb")),
             "neighbor_id",
         )
         .join(
-            vectors.select(F.col("id").alias("query_id"), F.col("qv").alias("_qa")),
+            queries.select(F.col("id").alias("query_id"), F.col("qv").alias("_qa")),
             "query_id",
         )
-        .select("query_id", "neighbor_id", exact_d2.alias("adc_dist"))
+        .select("query_id", "neighbor_id", exact_d.alias("adc_dist"))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

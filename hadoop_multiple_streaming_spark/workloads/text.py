@@ -1740,16 +1740,31 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
+            F.grouping("lang").alias("_g"),
         )
     )
     toks = (
         grouped_token_partials(docs, "lang", "text")
         .rollup("lang")
-        .agg(F.sum("_tok").cast("long").alias("total_tokens"))
+        .agg(
+            F.sum("_tok").cast("long").alias("total_tokens"),
+            F.grouping("lang").alias("_g"),
+        )
     )
+    # Join on (lang, grouping flag): eqNullSafe(lang) alone cannot tell
+    # the rollup grand-total row (lang NULL, grouping=1) from a real
+    # NULL-lang group row (lang NULL, grouping=0) — a corpus with NULL
+    # lang would 2x2-fanout and double-count totals without the flag.
     return (
-        stats.join(toks, stats["lang"].eqNullSafe(toks["lang"]), "inner")
+        stats.join(
+            toks,
+            stats["lang"].eqNullSafe(toks["lang"])
+            & (stats["_g"] == toks["_g"]),
+            "inner",
+        )
         .drop(toks["lang"])
+        .drop(stats["_g"])
+        .drop(toks["_g"])
         .withColumn("lang", F.coalesce(F.col("lang"), F.lit("<all>")))
         .select(
             "lang",

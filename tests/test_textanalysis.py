@@ -396,3 +396,82 @@ def test_word_frequencies_impls_identical(spark):
             for r in word_frequencies(df, "text", impl=impl).collect()
         }
         assert got == want, impl
+
+
+def test_grouped_token_partials_int_group_col(spark):
+    """r14 (ADVICE r13): the mapInPandas output schema derives the
+    group field's type from the input — an int group column must work,
+    not be silently declared string."""
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.textanalysis import (
+        grouped_token_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "a b"), (7, "c"), (9, "x y z"), (9, None)],
+        "grp long, text string",
+    )
+    out = grouped_token_partials(df, "grp", "text")
+    assert dict(out.dtypes)["grp"] == "bigint"
+    got = {
+        (r["grp"], r["s"])
+        for r in out.groupBy("grp").agg(F.sum("_tok").alias("s")).collect()
+    }
+    assert got == {(7, 3), (9, 3)}
+
+
+def test_grouped_token_partials_all_null_group_sums_null(spark):
+    """A group whose texts are ALL NULL must produce a NULL total (SQL
+    SUM over an all-NULL group), not 0 — pandas' default sum of an
+    all-NaN group is 0; the kernel passes min_count=1 to prevent it."""
+    from pyspark.sql import functions as F
+
+    from hadoop_multiple_streaming_spark.functions.textanalysis import (
+        grouped_token_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("de", None), ("de", None), ("en", "a b")],
+        "lang string, text string",
+    )
+    got = {
+        (r["lang"], r["s"])
+        for r in grouped_token_partials(df, "lang", "text")
+        .groupBy("lang")
+        .agg(F.sum("_tok").alias("s"))
+        .collect()
+    }
+    assert got == {("de", None), ("en", 2)}
+
+
+def test_corpus_health_null_lang_no_fanout(spark, tmp_path):
+    """r14 (ADVICE r13): corpus_health's two rollup branches join on
+    (lang, grouping flag) — with a real NULL-lang document, the rollup
+    grand-total row and the NULL-lang group row are both lang-NULL, and
+    an eqNullSafe(lang)-only join would 2x2-fanout and double-count."""
+    from hadoop_multiple_streaming_spark.workloads.text import corpus_health
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", "s", 3),
+            (2, "c d e", None, "s", 5),
+            (3, "c d e", None, "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = corpus_health(spark, str(tmp_path)).collect()
+    # exactly 3 rows: en group, NULL-lang group, grand total (no fanout)
+    assert len(rows) == 3, rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    # NULL-lang group and the grand total both surface as '<all>'
+    assert len(by_lang["<all>"]) == 2
+    assert len(by_lang["en"]) == 1
+    stats = {
+        (r.n_docs, r.n_distinct, r.total_tokens) for r in by_lang["<all>"]
+    }
+    # NULL-lang group: 2 docs, 1 distinct, 6 tokens; total: 3/2/8
+    assert stats == {(2, 1, 6), (3, 2, 8)}
