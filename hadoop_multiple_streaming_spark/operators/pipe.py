@@ -47,12 +47,13 @@ from typing import Iterator
 from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from ..functions.kv import join_key_val, with_key_val
 from ..session import ensure_package_shipped
 
 LINE_SCHEMA = StructType([StructField("line", StringType(), True)])
+BINARY_LINE_SCHEMA = StructType([StructField("line", BinaryType(), True)])
 
 #: stderr report prefixes (stream.stderr.reporter.prefix, default
 #: "reporter:" — MultiPipeMapRed.java:516-519,525-528)
@@ -153,6 +154,7 @@ def _pipe_partition(
     partition_id: int,
     spark_conf: dict[str, str],
     counters,  # dict-accumulator or None
+    binary: bool = False,
 ) -> Iterator:
     """Run one subprocess for this partition; feed Arrow batches on a
     writer thread, yield stdout lines as pandas batches, parse stderr
@@ -163,7 +165,16 @@ def _pipe_partition(
     Arrow both ways: input arrives as pandas DataFrames (one string
     column), output is yielded as pandas DataFrames — measured ~10x
     faster than the per-row RDD pipe at sf0.1 (per-row Python<->JVM
-    serialization dominated that path, not the subprocess I/O)."""
+    serialization dominated that path, not the subprocess I/O).
+
+    ``binary=True`` is the byte-faithful path (the reference's
+    Text-is-bytes / BytesWritable passthrough,
+    MultiPipeMapRed.java:729-746): the single input column carries raw
+    bytes per line, stdin gets them verbatim joined by b'\\n', and
+    stdout lines are yielded as raw bytes — NO decode/encode anywhere
+    on the record path, so latin-1 logs or mixed binary survive
+    bit-exactly. The stderr reporter side-channel stays text-decoded
+    (its protocol is ASCII)."""
     import pandas as pd
 
     proc = subprocess.Popen(
@@ -185,10 +196,18 @@ def _pipe_partition(
                 if stop:
                     break
                 col = pdf.iloc[:, 0]
-                lines = col.fillna("").astype(str).tolist()
+                if binary:
+                    lines = [
+                        b"" if v is None else bytes(v) for v in col.tolist()
+                    ]
+                else:
+                    lines = col.fillna("").astype(str).tolist()
                 for i in range(0, len(lines), _FEED_CHUNK):
                     chunk = lines[i : i + _FEED_CHUNK]
-                    data = ("\n".join(chunk) + "\n").encode("utf-8")
+                    if binary:
+                        data = b"\n".join(chunk) + b"\n"
+                    else:
+                        data = ("\n".join(chunk) + "\n").encode("utf-8")
                     try:
                         proc.stdin.write(data)
                         state["written"] += len(chunk)
@@ -245,9 +264,12 @@ def _pipe_partition(
 
     assert proc.stdout is not None
     n_out = 0
-    buf: list[str] = []
+    buf: list = []
     for raw in proc.stdout:
-        buf.append(raw.decode("utf-8", errors="replace").rstrip("\n"))
+        if binary:
+            buf.append(raw[:-1] if raw.endswith(b"\n") else raw)
+        else:
+            buf.append(raw.decode("utf-8", errors="replace").rstrip("\n"))
         if len(buf) >= _OUT_CHUNK:
             n_out += len(buf)
             yield pd.DataFrame({"line": buf})
@@ -345,17 +367,37 @@ def pipe_lines(
     cmd: str | list[str],
     opts: PipeOptions | None = None,
     counters=None,
+    binary: bool = False,
 ) -> DataFrame:
     """DataFrame[line:string] -> DataFrame[line:string] through ``cmd``.
 
     One subprocess per partition (the reference spawns one per map task
     per branch, MultiPipeMapRed.java:171-221). The input DataFrame must
     have exactly one string column.
+
+    NOTE (byte fidelity): the default string path encodes stdin as
+    UTF-8 and decodes stdout with ``errors='replace'`` — a subprocess
+    emitting non-UTF-8 bytes (latin-1 logs, mixed binary) gets its
+    bytes U+FFFD-mangled SILENTLY. The reference passes raw bytes
+    (Text is bytes; BytesWritable passthrough,
+    MultiPipeMapRed.java:729-746); for that contract pass
+    ``binary=True`` with a single BINARY column — lines then round-trip
+    bit-exactly and the result column is ``line: binary``. Line framing
+    still applies in binary mode (records are newline-separated, as in
+    the reference): a 0x0A byte INSIDE a record splits it on read-back,
+    exactly as it would in Hadoop streaming.
     """
     opts = opts or PipeOptions()
     argv = split_args(cmd) if isinstance(cmd, str) else list(cmd)
     if len(df.columns) != 1:
         raise ValueError(f"pipe_lines expects a single line column, got {df.columns}")
+    col_type = df.schema[df.columns[0]].dataType
+    if binary and not isinstance(col_type, BinaryType):
+        raise TypeError(
+            f"pipe_lines(binary=True) expects a single BINARY column, got "
+            f"{col_type.simpleString()} — cast string lines with "
+            f"encode(col, 'UTF-8') or read raw bytes"
+        )
 
     spark = df.sparkSession
     ensure_package_shipped(spark)
@@ -372,12 +414,16 @@ def pipe_lines(
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        return _pipe_partition(batches, argv, opts, pid, conf_export, counters)
+        return _pipe_partition(
+            batches, argv, opts, pid, conf_export, counters, binary=binary
+        )
 
     # mapInPandas (Arrow both ways) keeps within-partition row order —
     # the sorted-stream reducer contract (G1) survives; one subprocess
     # per partition as before.
-    return df.toDF("line").mapInPandas(run, schema=LINE_SCHEMA)
+    return df.toDF("line").mapInPandas(
+        run, schema=BINARY_LINE_SCHEMA if binary else LINE_SCHEMA
+    )
 
 
 def pipe_map(
