@@ -53,146 +53,140 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
-    # ---- round-13 window (driver checks ~first 50) ----
-    # CHANGED r13: corpus_health hash-pair + Arrow token branch;
-    # text_bpe_pairs codegen'd/Arrow word-frequency stage; bloom
-    # cost gate + self-sizing; trained-quantizer IVF-PQ; the
-    # driver-side-quota hash-rank sampler kernel (skew bypass)
-    "corpus_health",
-    "text_bpe_pairs",
-    "bloom_decontaminate",
-    "ann_ivfpq_adc",
-    "mixture_sample_docs",
-    "quota_sample",
-    "temperature_sample",
-    "selection_pipeline",
-    "dedup_keep_best",
-    # evidence-refresh: stalest greens, never in-window since r10
-    # (the r12 verdict's task-7 list: agg_uniq_count,
-    # agg_value_histogram, ann_ivf_multiprobe, the events family),
-    # then the r10-green tail block in staleness order
-    "q1_pricing_summary",
-    "agg_long_sum",
-    "agg_uniq_count",
-    "agg_value_histogram",
-    "ann_ivf_multiprobe",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_exact_profile",
-    "secondary_sort_events",
-    "q13_customer_distribution",
-    "contamination_rate",
-    "q5_local_supplier_volume",
-    "asof_click_attribution",
-    "q18_large_orders",
-    "price_percentiles",
-    "q9_product_profit",
-    "ann_pq_adc",
-    "text_rare_words",
-    "text_profile",
-    "dedup_embedding_lsh_auto",
-    "upsample_epochs",
-    "chunk_documents",
-    "blocklist_screen",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_simhash",
-    "decontaminate_docs",
-    "text_fingerprint",
-    "text_token_count",
-    "text_quality_score",
-    "multimodal_frame_sample",
-    "pack_sequences",
-    "dataset_split",
-    # family representatives: pipe, fan-out, streaming-incremental
-    "pipe_wordcount",
-    "fanout_two_branches",
-    "incremental_dedup",
-    # ---- index 49+: driver-green on an UNCHANGED plan (round noted) ----
-    "corpus_diff",  # r12 green (driver r12 window; plan unchanged in r13)
-    "cdc_apply",  # r12 green (driver r12 window; plan unchanged in r13)
-    "fuzzy_join_parts",  # r12 green (driver r12 window; plan unchanged in r13)
-    "grouped_holdout_split",  # r12 green (driver r12 window; plan unchanged in r13)
-    "dedup_containment",  # r12 green (driver r12 window; plan unchanged in r13)
-    "incremental_embedding_lsh",  # r12 green (driver r12 window; plan unchanged in r13)
-    "global_shuffle_docs",  # r12 green (driver r12 window; plan unchanged in r13)
-    "token_budget_pick",  # r12 green (driver r12 window; plan unchanged in r13)
-    "pack_sequences_global",  # r12 green (driver r12 window; plan unchanged in r13)
-    "agg_double_sum",  # r12 green (driver r12 window; plan unchanged in r13)
-    "agg_salted_sum",  # r12 green (driver r12 window; plan unchanged in r13)
-    "dedup_simhash_pairs",  # r12 green (driver r12 window; plan unchanged in r13)
-    "agg_long_sum_native",  # r12 green (driver r12 window; plan unchanged in r13)
-    "ann_pq_train_recall",  # r12 green (driver r12 window; plan unchanged in r13)
-    "salted_join_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q2_min_cost_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q7_nation_volume",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q8_market_share",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q14_promo_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q15_top_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q16_supplier_part_counts",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q17_small_quantity_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q19_disjunctive_revenue",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q20_heavy_shippers",  # r12 green (driver r12 window; plan unchanged in r13)
-    "q21_sole_failing_supplier",  # r12 green (driver r12 window; plan unchanged in r13)
-    "orders_grouping_sets",  # r12 green (driver r12 window; plan unchanged in r13)
-    "multimodal_features",  # r12 green (driver r12 window; plan unchanged in r13)
-    "pipe_grouped_reduce",  # r12 green (driver r12 window; plan unchanged in r13)
-    "pipe_identity_cat",  # r12 green (driver r12 window; plan unchanged in r13)
-    "semantic_dedup_hier",  # r12 green (driver r12 window; plan unchanged in r13)
-    "semantic_dedup_auto",  # r12 green (driver r12 window; plan unchanged in r13)
-    "semantic_dedup",  # r12 green (driver r12 window; plan unchanged in r13)
-    "substring_decontamination",  # r12 green (driver r12 window; plan unchanged in r13)
-    "decontaminate_cut_spans",  # r12 green (driver r12 window; plan unchanged in r13)
-    "incremental_minhash_dedup",  # r12 green (driver r12 window; plan unchanged in r13)
-    "part_supplier_topn",  # r12 green (driver r12 window; plan unchanged in r13)
-    "text_pii_redact",  # r12 green (driver r12 window; plan unchanged in r13)
-    "text_boilerplate_removal",  # r12 green (driver r12 window; plan unchanged in r13)
-    "ann_cosine_topk",  # r12 green (driver r12 window; plan unchanged in r13)
-    "quality_model_score",  # r11 green
-    "dedup_ngram_jaccard",  # r11 green
-    "priority_sample_docs",  # r11 green
-    "pack_texts",  # r11 green
-    "stratified_sample",  # r11 green
-    "text_langid",  # r11 green
-    "text_tfidf_top_terms",  # r11 green
-    "text_sentence_stats",  # r11 green
-    "text_repetition",  # r11 green
-    "curation_pipeline",  # r11 green
-    "ann_ivf_topk",  # r11 green
-    "embedding_centroids",  # r11 green
-    "ann_recall",  # r11 green
-    "kmeans_refine",  # r11 green
-    "ivf_assignment",  # r11 green
-    "embedding_sq8",  # r11 green
-    "interval_click_errors",  # r11 green
-    "anti_join_dormant_customers",  # r11 green
-    "first_event_per_user",  # r11 green
-    "events_json_props",  # r11 green
-    "agg_long_max_min",  # r11 green
-    "ann_ivf_index",  # r11 green
-    "top_quality_docs",  # r11 green
-    "text_normalize",  # r11 green
-    "text_winnowing",  # r11 green
-    "winnowing_pairs",  # r11 green
-    "duplicate_span_mining",  # r11 green
-    "customer_order_counts",  # r11 green
-    "set_ops_customers",  # r11 green
-    "lineitem_rollup",  # r11 green
-    "lineitem_cube",  # r11 green
-    "orders_priority_pivot",  # r11 green
-    "q3_shipping_priority",  # r11 green
-    "q4_order_priority",  # r11 green
-    "q6_forecast_revenue",  # r11 green
-    "q10_returned_items",  # r11 green
-    "q11_important_parts",  # r11 green
-    "q12_priority_by_status",  # r11 green
-    "q22_global_sales_opportunity",  # r11 green
-    "text_top_bigrams",  # r11 green
-    "agg_string_max_min",  # r11 green
-    "events_approx_profile",  # sketch columns rows-only by nature; exact twin events_exact_profile + pytest bounds
+    # ---- round-14 window (driver checks ~first 50) ----
+    "corpus_health",  # CHANGED r14: rollup join disambiguated by grouping(lang); Arrow token kernel schema derived + min_count
+    "quota_sample",  # CHANGED r14: sampler kernel count collects cardinality-guarded
+    "temperature_sample",  # CHANGED r14: same kernel; alpha claim restricted
+    "mixture_sample_docs",  # CHANGED r14: same kernel
+    "selection_pipeline",  # CHANGED r14: composes the guarded sampler kernel
+    "stratified_sample",  # CHANGED r14 (kernel) + r11-stale
+    "ann_ivfpq_adc",  # CHANGED r14: refine query side now from queries; refine_metric param
+    "pipe_wordcount",  # pipe family rep (binary mode added r14 beside the string path)
+    # evidence-refresh: every remaining r11-latest-green query
+    # (41 stale rows led the r13 verdict task-7 list; q22 is
+    # re-proved at sf0.1 locally where its answer is non-empty)
+    "agg_long_max_min",  # r11 green, stalest block
+    "agg_string_max_min",  # r11 green, stalest block
+    "ann_ivf_index",  # r11 green, stalest block
+    "ann_ivf_topk",  # r11 green, stalest block
+    "ann_recall",  # r11 green, stalest block
+    "anti_join_dormant_customers",  # r11 green, stalest block
+    "curation_pipeline",  # r11 green, stalest block
+    "customer_order_counts",  # r11 green, stalest block
+    "dedup_ngram_jaccard",  # r11 green, stalest block
+    "duplicate_span_mining",  # r11 green, stalest block
+    "embedding_centroids",  # r11 green, stalest block
+    "embedding_sq8",  # r11 green, stalest block
+    "events_json_props",  # r11 green, stalest block
+    "first_event_per_user",  # r11 green, stalest block
+    "interval_click_errors",  # r11 green, stalest block
+    "ivf_assignment",  # r11 green, stalest block
+    "kmeans_refine",  # r11 green, stalest block
+    "lineitem_cube",  # r11 green, stalest block
+    "lineitem_rollup",  # r11 green, stalest block
+    "orders_priority_pivot",  # r11 green, stalest block
+    "pack_texts",  # r11 green, stalest block
+    "priority_sample_docs",  # r11 green, stalest block
+    "q10_returned_items",  # r11 green, stalest block
+    "q11_important_parts",  # r11 green, stalest block
+    "q12_priority_by_status",  # r11 green, stalest block
+    "q22_global_sales_opportunity",  # r11 green, stalest block
+    "q3_shipping_priority",  # r11 green, stalest block
+    "q4_order_priority",  # r11 green, stalest block
+    "q6_forecast_revenue",  # r11 green, stalest block
+    "quality_model_score",  # r11 green, stalest block
+    "set_ops_customers",  # r11 green, stalest block
+    "text_langid",  # r11 green, stalest block
+    "text_normalize",  # r11 green, stalest block
+    "text_repetition",  # r11 green, stalest block
+    "text_sentence_stats",  # r11 green, stalest block
+    "text_tfidf_top_terms",  # r11 green, stalest block
+    "text_top_bigrams",  # r11 green, stalest block
+    "text_winnowing",  # r11 green, stalest block
+    "top_quality_docs",  # r11 green, stalest block
+    "winnowing_pairs",  # r11 green, stalest block
+    # ---- tail: driver-green on an UNCHANGED plan (round noted) ----
+    "text_bpe_pairs",  # r13 green
+    "bloom_decontaminate",  # r13 green
+    "dedup_keep_best",  # r13 green
+    "q1_pricing_summary",  # r13 green
+    "agg_long_sum",  # r13 green
+    "agg_uniq_count",  # r13 green
+    "agg_value_histogram",  # r13 green
+    "ann_ivf_multiprobe",  # r13 green
+    "events_hourly_rollup",  # r13 green
+    "events_sessionize",  # r13 green
+    "events_exact_profile",  # r13 green
+    "secondary_sort_events",  # r13 green
+    "q13_customer_distribution",  # r13 green
+    "contamination_rate",  # r13 green
+    "q5_local_supplier_volume",  # r13 green
+    "asof_click_attribution",  # r13 green
+    "q18_large_orders",  # r13 green
+    "price_percentiles",  # r13 green
+    "q9_product_profit",  # r13 green
+    "ann_pq_adc",  # r13 green
+    "text_rare_words",  # r13 green
+    "text_profile",  # r13 green
+    "dedup_embedding_lsh_auto",  # r13 green
+    "upsample_epochs",  # r13 green
+    "chunk_documents",  # r13 green
+    "blocklist_screen",  # r13 green
+    "dedup_embedding_lsh",  # r13 green
+    "dedup_minhash_lsh",  # r13 green
+    "dedup_embedding_cosine",  # r13 green
+    "dedup_clusters",  # r13 green
+    "dedup_exact",  # r13 green
+    "dedup_simhash",  # r13 green
+    "decontaminate_docs",  # r13 green
+    "text_fingerprint",  # r13 green
+    "text_token_count",  # r13 green
+    "text_quality_score",  # r13 green
+    "multimodal_frame_sample",  # r13 green
+    "pack_sequences",  # r13 green
+    "dataset_split",  # r13 green
+    "fanout_two_branches",  # r13 green
+    "incremental_dedup",  # r13 green
+    "corpus_diff",  # r13 green
+    "cdc_apply",  # r13 green
+    "fuzzy_join_parts",  # r12 green
+    "grouped_holdout_split",  # r12 green
+    "dedup_containment",  # r12 green
+    "incremental_embedding_lsh",  # r12 green
+    "global_shuffle_docs",  # r12 green
+    "token_budget_pick",  # r12 green
+    "pack_sequences_global",  # r12 green
+    "agg_double_sum",  # r12 green
+    "agg_salted_sum",  # r12 green
+    "dedup_simhash_pairs",  # r12 green
+    "agg_long_sum_native",  # r12 green
+    "ann_pq_train_recall",  # r12 green
+    "salted_join_revenue",  # r12 green
+    "q2_min_cost_supplier",  # r12 green
+    "q7_nation_volume",  # r12 green
+    "q8_market_share",  # r12 green
+    "q14_promo_revenue",  # r12 green
+    "q15_top_supplier",  # r12 green
+    "q16_supplier_part_counts",  # r12 green
+    "q17_small_quantity_revenue",  # r12 green
+    "q19_disjunctive_revenue",  # r12 green
+    "q20_heavy_shippers",  # r12 green
+    "q21_sole_failing_supplier",  # r12 green
+    "orders_grouping_sets",  # r12 green
+    "multimodal_features",  # r12 green
+    "pipe_grouped_reduce",  # r12 green
+    "pipe_identity_cat",  # r12 green
+    "semantic_dedup_hier",  # r12 green
+    "semantic_dedup_auto",  # r12 green
+    "semantic_dedup",  # r12 green
+    "substring_decontamination",  # r12 green
+    "decontaminate_cut_spans",  # r12 green
+    "incremental_minhash_dedup",  # r12 green
+    "part_supplier_topn",  # r12 green
+    "text_pii_redact",  # r12 green
+    "text_boilerplate_removal",  # r12 green
+    "ann_cosine_topk",  # r12 green
+    "events_approx_profile",  # rows-only by nature (sketch); exact twin + pytest bounds
 ]
 
 

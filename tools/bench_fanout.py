@@ -93,8 +93,21 @@ def main() -> int:
         timings["none"][str(n)] = run(n, "none")
     # pipe-branch variant: subprocess cost dominates, so N-linear growth
     # is expected REGARDLESS of sharing (the scan is not the bottleneck
-    # locally; at 100 TB on real storage it is)
-    pipe_timings = {"persist_8": run(8, "persist", pipe=True)}
+    # locally; at 100 TB on real storage it is). r14: INTERLEAVED
+    # 1-branch control vs 8 branches, min-of-3 — the r13 contended
+    # samples (18.0/60.9 s) showed a lone 8-branch number can't be
+    # read without a same-minute control next to it.
+    pipe1, pipe8 = [], []
+    run(1, "persist", pipe=True)  # warm the subprocess path
+    for _ in range(3):
+        pipe1.append(run(1, "persist", pipe=True))
+        pipe8.append(run(8, "persist", pipe=True))
+    pipe_timings = {
+        "persist_1": min(pipe1),
+        "persist_8": min(pipe8),
+        "reps_1": pipe1,
+        "reps_8": pipe8,
+    }
 
     p1, p8 = timings["persist"]["1"], timings["persist"]["8"]
     n1, n8 = timings["none"]["1"], timings["none"]["8"]
