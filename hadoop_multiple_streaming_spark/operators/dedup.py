@@ -1566,13 +1566,22 @@ def substring_matches(
         F.col(probe_id).alias("probe_id"),
         F.expr(f"array_remove(split({probe_text}, ' '), '')").alias("_pt"),
     ).where(F.size("_pt") >= k)
+    # pt_anchor feeds the HARD-broadcast anchor side (pgrams / pa) and
+    # carries the row-count guard; the rarest path's later probe-token
+    # join uses the UNGUARDED, UNHINTED pt — AQE broadcasts it at
+    # runtime when small and falls back to a shuffle join when not, so
+    # it needs no guard, and the guard subtree (probe scan + limit +
+    # count + 1-row broadcast) runs ONCE per query instead of twice
+    # (r14: the executed sf0.1 plan carried 2 BroadcastNestedLoopJoins
+    # and two guard aggregates for the same bound).
+    pt_anchor = pt
     if broadcast_probes and max_probe_rows is not None:
         # in-plan lazy guard (embedding_cosine_pairs pattern): the hint
         # below is a HARD broadcast, so bound the side it applies to
         guard_n = pt.limit(max_probe_rows + 1).agg(
             F.count(F.lit(1)).alias("_guard_n")
         )
-        pt = (
+        pt_anchor = (
             pt.crossJoin(F.broadcast(guard_n))
             .withColumn(
                 "probe_id",
@@ -1595,7 +1604,7 @@ def substring_matches(
         )
     _maybe_bcast = (lambda d: d.hint("broadcast")) if broadcast_probes else (lambda d: d)
     if anchor == "first":
-        pa = pt.select(
+        pa = pt_anchor.select(
             "probe_id",
             "_pt",
             F.xxhash64(
@@ -1604,7 +1613,7 @@ def substring_matches(
             F.lit(1).cast("long").alias("_off"),
         )
     elif anchor == "rarest":
-        pgrams = pt.select(
+        pgrams = pt_anchor.select(
             "probe_id",
             F.posexplode(
                 F.expr(
@@ -1643,12 +1652,22 @@ def substring_matches(
         # partition size = the probe's total match volume — bounded by
         # benchmark scale times gram frequency, the same quantity the
         # candidate join always materialized for the chosen anchor.
-        hits = cg.join(_maybe_bcast(pgrams), "gh")
+        # ONE exchange serves BOTH anchor windows (r14): repartition the
+        # match stream by probe_id — HashPartitioning(probe_id) satisfies
+        # the (probe_id, _off) window's clustered distribution (subset
+        # rule) as well as the (probe_id) one, and the first window's
+        # (probe_id, _off) sort covers the second's probe_id prefix, so
+        # the planner inserts no second exchange or sort (was: two
+        # exchanges + two sorts, one per partition spec).
+        hits = cg.join(_maybe_bcast(pgrams), "gh").repartition("probe_id")
         w_gram = Window.partitionBy("probe_id", "_off")
         w_probe = Window.partitionBy("probe_id")
         anch = hits.withColumn(
             "_freq", F.count(F.lit(1)).over(w_gram)
         ).withColumn("_m", F.min(F.struct("_freq", "_off", "gh")).over(w_probe))
+        # the probe-token join is UNHINTED: pt is probe-set-sized, AQE
+        # broadcasts it at runtime (or shuffle-joins a genuinely large
+        # set) — the hard hint lives only on the guarded anchor side
         cand = (
             anch.where(F.struct("_freq", "_off", "gh") == F.col("_m"))
             .select(
@@ -1656,7 +1675,7 @@ def substring_matches(
                 "probe_id",
                 (F.col("pos") - F.col("_off") + 1).alias("match_pos"),
             )
-            .join(_maybe_bcast(pt), "probe_id")
+            .join(pt, "probe_id")
         )
     else:
         raise ValueError(

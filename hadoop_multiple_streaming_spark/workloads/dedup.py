@@ -561,10 +561,16 @@ def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents surface extra hits."""
     from ..operators.dedup import substring_matches
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    # repartition ONLY the corpus side (gram explode + verify need the
+    # split fan-out on the single-file test table); probes are ~1/17 of
+    # rows and benchmark-sized — deriving them from the repartitioned
+    # frame replicated the corpus exchange under every probe subtree
+    # (r14: the executed plan carried 4 scan+repartition copies)
+    docs_raw = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_raw.repartition(32)
     toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
-        docs.where(F.col("doc_id") % 17 == 0)
+        docs_raw.where(F.col("doc_id") % 17 == 0)
         .select("doc_id", toks.alias("_t"))
         .where(F.size("_t") >= 15)
         .select(
@@ -606,10 +612,12 @@ def decontaminate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     from ..operators.dedup import remove_spans, substring_matches
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    # probes from the UNREPARTITIONED scan — see substring_decontamination
+    docs_raw = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_raw.repartition(32)
     toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
-        docs.where(F.col("doc_id") % 17 == 0)
+        docs_raw.where(F.col("doc_id") % 17 == 0)
         .select("doc_id", toks.alias("_t"))
         .where(F.size("_t") >= 15)
         .select(
