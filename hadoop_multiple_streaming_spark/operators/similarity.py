@@ -91,6 +91,75 @@ def ivf_topk(
     )
 
 
+def _assign_argmin_np(M, clusters, cents):
+    """Shared argmin core for the Arrow assignment kernels: squared-L2
+    accumulated dim-by-dim, left-to-right (vectorized across rows,
+    SEQUENTIAL across dims — the exact IEEE fold order of the
+    zip_with/aggregate expression), centroid blocking for L3 residency,
+    first-min tie rule = smallest cluster id (``cent_rows`` sorted).
+    See _kmeans_assign_arrow's docstring for the full contract."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)  # k x dim
+    ids = np.asarray(clusters, dtype=np.int64)
+    kc = 128
+    best_d = None
+    best_i = None
+    rows = np.arange(M.shape[0])
+    for j0 in range(0, C.shape[0], kc):
+        Cb = C[j0 : j0 + kc]
+        db = np.zeros((M.shape[0], Cb.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):  # sequential over dims: exact fold order
+            diff = M[:, d : d + 1] - Cb[None, :, d]
+            db += diff * diff
+        bi = np.argmin(db, axis=1)
+        bd = db[rows, bi]
+        if best_d is None:
+            best_d, best_i = bd, ids[j0 + bi]
+        else:
+            better = bd < best_d
+            best_d = np.where(better, bd, best_d)
+            best_i = np.where(better, ids[j0 + bi], best_i)
+    return best_i
+
+
+def _kmeans_assign_inplan():
+    """LAZY-plan twin of _kmeans_assign_arrow: the centroids arrive as
+    a broadcast ``_cents`` COLUMN (array<struct<cluster, c>>, one
+    literal row crossJoined onto the corpus) instead of a driver-side
+    closure, so the whole Lloyd loop stays inside ONE Spark job. Every
+    batch row carries the identical _cents value — the kernel parses
+    element 0 once per batch, sorts by cluster id (collect_list order
+    is nondeterministic; the tie rule needs ascending ids), and runs
+    the same dim-sequential blocked argmin — bit-identical to both
+    other impls (test-asserted)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def assign_udf(qv, cents):
+        import numpy as np
+        import pandas as pd
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        first = cents.iloc[0]
+        parsed = sorted(
+            (
+                (s["cluster"], list(map(float, s["c"])))
+                if isinstance(s, dict)
+                else (s[0], list(map(float, s[1])))
+            )
+            for s in first
+        )
+        M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.float64)
+        best_i = _assign_argmin_np(
+            M, [c for c, _ in parsed], [v for _, v in parsed]
+        )
+        return pd.Series(best_i)
+
+    return assign_udf
+
+
 def _kmeans_assign_arrow(cent_rows: list, dim: int):
     """Arrow-batched nearest-centroid assignment with BIT-IDENTICAL
     results to the expression form: the squared-L2 accumulation runs
@@ -114,40 +183,21 @@ def _kmeans_assign_arrow(cent_rows: list, dim: int):
         if len(qv) == 0:
             return pd.Series([], dtype="int64")
         M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.float64)
-        C = np.asarray(cents, dtype=np.float64)  # k x dim
-        ids = np.asarray(clusters, dtype=np.int64)
-        # Centroid BLOCKING: the naive (rows x k) accumulator is swept
-        # dim-by-dim 64 times — at k=800 that is ~64 MB of DRAM
-        # traffic per pass per 10k-row batch and the auto-sized
-        # SemDeDup path (k ~ n/200) measured 126 s at sf8.0, memory-
-        # bound. Processing <=128 centroids at a time keeps the
-        # accumulator and diff temp L3-resident (10k x 128 doubles
-        # ~ 10 MB) while leaving the per-(row, centroid) accumulation
-        # order UNCHANGED (dim-sequential, left-to-right — the exact
-        # IEEE fold the SQL replay evaluates, still bit-identical).
-        # Cross-block merge keeps the FIRST minimum: within a block
-        # np.argmin is first-min, and the strict `<` comparison keeps
-        # the earlier (smaller-id) block on exact ties, so the global
-        # winner is the smallest cluster id — same rule as before.
-        kc = 128
-        best_d = None
-        best_i = None
-        rows = np.arange(M.shape[0])
-        for j0 in range(0, C.shape[0], kc):
-            Cb = C[j0 : j0 + kc]
-            db = np.zeros((M.shape[0], Cb.shape[0]), dtype=np.float64)
-            for d in range(C.shape[1]):  # sequential over dims: exact fold order
-                diff = M[:, d : d + 1] - Cb[None, :, d]
-                db += diff * diff
-            bi = np.argmin(db, axis=1)
-            bd = db[rows, bi]
-            if best_d is None:
-                best_d, best_i = bd, ids[j0 + bi]
-            else:
-                better = bd < best_d
-                best_d = np.where(better, bd, best_d)
-                best_i = np.where(better, ids[j0 + bi], best_i)
-        return pd.Series(best_i)
+        # Centroid BLOCKING (inside _assign_argmin_np): the naive
+        # (rows x k) accumulator is swept dim-by-dim 64 times — at
+        # k=800 that is ~64 MB of DRAM traffic per pass per 10k-row
+        # batch and the auto-sized SemDeDup path (k ~ n/200) measured
+        # 126 s at sf8.0, memory-bound. Processing <=128 centroids at
+        # a time keeps the accumulator and diff temp L3-resident
+        # (10k x 128 doubles ~ 10 MB) while leaving the per-(row,
+        # centroid) accumulation order UNCHANGED (dim-sequential,
+        # left-to-right — the exact IEEE fold the SQL replay
+        # evaluates, still bit-identical). Cross-block merge keeps the
+        # FIRST minimum: within a block np.argmin is first-min, and
+        # the strict `<` comparison keeps the earlier (smaller-id)
+        # block on exact ties, so the global winner is the smallest
+        # cluster id — same rule as before.
+        return pd.Series(_assign_argmin_np(M, clusters, cents))
 
     return assign_udf
 
@@ -195,7 +245,13 @@ def kmeans_lloyd(
     kernel whose dim-sequential accumulation replays the expression
     fold's exact IEEE operation order — bit-identical clusters,
     test-asserted; requires integral cluster ids (emitted as bigint).
-    The returned assignment frame itself stays lazy in both impls."""
+    "inplan" (r14) combines both: the lazy single-plan structure of
+    "expr" with the Arrow argmin kernel — ZERO eager jobs, centroids
+    ride the plan as one broadcast row, but the _cents column
+    replicates per row through Arrow (O(n*k*dim) transfer), so it is
+    the SMALL-n*k fast path (the 3-jobs-to-1 shave for label-seeded
+    SemDeDup at bench scale). All three are bit-identical. The
+    returned assignment frame itself stays lazy in every impl."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
     # the smallest cluster id — fail loudly instead. The check is a
@@ -238,9 +294,51 @@ def kmeans_lloyd(
             "id",
             _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
         )
+    if impl == "inplan":
+        # The small-corpus fast path (r14): the LAZY single-plan
+        # structure of "expr" (per-iteration centroid relations fold to
+        # ONE broadcast row, zero eager jobs) with the argmin done by
+        # the Arrow kernel instead of the interpreted HOF fold —
+        # bit-identical to both other impls (same dim-sequential IEEE
+        # order, same smaller-cluster-id tie rule; test-asserted).
+        # Trade: the broadcast _cents column is replicated PER ROW
+        # through the Arrow boundary (k x dim doubles each), so the
+        # transfer is O(n*k*dim) — measured 3 jobs -> 1 job at sf0.1
+        # (the "arrow" impl pays iters eager collect jobs, each with
+        # its own scan + stage floor). Use when n*k is small (the
+        # semantic_dedup label-init shape); "arrow" remains the
+        # corpus-scale path with O(n*dim) transfer.
+        cent = init_centroids
+        assigned = None
+        for _ in range(iters):
+            cent_arr = cent.agg(
+                F.collect_list(F.struct("cluster", "c")).alias("_cents")
+            )
+            assigned = quantized.crossJoin(F.broadcast(cent_arr)).select(
+                "id",
+                "qv",
+                _kmeans_assign_inplan()(F.col("qv"), F.col("_cents")).alias(
+                    "cluster"
+                ),
+            )
+            sums = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            cent = sums.select(
+                "cluster",
+                F.array(
+                    *[
+                        (F.col(f"_s{i}").cast("double") / F.col("n"))
+                        for i in range(dim)
+                    ]
+                ).alias("c"),
+            )
+        return assigned.select("id", "cluster")
     if impl != "expr":
         raise ValueError(
-            f"kmeans_lloyd: impl must be 'expr' or 'arrow', got {impl!r}"
+            f"kmeans_lloyd: impl must be 'expr', 'arrow' or 'inplan', "
+            f"got {impl!r}"
         )
     cent = init_centroids
     assigned = None

