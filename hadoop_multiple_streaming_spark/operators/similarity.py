@@ -123,43 +123,6 @@ def _assign_argmin_np(M, clusters, cents):
     return best_i
 
 
-def _kmeans_assign_inplan():
-    """LAZY-plan twin of _kmeans_assign_arrow: the centroids arrive as
-    a broadcast ``_cents`` COLUMN (array<struct<cluster, c>>, one
-    literal row crossJoined onto the corpus) instead of a driver-side
-    closure, so the whole Lloyd loop stays inside ONE Spark job. Every
-    batch row carries the identical _cents value — the kernel parses
-    element 0 once per batch, sorts by cluster id (collect_list order
-    is nondeterministic; the tie rule needs ascending ids), and runs
-    the same dim-sequential blocked argmin — bit-identical to both
-    other impls (test-asserted)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def assign_udf(qv, cents):
-        import numpy as np
-        import pandas as pd
-
-        if len(qv) == 0:
-            return pd.Series([], dtype="int64")
-        first = cents.iloc[0]
-        parsed = sorted(
-            (
-                (s["cluster"], list(map(float, s["c"])))
-                if isinstance(s, dict)
-                else (s[0], list(map(float, s[1])))
-            )
-            for s in first
-        )
-        M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.float64)
-        best_i = _assign_argmin_np(
-            M, [c for c, _ in parsed], [v for _, v in parsed]
-        )
-        return pd.Series(best_i)
-
-    return assign_udf
-
-
 def _kmeans_assign_arrow(cent_rows: list, dim: int):
     """Arrow-batched nearest-centroid assignment with BIT-IDENTICAL
     results to the expression form: the squared-L2 accumulation runs
@@ -245,13 +208,15 @@ def kmeans_lloyd(
     kernel whose dim-sequential accumulation replays the expression
     fold's exact IEEE operation order — bit-identical clusters,
     test-asserted; requires integral cluster ids (emitted as bigint).
-    "inplan" (r14) combines both: the lazy single-plan structure of
-    "expr" with the Arrow argmin kernel — ZERO eager jobs, centroids
-    ride the plan as one broadcast row, but the _cents column
-    replicates per row through Arrow (O(n*k*dim) transfer), so it is
-    the SMALL-n*k fast path (the 3-jobs-to-1 shave for label-seeded
-    SemDeDup at bench scale). All three are bit-identical. The
-    returned assignment frame itself stays lazy in every impl."""
+    (r14 measured and REJECTED a third "inplan" impl — expr's lazy
+    single-job structure with the Arrow argmin fed centroids through a
+    broadcast _cents column: the per-row nested-struct replication
+    through the Arrow boundary made it ~2x SLOWER than "arrow" even
+    standalone at sf0.1 (4.0-4.5 s vs 1.9-2.2 s interleaved), and 3-10x
+    slower inside semantic_dedup where the assignment tree is consumed
+    twice. The eager collect jobs are the cheaper shape; don't re-add
+    it without beating that A/B.) The returned assignment frame itself
+    stays lazy in both impls."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
     # the smallest cluster id — fail loudly instead. The check is a
@@ -294,51 +259,9 @@ def kmeans_lloyd(
             "id",
             _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
         )
-    if impl == "inplan":
-        # The small-corpus fast path (r14): the LAZY single-plan
-        # structure of "expr" (per-iteration centroid relations fold to
-        # ONE broadcast row, zero eager jobs) with the argmin done by
-        # the Arrow kernel instead of the interpreted HOF fold —
-        # bit-identical to both other impls (same dim-sequential IEEE
-        # order, same smaller-cluster-id tie rule; test-asserted).
-        # Trade: the broadcast _cents column is replicated PER ROW
-        # through the Arrow boundary (k x dim doubles each), so the
-        # transfer is O(n*k*dim) — measured 3 jobs -> 1 job at sf0.1
-        # (the "arrow" impl pays iters eager collect jobs, each with
-        # its own scan + stage floor). Use when n*k is small (the
-        # semantic_dedup label-init shape); "arrow" remains the
-        # corpus-scale path with O(n*dim) transfer.
-        cent = init_centroids
-        assigned = None
-        for _ in range(iters):
-            cent_arr = cent.agg(
-                F.collect_list(F.struct("cluster", "c")).alias("_cents")
-            )
-            assigned = quantized.crossJoin(F.broadcast(cent_arr)).select(
-                "id",
-                "qv",
-                _kmeans_assign_inplan()(F.col("qv"), F.col("_cents")).alias(
-                    "cluster"
-                ),
-            )
-            sums = assigned.groupBy("cluster").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
-            )
-            cent = sums.select(
-                "cluster",
-                F.array(
-                    *[
-                        (F.col(f"_s{i}").cast("double") / F.col("n"))
-                        for i in range(dim)
-                    ]
-                ).alias("c"),
-            )
-        return assigned.select("id", "cluster")
     if impl != "expr":
         raise ValueError(
-            f"kmeans_lloyd: impl must be 'expr', 'arrow' or 'inplan', "
-            f"got {impl!r}"
+            f"kmeans_lloyd: impl must be 'expr' or 'arrow', got {impl!r}"
         )
     cent = init_centroids
     assigned = None

@@ -11,7 +11,7 @@ from ..operators.dedup import quantize_embeddings
 from ..operators.similarity import cosine_topk, ivf_topk
 from . import register
 from .dedup import _QUANT_CTE
-from .tables import load, table_count
+from .tables import load
 
 _DIM = 64
 
@@ -561,17 +561,18 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
     )
-    # kmeans impl self-sizes (r14, the bloom-gate precedent): label
-    # seeding keeps k tiny (~|labels|), so below the corpus threshold
-    # "inplan" folds the whole Lloyd loop into ONE lazy job (the
-    # "arrow" impl pays 2 eager centroid-collect jobs, each with its
-    # own scan + stage floor — measured 1.75 s of the query's 3.0 s at
-    # sf0.1); past it "arrow"'s O(n*dim) transfer wins over inplan's
-    # per-row replicated O(n*k*dim) _cents column. Bit-identical
-    # either way (test-asserted), so the oracle doesn't care.
-    n = table_count(spark, sf_dir, "embeddings")
-    impl = "inplan" if n <= 250_000 else "arrow"
-    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl=impl)
+    # impl="arrow": the MLlib-style driver-side-centroid scale path —
+    # the interpreted HOF argmin was the measured wall-clock bottleneck
+    # past 10k vectors (bit-identical results, test-asserted). r14
+    # measured the tempting alternative and REJECTED it: the lazy
+    # single-job "inplan" impl looked like a 3-jobs-to-1 shave, but
+    # semantic_dedup consumes the assignment TWICE (pairing branch +
+    # final keep join), so the in-plan Lloyd tree evaluates twice and
+    # the per-row nested-struct _cents transfer dominates — interleaved
+    # A/B at sf0.1: inplan 8.2-42.5 s vs arrow 3.5-6.1 s (control
+    # dedup_exact equal on both sides). The eager collect jobs ARE the
+    # cheaper shape here.
+    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl="arrow")
     quant = quantize_embeddings(emb, "embedding", "vec_id")
     return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
 

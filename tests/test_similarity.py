@@ -328,22 +328,18 @@ def test_kmeans_lloyd_impls_identical(spark):
         [(0, [500.0] * 8), (1, [-500.0] * 8)], "cluster long, c array<double>"
     )
     expr = {r.id: r.cluster for r in kmeans_lloyd(q, init, iters=3, dim=8).collect()}
-    for other in ("arrow", "inplan"):
-        got = {
-            r.id: r.cluster
-            for r in kmeans_lloyd(
-                q, init, iters=3, dim=8, impl=other
-            ).collect()
-        }
-        assert got == expr, other
-    assert len(set(expr.values())) == 2
+    arrow = {
+        r.id: r.cluster
+        for r in kmeans_lloyd(q, init, iters=3, dim=8, impl="arrow").collect()
+    }
+    assert arrow == expr and len(set(expr.values())) == 2
     # exact-tie: equidistant vector goes to the SMALLER cluster id in
-    # every impl
+    # both impls
     tie_q = spark.createDataFrame([(7, [0] * 8)], "id long, qv array<long>")
     tie_init = spark.createDataFrame(
         [(3, [2.0] * 8), (9, [-2.0] * 8)], "cluster long, c array<double>"
     )
-    for impl in ("expr", "arrow", "inplan"):
+    for impl in ("expr", "arrow"):
         got = kmeans_lloyd(tie_q, tie_init, iters=1, dim=8, impl=impl).collect()
         assert got[0].cluster == 3, impl
     import pytest
