@@ -161,3 +161,39 @@ def test_q21_single_fact_exchange(spark):
     assert len(shuffles) <= 3, shuffles
     okey = [l for l in shuffles if "l_orderkey" in l]
     assert len(okey) >= 1
+
+
+def test_q22_non_vacuous_on_constructed_data(spark, tmp_path):
+    """r14 (VERDICT r13 rotation note): the generated corpus has ~zero
+    dormant customers, so q22's driver green matches on EMPTY results
+    at both sf0.01 and sf0.1 — vacuous. This pins the query's three
+    shapes (scalar-subquery threshold, NOT EXISTS anti-join, rollup)
+    against a hand-computed answer on constructed tables where the
+    result is NON-empty."""
+    from hadoop_multiple_streaming_spark import workloads
+
+    workloads.load_all()
+    cust = spark.createDataFrame(
+        [
+            # (custkey, nationkey, acctbal)
+            (1, 1, 900.0),   # dormant, rich, in-list -> KEPT
+            (2, 1, 100.0),   # dormant but below avg -> dropped
+            (3, 3, 800.0),   # rich but HAS an order -> dropped
+            (4, 2, 950.0),   # rich, dormant, nation NOT in list -> dropped
+            (5, 5, 700.0),   # dormant, rich, in-list -> KEPT
+            (6, 5, -50.0),   # negative balance: excluded from avg, below it
+        ],
+        "c_custkey long, c_nationkey long, c_acctbal double",
+    )
+    orders = spark.createDataFrame([(3, 10)], "o_custkey long, o_orderkey long")
+    cust.write.parquet(str(tmp_path / "customer.parquet"))
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        (r.cntrycode, r.numcust, float(r.totacctbal))
+        for r in workloads.QUERIES["q22_global_sales_opportunity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # avg over positive in-list balances = (900+100+800+700)/4 = 625
+    # kept: cust 1 (nation 1, 900) and cust 5 (nation 5, 700)
+    assert rows == {(1, 1, 900.0), (5, 1, 700.0)}, rows
