@@ -673,3 +673,70 @@ def bpe_pair_counts(
     if top_k is None:
         return counts
     return counts.orderBy(F.desc("cnt"), "left", "right").limit(int(top_k))
+
+
+def greedy_tokenize_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: tuple[str, ...] | list[str] = (),
+    top_k: int | None = None,
+    wf_impl: str = "expr",
+) -> DataFrame:
+    """Tokenizer APPLICATION — the step after bpe_pair_counts' merge
+    selection: segment every word by WordPiece-style GREEDY
+    LONGEST-MATCH against a fixed ``vocab`` (at each position, the
+    longest vocabulary entry matching there wins; no match falls back
+    to the single character), and return corpus token counts
+    (token, cnt). With ``top_k``, the k most frequent (ties broken by
+    token, deterministic cut). Deterministic by construction — greedy
+    segmentation is a pure function of (word, vocab), exact string
+    ops only — so a SQL engine replays it bit-for-bit via a recursive
+    longest-prefix CTE (see the text_vocab_tokenize workload oracle).
+
+    Scale shape (same discipline as :func:`bpe_pair_counts`): the ONLY
+    corpus-sized exchange is the groupBy(word) frequency rollup
+    (``word_frequencies``, map-side combined / Arrow-preaggregated);
+    the per-position greedy loop runs over the DISTINCT-WORD relation
+    — vocabulary-sized, not corpus-sized — in an Arrow kernel with the
+    vocab in closure (a dict probe per (position, length) — at most
+    max_vocab_len probes per character). The final aggregate is
+    vocab-sized; with top_k the cut is a TakeOrderedAndProject.
+
+    Text is segmented AS-IS: case-normalize upstream if the vocab is
+    lowercase (the workload does ``lower(text)`` on both engines)."""
+    if not vocab:
+        raise ValueError("greedy_tokenize_counts: vocab must be non-empty")
+    vocab_set = frozenset(vocab)
+    lens = sorted({len(v) for v in vocab_set if v}, reverse=True)
+    if not lens:
+        raise ValueError("greedy_tokenize_counts: vocab entries are empty")
+
+    wf = word_frequencies(df, text_col, impl=wf_impl)
+
+    def seg_partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            agg: dict = {}
+            for w, f in zip(pdf["w"], pdf["f"]):
+                n = len(w)
+                pos = 0
+                while pos < n:
+                    tok = None
+                    for L in lens:  # longest-first: the greedy rule
+                        if L <= n - pos and w[pos : pos + L] in vocab_set:
+                            tok = w[pos : pos + L]
+                            break
+                    if tok is None:
+                        tok = w[pos]  # single-char fallback
+                    agg[tok] = agg.get(tok, 0) + int(f)
+                    pos += len(tok)
+            yield pd.DataFrame(
+                {"token": list(agg.keys()), "f": list(agg.values())}
+            )
+
+    toks = wf.mapInPandas(seg_partials, "token string, f long")
+    counts = toks.groupBy("token").agg(F.sum("f").alias("cnt"))
+    if top_k is None:
+        return counts
+    return counts.orderBy(F.desc("cnt"), "token").limit(int(top_k))

@@ -1777,3 +1777,64 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+#: fixed tokenizer vocabulary for text_vocab_tokenize — embedded as a
+#: literal on BOTH engines (the planes-literal precedent): common
+#: English fragments + frequent bigrams; single chars fall back
+#: implicitly, so coverage never matters for correctness
+_TOKENIZER_VOCAB = (
+    "the", "ing", "ion", "and", "ent", "er", "re", "at", "on", "or",
+    "an", "in", "es", "is", "it", "al", "ar", "st", "nt", "en", "ed",
+    "to", "of", "ou", "le", "de", "se", "co", "ra", "li", "ne", "ta",
+)
+
+
+def _vocab_sql_literal() -> str:
+    return "[" + ", ".join(f"'{v}'" for v in _TOKENIZER_VOCAB) + "]"
+
+
+@register(
+    "text_vocab_tokenize",
+    oracle=f"""
+    WITH RECURSIVE vocab(v) AS (SELECT unnest({_vocab_sql_literal()})),
+    words AS (SELECT list_filter(string_split(lower(text), ' '),
+                                 w -> w <> '') AS ws
+              FROM documents),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+           FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w),
+    seg(w, f, pos, token) AS (
+        SELECT w, f, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR) FROM wf
+        UNION ALL
+        SELECT s.w, s.f, s.pos + COALESCE(length(m.v), 1),
+               COALESCE(m.v, substr(s.w, CAST(s.pos AS INT), 1))
+        FROM seg s LEFT JOIN LATERAL (
+            SELECT v FROM vocab
+            WHERE substr(s.w, CAST(s.pos AS INT), length(v)) = v
+            ORDER BY length(v) DESC LIMIT 1) m ON true
+        WHERE s.pos <= length(s.w)
+    )
+    SELECT token, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM seg WHERE token IS NOT NULL
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 40
+    """,
+)
+def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators.text.greedy_tokenize_counts —
+    r14): segment the lowercased corpus by WordPiece-style greedy
+    longest-match against the fixed 32-entry fragment vocabulary and
+    report the 40 most frequent tokens. The step AFTER
+    text_bpe_pairs' merge selection: applying a trained vocabulary at
+    corpus scale. The oracle replays the greedy rule exactly with a
+    recursive longest-prefix-per-position CTE — segmentation is pure
+    string arithmetic, so the engines agree bit-for-bit. Corpus-sized
+    work is ONE word-frequency exchange; the greedy loop runs over
+    the distinct-word relation (vocabulary-sized)."""
+    from ..operators.text import greedy_tokenize_counts
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("text")
+    )
+    return greedy_tokenize_counts(
+        docs, "text", vocab=_TOKENIZER_VOCAB, top_k=40, wf_impl="arrow"
+    )

@@ -475,3 +475,59 @@ def test_corpus_health_null_lang_no_fanout(spark, tmp_path):
     }
     # NULL-lang group: 2 docs, 1 distinct, 6 tokens; total: 3/2/8
     assert stats == {(2, 1, 6), (3, 2, 8)}
+
+
+def test_greedy_tokenize_counts_matches_python_reference(spark):
+    """r14: WordPiece-style greedy longest-match segmentation — pinned
+    against a hand-runnable python reference, including the
+    inside-word vocab match ('breathe' -> b re a the: greedy finds
+    'the' at position 5, not 'th'+'e'), single-char fallback, word
+    frequency weighting, multi-space empties, and the deterministic
+    (cnt desc, token) top-k cut."""
+    from hadoop_multiple_streaming_spark.operators.text import (
+        greedy_tokenize_counts,
+    )
+
+    vocab = ("the", "th", "ing", "re", "ea", "of")
+    df = spark.createDataFrame(
+        [("the theory of  things",), ("breathe the thing",)], "text string"
+    )
+    got = {
+        (r.token, r.cnt)
+        for r in greedy_tokenize_counts(df, "text", vocab=vocab).collect()
+    }
+
+    def ref(words):
+        agg = {}
+        lens = sorted({len(v) for v in vocab}, reverse=True)
+        for w in words:
+            pos = 0
+            while pos < len(w):
+                tok = next(
+                    (
+                        w[pos : pos + L]
+                        for L in lens
+                        if w[pos : pos + L] in vocab
+                    ),
+                    w[pos],
+                )
+                agg[tok] = agg.get(tok, 0) + 1
+                pos += len(tok)
+        return set(agg.items())
+
+    words = "the theory of things breathe the thing".split()
+    assert got == ref(words)
+    assert ("the", 4) in got and ("th", 2) in got and ("ing", 2) in got
+    # top-k cut is deterministic: cnt desc then token asc
+    top = [
+        (r.token, r.cnt)
+        for r in greedy_tokenize_counts(
+            df, "text", vocab=vocab, top_k=3
+        ).collect()
+    ]
+    assert top == sorted(got, key=lambda t: (-t[1], t[0]))[:3]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="vocab"):
+        greedy_tokenize_counts(df, "text", vocab=())
