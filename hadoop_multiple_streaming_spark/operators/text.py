@@ -680,7 +680,7 @@ def greedy_tokenize_counts(
     text_col: str = "text",
     vocab: tuple[str, ...] | list[str] = (),
     top_k: int | None = None,
-    wf_impl: str = "expr",
+    impl: str = "fused",
 ) -> DataFrame:
     """Tokenizer APPLICATION — the step after bpe_pair_counts' merge
     selection: segment every word by WordPiece-style GREEDY
@@ -693,49 +693,107 @@ def greedy_tokenize_counts(
     ops only — so a SQL engine replays it bit-for-bit via a recursive
     longest-prefix CTE (see the text_vocab_tokenize workload oracle).
 
-    Scale shape (same discipline as :func:`bpe_pair_counts`): the ONLY
-    corpus-sized exchange is the groupBy(word) frequency rollup
-    (``word_frequencies``, map-side combined / Arrow-preaggregated);
-    the per-position greedy loop runs over the DISTINCT-WORD relation
-    — vocabulary-sized, not corpus-sized — in an Arrow kernel with the
-    vocab in closure (a dict probe per (position, length) — at most
-    max_vocab_len probes per character). The final aggregate is
-    vocab-sized; with top_k the cut is a TakeOrderedAndProject.
+    The greedy rule compiles to ONE regex: alternation ordered
+    longest-first — Python's re takes the FIRST alternative matching
+    at the current position, and among equal lengths at most one
+    distinct string can match, so longest-first order IS greedy
+    longest-match; findall consumes non-overlapping left-to-right,
+    exactly the per-position loop (pinned against a loop reference in
+    pytest). The trailing '.' (DOTALL: words may carry any non-space
+    byte) is the single-char fallback. One C-level pass per word vs
+    len(w) x |vocab_lens| dict probes — measured 1.5x on the kernel.
+
+    ``impl='fused'`` (default): split + per-batch word value_counts +
+    segmentation run in ONE Arrow kernel emitting (token, f) partials
+    — token counts are additive over per-batch word counts, so the
+    plan has ONE Python fence and ONE exchange (on token, vocab-sized
+    partials). Per-batch word dedup bounds the greedy work at the
+    batch vocabulary (the same trade word_frequencies' arrow impl
+    already makes). ``impl='staged'``: the two-stage form — global
+    ``word_frequencies`` rollup, then segmentation over the
+    DISTINCT-WORD relation — segments each corpus-wide distinct word
+    exactly once at the cost of a second exchange + fence; prefer it
+    when the corpus vocabulary is tiny relative to batch count. Both
+    bit-identical (test-asserted). Final aggregate is vocab-sized;
+    with top_k the cut is a TakeOrderedAndProject.
 
     Text is segmented AS-IS: case-normalize upstream if the vocab is
     lowercase (the workload does ``lower(text)`` on both engines)."""
     if not vocab:
         raise ValueError("greedy_tokenize_counts: vocab must be non-empty")
     vocab_set = frozenset(vocab)
-    lens = sorted({len(v) for v in vocab_set if v}, reverse=True)
-    if not lens:
+    if not any(v for v in vocab_set):
         raise ValueError("greedy_tokenize_counts: vocab entries are empty")
+    import re as _re
 
-    wf = word_frequencies(df, text_col, impl=wf_impl)
+    ordered = sorted(vocab_set, key=lambda v: (-len(v), v))
+    pat_src = "|".join(_re.escape(v) for v in ordered if v) + "|."
 
-    def seg_partials(it):
-        import pandas as pd
+    def _segment_into(agg: dict, pat, pairs) -> None:
+        for w, f in pairs:
+            fi = int(f)
+            for tok in pat.findall(w):
+                agg[tok] = agg.get(tok, 0) + fi
 
-        for pdf in it:
-            agg: dict = {}
-            for w, f in zip(pdf["w"], pdf["f"]):
-                n = len(w)
-                pos = 0
-                while pos < n:
-                    tok = None
-                    for L in lens:  # longest-first: the greedy rule
-                        if L <= n - pos and w[pos : pos + L] in vocab_set:
-                            tok = w[pos : pos + L]
-                            break
-                    if tok is None:
-                        tok = w[pos]  # single-char fallback
-                    agg[tok] = agg.get(tok, 0) + int(f)
-                    pos += len(tok)
-            yield pd.DataFrame(
-                {"token": list(agg.keys()), "f": list(agg.values())}
-            )
+    if impl == "fused":
 
-    toks = wf.mapInPandas(seg_partials, "token string, f long")
+        def fused_partials(it):
+            import re
+
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            pat = re.compile(pat_src, re.DOTALL)
+            for pdf in it:
+                # explicit type: all-null batches infer arrow 'null'
+                arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
+                toks = pc.drop_null(
+                    pc.list_flatten(pc.split_pattern(arr, " "))
+                )
+                vc = toks.value_counts()
+                agg: dict = {}
+                _segment_into(
+                    agg,
+                    pat,
+                    (
+                        (w, f)
+                        for w, f in zip(
+                            vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist(),
+                        )
+                        if w != ""
+                    ),
+                )
+                yield pd.DataFrame(
+                    {"token": list(agg.keys()), "f": list(agg.values())}
+                )
+
+        toks = df.select(text_col).mapInPandas(
+            fused_partials, "token string, f long"
+        )
+    elif impl == "staged":
+        wf = word_frequencies(df, text_col, impl="arrow")
+
+        def seg_partials(it):
+            import re
+
+            import pandas as pd
+
+            pat = re.compile(pat_src, re.DOTALL)
+            for pdf in it:
+                agg: dict = {}
+                _segment_into(agg, pat, zip(pdf["w"], pdf["f"]))
+                yield pd.DataFrame(
+                    {"token": list(agg.keys()), "f": list(agg.values())}
+                )
+
+        toks = wf.mapInPandas(seg_partials, "token string, f long")
+    else:
+        raise ValueError(
+            f"greedy_tokenize_counts: impl must be 'fused' or 'staged', "
+            f"got {impl!r}"
+        )
     counts = toks.groupBy("token").agg(F.sum("f").alias("cnt"))
     if top_k is None:
         return counts

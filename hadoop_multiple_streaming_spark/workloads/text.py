@@ -1836,5 +1836,5 @@ def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.col("text")).alias("text")
     )
     return greedy_tokenize_counts(
-        docs, "text", vocab=_TOKENIZER_VOCAB, top_k=40, wf_impl="arrow"
+        docs, "text", vocab=_TOKENIZER_VOCAB, top_k=40
     )

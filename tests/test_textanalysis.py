@@ -496,6 +496,13 @@ def test_greedy_tokenize_counts_matches_python_reference(spark):
         (r.token, r.cnt)
         for r in greedy_tokenize_counts(df, "text", vocab=vocab).collect()
     }
+    staged = {
+        (r.token, r.cnt)
+        for r in greedy_tokenize_counts(
+            df, "text", vocab=vocab, impl="staged"
+        ).collect()
+    }
+    assert staged == got  # fused (1 fence/1 exchange) == staged (2/2)
 
     def ref(words):
         agg = {}
@@ -531,3 +538,5 @@ def test_greedy_tokenize_counts_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="vocab"):
         greedy_tokenize_counts(df, "text", vocab=())
+    with pytest.raises(ValueError, match="impl"):
+        greedy_tokenize_counts(df, "text", vocab=vocab, impl="wat")

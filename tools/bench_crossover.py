@@ -67,6 +67,9 @@ QUERIES = [
     "corpus_health",
     "dedup_containment",
     "bloom_decontaminate",
+    # round-14 addition: tokenizer application (greedy vocab
+    # segmentation; word-frequency exchange + distinct-word kernel)
+    "text_vocab_tokenize",
 ]
 
 # The catalog's dedup_embedding_lsh is parameterized for the DRIVER
