@@ -101,6 +101,10 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_diff",
     "fuzzy_join_parts",
+    # round-14 extension surface: tokenizer application (greedy
+    # longest-match vocab segmentation — fused one-fence/one-exchange
+    # Arrow kernel; 1.02x DuckDB at sf4.0, CROSSOVER r14 addendum)
+    "text_vocab_tokenize",
 ]
 
 
