@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: small deterministic English stopword list (shared with oracle SQL)
 EN_STOPWORDS = [
@@ -798,3 +799,73 @@ def greedy_tokenize_counts(
     if top_k is None:
         return counts
     return counts.orderBy(F.desc("cnt"), "token").limit(int(top_k))
+
+
+def greedy_token_counts_per_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Per-DOCUMENT token counts under greedy vocab segmentation —
+    the budget/packing input (token_budget_pick, pack_sequences)
+    computed with an APPLIED tokenizer instead of the whitespace
+    proxy: (id_col, n_tokens) where n_tokens = number of greedy
+    longest-match segments over the document's space-split words
+    (same rule as :func:`greedy_tokenize_counts`; NULL text counts 0).
+
+    Scale shape: a STATELESS Arrow projection — zero shuffle, scan
+    speed. Within each batch the kernel segments each DISTINCT word
+    once (a memo dict persists across the worker's batches), so the
+    per-row work is a dict probe per word; segmentation itself is the
+    compiled longest-first regex (one findall per new word, counting
+    only — re.findall allocation avoided via finditer-free
+    len(findall) on the memo miss path only)."""
+    if not vocab:
+        raise ValueError(
+            "greedy_token_counts_per_doc: vocab must be non-empty"
+        )
+    vocab_set = frozenset(vocab)
+    if not any(v for v in vocab_set):
+        raise ValueError(
+            "greedy_token_counts_per_doc: vocab entries are empty"
+        )
+    import re as _re
+
+    ordered = sorted(vocab_set, key=lambda v: (-len(v), v))
+    pat_src = "|".join(_re.escape(v) for v in ordered if v) + "|."
+    id_field = df.schema[id_col]
+
+    def count_partials(it):
+        import re
+
+        import pandas as pd
+
+        pat = re.compile(pat_src, re.DOTALL)
+        memo: dict = {}
+        for pdf in it:
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(0)
+                    continue
+                n = 0
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    c = memo.get(w)
+                    if c is None:
+                        c = len(pat.findall(w))
+                        memo[w] = c
+                    n += c
+                out.append(n)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_tokens": pd.Series(out, dtype="int64")}
+            )
+
+    out_schema = T.StructType(
+        [id_field, T.StructField("n_tokens", T.LongType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(
+        count_partials, out_schema
+    )

@@ -55,6 +55,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 _PRIORITY_ORDER = [
     # ---- round-14 window (driver checks ~first 50) ----
     "text_vocab_tokenize",  # NEW r14: greedy vocab tokenizer application
+    "text_vocab_token_counts",  # NEW r14: per-doc counts under the vocab
     "corpus_health",  # CHANGED r14: rollup join disambiguated by grouping(lang); Arrow token kernel schema derived + min_count
     "quota_sample",  # CHANGED r14: sampler kernel count collects cardinality-guarded
     "temperature_sample",  # CHANGED r14: same kernel; alpha claim restricted

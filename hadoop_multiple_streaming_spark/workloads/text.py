@@ -1838,3 +1838,48 @@ def text_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_tokenize_counts(
         docs, "text", vocab=_TOKENIZER_VOCAB, top_k=40
     )
+
+
+@register(
+    "text_vocab_token_counts",
+    oracle=f"""
+    WITH RECURSIVE vocab(v) AS (SELECT unnest({_vocab_sql_literal()})),
+    dw AS (SELECT doc_id,
+                  unnest(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) AS w
+           FROM documents),
+    wd AS (SELECT DISTINCT w FROM dw),
+    seg(w, pos) AS (
+        SELECT w, CAST(1 AS BIGINT) FROM wd
+        UNION ALL
+        SELECT s.w, s.pos + COALESCE(length(m.v), 1)
+        FROM seg s LEFT JOIN LATERAL (
+            SELECT v FROM vocab
+            WHERE substr(s.w, CAST(s.pos AS INT), length(v)) = v
+            ORDER BY length(v) DESC LIMIT 1) m ON true
+        WHERE s.pos <= length(s.w)
+    ),
+    wn AS (SELECT w, CAST(COUNT(*) - 1 AS BIGINT) AS ntok
+           FROM seg GROUP BY w),
+    per_doc AS (SELECT dw.doc_id, SUM(wn.ntok) AS n
+                FROM dw JOIN wn USING (w) GROUP BY dw.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(per_doc.n, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+    """,
+)
+def text_vocab_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the APPLIED vocabulary
+    (operators.text.greedy_token_counts_per_doc — r14): the
+    budget/packing input computed with the greedy tokenizer instead of
+    the whitespace proxy. Zero shuffle — a stateless Arrow projection
+    with per-worker word memoization; the oracle re-derives each
+    distinct word's segment count with the recursive longest-prefix
+    CTE and sums it back over the document words."""
+    from ..operators.text import greedy_token_counts_per_doc
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return greedy_token_counts_per_doc(
+        docs, "text", "doc_id", vocab=_TOKENIZER_VOCAB
+    )

@@ -540,3 +540,30 @@ def test_greedy_tokenize_counts_matches_python_reference(spark):
         greedy_tokenize_counts(df, "text", vocab=())
     with pytest.raises(ValueError, match="impl"):
         greedy_tokenize_counts(df, "text", vocab=vocab, impl="wat")
+
+
+def test_greedy_token_counts_per_doc(spark):
+    """r14: per-doc token counts under the applied vocab — zero-shuffle
+    projection, memoized per-word segmentation; NULL/empty text counts
+    0, int id schema derived from the input."""
+    from hadoop_multiple_streaming_spark.operators.text import (
+        greedy_token_counts_per_doc,
+    )
+
+    vocab = ("the", "ing", "re")
+    df = spark.createDataFrame(
+        [
+            (1, "the thing"),        # the=1; thing=th? no 'th' -> t,h,ing=3 -> 4
+            (2, ""),                 # 0 tokens
+            (3, None),               # NULL -> 0
+            (4, "rere  the"),        # rere=re,re=2; the=1 -> 3 (double space)
+        ],
+        "doc_id long, text string",
+    )
+    out = greedy_token_counts_per_doc(df, "text", "doc_id", vocab=vocab)
+    assert dict(out.dtypes) == {"doc_id": "bigint", "n_tokens": "bigint"}
+    got = {(r.doc_id, r.n_tokens) for r in out.collect()}
+    assert got == {(1, 4), (2, 0), (3, 0), (4, 3)}
+    # plan: stateless projection — no exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
