@@ -112,6 +112,19 @@ _SKEW_BYPASS_ROWS = 1_000_000
 #: ceiling for a broadcast relation anyway.
 _MAX_SAMPLE_GROUPS = 1_000_000
 
+#: skewed-regime guard (ADVICE r14 #1): the SECOND collect is per
+#: (group, subgroup), so its legitimate magnitude is up to
+#: |groups| x num_subgroups — a corpus the per-group guard above
+#: explicitly admits (1e6 groups x 64 subgroups) must not be rejected
+#: by reusing the per-group cap. Rows are 3 small fields; 64e6 of them
+#: is a few GB of driver heap, inside the budget the broadcast-relation
+#: design already assumes. Expressed as a multiplier so a caller-chosen
+#: num_subgroups scales the ceiling with the actual fan-out.
+def _max_skew_count_rows(num_subgroups: int) -> int:
+    # clamp to int32-safe (DataFrame.limit takes a Java int); 2^30 rows
+    # of 3 small fields is already past any sane driver-fold budget
+    return min(_MAX_SAMPLE_GROUPS * num_subgroups, 1 << 30)
+
 
 def _check_subgroup_args(df: DataFrame, num_subgroups: int) -> None:
     if num_subgroups < 1 or SPACE % num_subgroups != 0:
@@ -282,15 +295,16 @@ def _grouped_hash_topk(
     # per-(group, subgroup) counts are the second (and last) collect —
     # |groups| x num_subgroups rows, the magnitude r12 broadcast anyway
     by_group: dict = {}
+    _skew_cap = _max_skew_count_rows(num_subgroups)
     sg_rows = (
         _subgroup_counts(df, key_col, group_col, num_subgroups)
-        .limit(_MAX_SAMPLE_GROUPS + 1)
+        .limit(_skew_cap + 1)
         .collect()
     )
-    if len(sg_rows) > _MAX_SAMPLE_GROUPS:
+    if len(sg_rows) > _skew_cap:
         raise ValueError(
             f"_grouped_hash_topk: group column {group_col!r} x "
-            f"{num_subgroups} subgroups exceeds {_MAX_SAMPLE_GROUPS:,} "
+            f"{num_subgroups} subgroups exceeds {_skew_cap:,} "
             "count rows — the skew decomposition broadcasts one relation "
             "row per (group, subgroup); use a coarser group column or "
             "fewer subgroups"
@@ -661,7 +675,9 @@ def mixture_sample(
         raise ValueError(
             f"mixture_sample: target_total must be >= 0, got {target_total}"
         )
-    gtype = df.select(F.col(group_col).alias("_g")).schema[0].dataType.simpleString()
+    # schema[] on the already-analyzed df — a fresh select() would
+    # re-run full analysis over the composed upstream plan per check
+    gtype = df.schema[group_col].dataType.simpleString()
     if gtype != "string":
         raise TypeError(
             f"mixture_sample: group_col must be string (weights are keyed"
@@ -746,6 +762,9 @@ def global_shuffle(
     keyed = df.withColumn("_sk", shuffle_key).withColumn(
         "_one", F.lit(1).cast("long")
     )
+    # _sk is md5-uniform in [0, SPACE) — static range boundaries
+    # (order_space) replace the percentile sketch: one fewer full
+    # traversal of the input lineage, identically balanced buckets
     out = global_running_total(
         keyed,
         "_sk",
@@ -753,6 +772,7 @@ def global_shuffle(
         num_buckets=num_buckets,
         tiebreak_col=key_col,
         out_col=ordinal_col,
+        order_space=SPACE,
     )
     return out.drop("_sk", "_one")
 
@@ -791,7 +811,9 @@ def token_budget_select(
             f"token_budget_select: budget must be >= 0, got {budget}"
         )
     for col, what in ((score_col, "score_col"), (token_col, "token_col")):
-        dtype = df.select(F.col(col).alias("_c")).schema[0].dataType.simpleString()
+        # schema[] on the already-analyzed df — a fresh select() would
+        # re-run full analysis over the composed upstream plan per check
+        dtype = df.schema[col].dataType.simpleString()
         if dtype not in ("tinyint", "smallint", "int", "bigint"):
             raise TypeError(
                 f"token_budget_select: {what} must be integral, got {dtype}"

@@ -890,6 +890,25 @@ def ivfpq_adc_topk(
     # _qa comes from `queries` (which always carries qv): an external
     # query id absent from the corpus `vectors` store must refine, not
     # silently vanish through an inner join against the store.
+    # In-plan dimension guard (ADVICE r14 #2): with _qa external, a
+    # query/corpus dim mismatch is possible for the first time, and
+    # zip_with would silently NULL-pad — NULL L2 distances sort FIRST
+    # under asc, promoting a malformed query's candidates to rank 1.
+    # Fail loudly per-row instead, mirroring kmeans_lloyd's dim check.
+    exact_d = F.when(
+        F.size(F.col("_qa")) != F.size(F.col("_qb")),
+        F.raise_error(
+            F.concat(
+                F.lit("ivfpq_adc_topk: query vector dim "),
+                F.size(F.col("_qa")).cast("string"),
+                F.lit(" != corpus vector dim "),
+                F.size(F.col("_qb")).cast("string"),
+                F.lit(" — queries.qv must match the indexed corpus dim"),
+            )
+        ),  # NullType: coerces to exact_d's own type (bigint for L2,
+        # double for cosine) — an explicit cast would silently widen
+        # the exact integer L2 distance to double
+    ).otherwise(exact_d)
     refined = (
         shortlist.join(
             vectors.select(F.col("id").alias("neighbor_id"), F.col("qv").alias("_qb")),

@@ -816,11 +816,20 @@ def greedy_token_counts_per_doc(
 
     Scale shape: a STATELESS Arrow projection — zero shuffle, scan
     speed. Within each batch the kernel segments each DISTINCT word
-    once (a memo dict persists across the worker's batches), so the
-    per-row work is a dict probe per word; segmentation itself is the
-    compiled longest-first regex (one findall per new word, counting
-    only — re.findall allocation avoided via finditer-free
-    len(findall) on the memo miss path only)."""
+    once (a memo dict persists across the worker's batches, BOUNDED at
+    ``_MEMO_CAP`` entries), so the per-row work is a dict probe per
+    word; segmentation itself is the compiled longest-first regex (one
+    findall per new word, counting only — re.findall allocation
+    avoided via finditer-free len(findall) on the memo miss path
+    only).
+
+    Memo bound (ADVICE r14 #3): long-lived reused Python workers would
+    otherwise grow the cross-batch memo monotonically on a
+    high-distinct-word corpus (the 100 TB shape) and OOM the executor.
+    At the cap the memo is cleared and rebuilt — trade: the first
+    occurrence of each word after a reset re-segments (one regex
+    findall), which is exactly the cold-batch cost; hit rates recover
+    within a batch because natural text reuses words heavily."""
     if not vocab:
         raise ValueError(
             "greedy_token_counts_per_doc: vocab must be non-empty"
@@ -842,6 +851,9 @@ def greedy_token_counts_per_doc(
         import pandas as pd
 
         pat = re.compile(pat_src, re.DOTALL)
+        # bounded cross-batch memo: ~100 bytes/entry -> cap keeps the
+        # worker's steady-state overhead at ~200 MB worst case
+        _MEMO_CAP = 2_000_000
         memo: dict = {}
         for pdf in it:
             out = []
@@ -855,6 +867,8 @@ def greedy_token_counts_per_doc(
                         continue
                     c = memo.get(w)
                     if c is None:
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
                         c = len(pat.findall(w))
                         memo[w] = c
                     n += c

@@ -662,8 +662,11 @@ def test_grouped_hash_topk_group_cardinality_guard(spark, monkeypatch):
 
 
 def test_grouped_hash_topk_subgroup_cardinality_guard(spark, monkeypatch):
-    """The skewed-regime (group, subgroup) count collect is guarded the
-    same way: past the cap it raises instead of collecting."""
+    """The skewed-regime (group, subgroup) count collect has its OWN
+    cap of |max groups| x num_subgroups (ADVICE r14 #1): a corpus the
+    per-group guard admits must not be rejected by the subgroup
+    collect (it legitimately produces up to num_subgroups rows per
+    group), but a genuinely oversized collect still raises."""
     import pytest
 
     import hadoop_multiple_streaming_spark.functions.sampling as smp
@@ -671,9 +674,27 @@ def test_grouped_hash_topk_subgroup_cardinality_guard(spark, monkeypatch):
     rows = [(i, "a") for i in range(32)] + [(100 + i, "b") for i in range(4)]
     df = spark.createDataFrame(rows, "k long, grp string")
     # force the skewed regime (bypass floor 0; group a > total/2) with a
-    # cap that the first |groups|=2 collect passes but the >=3
-    # (group, subgroup) count rows exceed
+    # per-group cap the first |groups|=2 collect exactly meets; the 4
+    # (group, subgroup) rows fit the 2 x 2 skew cap — the r14 code
+    # reused the per-group cap here and wrongly raised
     monkeypatch.setattr(smp, "_SKEW_BYPASS_ROWS", 0)
     monkeypatch.setattr(smp, "_MAX_SAMPLE_GROUPS", 2)
+    out = smp.quota_sample(df, "k", "grp", quota=1, num_subgroups=2)
+    assert out.count() == 2  # one per group, skew path completes
+    # the dedicated skew cap still guards: shrink it below the 4
+    # populated (group, subgroup) rows and the collect must raise
+    monkeypatch.setattr(smp, "_max_skew_count_rows", lambda n: 3)
     with pytest.raises(ValueError, match="subgroups"):
         smp.quota_sample(df, "k", "grp", quota=1, num_subgroups=2)
+
+
+def test_max_skew_count_rows_int32_clamp():
+    """The skew cap is clamped int32-safe (DataFrame.limit takes a Java
+    int): a huge num_subgroups must not overflow the limit() call."""
+    from hadoop_multiple_streaming_spark.functions.sampling import (
+        _MAX_SAMPLE_GROUPS,
+        _max_skew_count_rows,
+    )
+
+    assert _max_skew_count_rows(64) == _MAX_SAMPLE_GROUPS * 64
+    assert _max_skew_count_rows(16**6) == 1 << 30

