@@ -198,6 +198,35 @@ def main() -> int:
     except Exception as e:
         print(f"[bench] arrow pre-warm FAILED: {str(e)[:200]}", file=sys.stderr)
 
+    # host-health control (r15, VERDICT task 2): a FIXED-SIZE Arrow
+    # round-trip — 1.25 M longs ≈ 10 MB through mapInPandas and back —
+    # timed immediately before every timed rep. Identical work every
+    # time, so its duration is a pure host-health signal: when a rep's
+    # control reads far above the session reference, that rep ran on a
+    # contended host and the artifact says so mechanically, instead of
+    # the builder re-litigating Arrow inflation row by row each round.
+    # It doubles as the per-query worker-pool pre-warm.
+    _CTRL_ROWS = 1_250_000
+
+    def arrow_control() -> float:
+        # FIXED 8 partitions regardless of cpus: the control is a
+        # relative host-health probe (compared against ctrl_ref from
+        # the same session), so constancy matters, not parallelism —
+        # and 8 tasks keeps its own scheduling floor small enough to
+        # run per-rep without doubling bench wall time
+        t0 = time.monotonic()
+        spark.range(_CTRL_ROWS, numPartitions=8).mapInPandas(
+            lambda it: it, "id long"
+        ).write.mode("overwrite").format("noop").save()
+        return time.monotonic() - t0
+
+    # session reference: min of 3 controls on the freshly-warmed pool
+    try:
+        ctrl_ref = round(min(arrow_control() for _ in range(3)), 3)
+    except Exception as e:
+        print(f"[bench] control reference FAILED: {str(e)[:200]}", file=sys.stderr)
+        ctrl_ref = -1.0
+
     names = [n for n in HEADLINE if n in workloads.QUERIES]
     # warm IMMEDIATELY before timing each query (not one global warm
     # pass): the generated-class cache is shared across queries, and a
@@ -208,6 +237,7 @@ def main() -> int:
     # spark.sql.codegen.cache.maxEntries as a second line of defense).
     times: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    ctrl: dict[str, list[float]] = {}
     for name in names:
         # warm pass (Janino compiles, shuffle init for the plan
         # shapes), then an ADAPTIVE min-of-k (k=2..4): the host shares
@@ -225,8 +255,19 @@ def main() -> int:
         except Exception:
             pass
         samples: list[float] = []
+        controls: list[float] = []
         try:
             while len(samples) < 4:
+                # host-health control: before the FIRST rep (doubles
+                # as this query's Arrow pre-warm) and before every
+                # divergence-triggered extra rep (3rd/4th — exactly
+                # where a contended host needs machine-flagging); the
+                # stable second rep skips it to keep wall time sane
+                if len(samples) != 1:
+                    try:
+                        controls.append(round(arrow_control(), 3))
+                    except Exception:
+                        controls.append(-1.0)
                 t0 = time.monotonic()
                 df = workloads.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
@@ -244,6 +285,7 @@ def main() -> int:
         # (one outlier rep) — the per-round record should tell them
         # apart without a re-run
         reps[name] = [round(s, 3) for s in samples]
+        ctrl[name] = controls
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {
         "metric": "total_query_sec",
@@ -251,6 +293,8 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "reps": reps,
+        "ctrl": ctrl,
+        "ctrl_ref": ctrl_ref,
         "sf": sf,
     }
     if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINTS", "1") != "0":

@@ -95,6 +95,67 @@ def join_key_val(
     return F.when(v == "", k).otherwise(joined)
 
 
+def split_key_val_bytes(
+    line: Column | str,
+    separator: bytes = b"\t",
+    num_key_fields: int = 1,
+) -> tuple[Column, Column]:
+    """Byte-faithful splitKeyVal over a BINARY line column — the
+    reference's ``Text``-is-bytes KV contract extended past
+    ``pipe_lines(binary=True)`` to the full map→shuffle→reduce chain
+    (its splitKeyVal scans RAW BYTES for the separator,
+    MultiPipeMapRed.java:403-425: first-k-separators loop :409-413,
+    empty-value branch :414-418), so a latin-1 or mixed-binary key
+    survives bit-exactly where the string path would U+FFFD-mangle it.
+
+    Mechanism: decode to ISO-8859-1 — a LOSSLESS byte↔char bijection
+    (every byte 0x00-0xFF maps to exactly U+0000-U+00FF) — run the
+    same separator-scan expressions as the string path, and encode the
+    split halves back to binary. Pure Column expressions end to end:
+    whole-stage codegen, no Python fence, and byte positions are
+    preserved 1:1 so the scan IS a byte scan. Returns
+    ``(key: binary, value: binary)``.
+    """
+    col = F.col(line) if isinstance(line, str) else line
+    if not isinstance(separator, (bytes, bytearray)) or len(separator) == 0:
+        raise ValueError(
+            f"split_key_val_bytes: separator must be non-empty bytes, got {separator!r}"
+        )
+    sep_s = bytes(separator).decode("iso-8859-1")
+    s = F.decode(col, "ISO-8859-1")
+    key_s, val_s = split_key_val(s, sep_s, num_key_fields)
+    return (
+        F.encode(key_s, "ISO-8859-1"),
+        F.encode(val_s, "ISO-8859-1"),
+    )
+
+
+def with_key_val_bytes(
+    df: DataFrame,
+    line_col: str = "line",
+    separator: bytes = b"\t",
+    num_key_fields: int = 1,
+    drop_line: bool = True,
+) -> DataFrame:
+    """Add BINARY ``key``/``value`` columns to a binary line DataFrame."""
+    key, value = split_key_val_bytes(F.col(line_col), separator, num_key_fields)
+    out = df.withColumn("key", key).withColumn("value", value)
+    return out.drop(line_col) if drop_line else out
+
+
+def join_key_val_bytes(
+    key: Column | str,
+    value: Column | str,
+    separator: bytes = b"\t",
+) -> Column:
+    """Serialize BINARY (key, value) back to a binary line — the
+    separator always written (Hadoop TextOutputFormat contract, as in
+    :func:`join_key_val`); plain binary concat, no decode anywhere."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    return F.concat(k, F.lit(bytes(separator)), v)
+
+
 def to_lines(
     df: DataFrame,
     separator: str = "\t",

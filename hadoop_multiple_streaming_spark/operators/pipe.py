@@ -49,7 +49,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
-from ..functions.kv import join_key_val, with_key_val
+from ..functions.kv import (
+    join_key_val,
+    join_key_val_bytes,
+    with_key_val,
+    with_key_val_bytes,
+)
 from ..session import ensure_package_shipped
 
 LINE_SCHEMA = StructType([StructField("line", StringType(), True)])
@@ -433,6 +438,7 @@ def pipe_map(
     num_key_fields: int = 1,
     opts: PipeOptions | None = None,
     counters=None,
+    binary: bool = False,
 ) -> DataFrame:
     """Pipe-map (P1 for one branch): lines -> subprocess -> (key, value).
 
@@ -440,8 +446,22 @@ def pipe_map(
     reference then normalizes the intermediate to ``key\\tvalue``
     (MultiPipeMapRed.java:458-463); we keep (key, value) columns — the
     normalization happens if/when serialized by join_key_val.
-    """
-    out = pipe_lines(df_lines, cmd, opts=opts, counters=counters)
+
+    ``binary=True`` (r15): the byte-faithful KV path — input is a
+    single BINARY line column, the subprocess sees raw bytes, and the
+    stdout split scans bytes exactly as the reference's splitKeyVal
+    does (MultiPipeMapRed.java:403-425), returning
+    ``(key: binary, value: binary)`` — latin-1 keys survive bit-exact
+    through the whole map→shuffle→reduce chain. ``separator`` is then
+    interpreted as bytes (a str separator is encoded latin-1)."""
+    out = pipe_lines(df_lines, cmd, opts=opts, counters=counters, binary=binary)
+    if binary:
+        sep_b = (
+            separator.encode("iso-8859-1")
+            if isinstance(separator, str)
+            else bytes(separator)
+        )
+        return with_key_val_bytes(out, "line", sep_b, num_key_fields)
     return with_key_val(out, "line", separator, num_key_fields)
 
 
@@ -455,6 +475,7 @@ def pipe_reduce(
     counters=None,
     partition_fields: list[int] | None = None,
     sort_fields: list[tuple[int, bool]] | None = None,
+    binary: bool = False,
 ) -> DataFrame:
     """Pipe-reduce (P2/G1): hash-partition by key, sort by key within
     partitions, stream the whole sorted partition (`key\\tvalue` lines)
@@ -468,10 +489,35 @@ def pipe_reduce(
     one Exchange + one Sort either way.
 
     Returns (key, value) columns split from the reducer's stdout.
+
+    ``binary=True`` (r15): byte-faithful reduce — (key, value) are
+    BINARY columns, the shuffle hash-partitions and sorts on raw bytes
+    (Spark's BinaryType ordering is unsigned-lexicographic, the same
+    order Hadoop's Text/BytesWritable comparators use), lines are
+    rebuilt by binary concat, and the reducer's stdout re-splits on
+    bytes (MultiPipeMapRed.java:403-425). partition_fields/sort_fields
+    are a text-subfield surface and are not supported in binary mode.
     """
     if set(df_kv.columns) != {"key", "value"}:
         raise ValueError(f"pipe_reduce expects (key, value) columns, got {df_kv.columns}")
     n = num_partitions or df_kv.sparkSession.sparkContext.defaultParallelism
+    if binary:
+        if partition_fields or sort_fields:
+            raise ValueError(
+                "pipe_reduce(binary=True) does not support partition_fields/"
+                "sort_fields (text subfield semantics); pre-arrange the bytes"
+            )
+        sep_b = (
+            separator.encode("iso-8859-1")
+            if isinstance(separator, str)
+            else bytes(separator)
+        )
+        arranged = df_kv.repartition(n, "key").sortWithinPartitions("key")
+        lines = arranged.select(
+            join_key_val_bytes("key", "value", sep_b).alias("line")
+        )
+        out = pipe_lines(lines, cmd, opts=opts, counters=counters, binary=True)
+        return with_key_val_bytes(out, "line", sep_b, num_key_fields)
     if partition_fields or sort_fields:
         from .shuffle import partition_sort
 

