@@ -292,8 +292,11 @@ def global_running_total(
     # in the composed selection pipeline that blow-up was 16 parquet
     # scans per action (r15, VERDICT task 1).
     w_bucket = Window.partitionBy("_b")
-    with_local = bucketed.withColumn("_local_start", local_start).withColumn(
-        "_btotal", F.sum(F.col(value_col)).over(w_bucket)
+    with_local = bucketed.withColumns(
+        {
+            "_local_start": local_start,
+            "_btotal": F.sum(F.col(value_col)).over(w_bucket),
+        }
     )
     # Column-parity so ReuseExchange actually fires: exchange reuse
     # requires canonically IDENTICAL exchanges, and column pruning

@@ -759,9 +759,7 @@ def global_shuffle(
             )
     from .packing import global_running_total
 
-    keyed = df.withColumn("_sk", shuffle_key).withColumn(
-        "_one", F.lit(1).cast("long")
-    )
+    keyed = df.withColumns({"_sk": shuffle_key, "_one": F.lit(1).cast("long")})
     # _sk is md5-uniform in [0, SPACE) — static range boundaries
     # (order_space) replace the percentile sketch: one fewer full
     # traversal of the input lineage, identically balanced buckets
@@ -849,9 +847,7 @@ def token_budget_select(
                   " negation would wrap; rescale the score")
         ).cast("long"),
     ).otherwise(-s_long)
-    ordered = df.withColumn(token_col, tok_checked).withColumn(
-        "_negscore", neg_checked
-    )
+    ordered = df.withColumns({token_col: tok_checked, "_negscore": neg_checked})
     summed = global_running_total(
         ordered,
         "_negscore",

@@ -456,7 +456,6 @@ def test_mixture_sample_rejects_non_string_group(spark):
 
 def test_token_budget_select_rejects_negative_tokens(spark):
     import pytest
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from hadoop_multiple_streaming_spark.functions.sampling import (
         token_budget_select,
@@ -465,7 +464,12 @@ def test_token_budget_select_rejects_negative_tokens(spark):
     df = spark.createDataFrame(
         [(1, 50, 4), (2, 40, -1)], "doc_id long, score long, tok long"
     )
-    with pytest.raises(SparkRuntimeException, match="negative tok"):
+    # match the message, not the wrapper type: with the r15 shared
+    # bucket exchange the bounds and window stages materialize
+    # concurrently, so AQE may wrap the per-row raise_error in a
+    # STAGE_MATERIALIZATION_MULTIPLE_FAILURES SparkException instead
+    # of surfacing SparkRuntimeException directly
+    with pytest.raises(Exception, match="negative tok"):
         token_budget_select(df, "doc_id", "score", "tok", budget=10).collect()
 
 
