@@ -3,7 +3,15 @@
 ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "reps": {...}, "ctrl": {...}, "ctrl_ref": sec, "sf": 0.1}
+
+``ctrl``/``ctrl_ref`` (r15): each query's host-health control series —
+a FIXED 10 MB Arrow round-trip timed before the first rep and before
+any divergence-triggered extra rep, vs the session reference taken on
+the freshly-warmed pool. A rep whose nearest control reads far above
+``ctrl_ref`` ran on a contended host; the artifact says so without
+re-litigating Arrow inflation per row (VERDICT r14 task 2).
 
 Each query is fully executed via the noop sink (all columns computed,
 nothing collected to the driver). Use sf0.01/sf0.001 locally while
