@@ -197,3 +197,37 @@ def test_q22_non_vacuous_on_constructed_data(spark, tmp_path):
     # avg over positive in-list balances = (900+100+800+700)/4 = 625
     # kept: cust 1 (nation 1, 900) and cust 5 (nation 5, 700)
     assert rows == {(1, 1, 900.0), (5, 1, 700.0)}, rows
+
+
+def test_q11_non_vacuous_on_constructed_data(spark, tmp_path):
+    """r15 (self-surfaced by the new OK(EMPTY) sweep flag): q11's
+    0.0006-of-total threshold scales with part count, so at sf0.1's
+    part cardinality NO part crosses it and the sf0.1 catalog row
+    matches on empty — vacuous there (the sf0.01 driver gate is
+    non-vacuous). Pin the shape — per-part rollup vs a global scalar
+    threshold — against a hand-computed non-empty answer."""
+    from hadoop_multiple_streaming_spark import workloads
+
+    workloads.load_all()
+    # revenue = extendedprice * (1 - discount); zero discount for hand
+    # arithmetic. Totals: part 1 -> 700, part 2 -> 299.5,
+    # part 3 -> 0.5; total 1000, threshold 0.0006 * 1000 = 0.6 ->
+    # parts 1 and 2 pass, part 3 (0.5 < 0.6) is filtered: the global
+    # scalar threshold actually discriminates.
+    li = spark.createDataFrame(
+        [
+            (1, 400.0, 0.0),
+            (1, 300.0, 0.0),
+            (2, 299.5, 0.0),
+            (3, 0.5, 0.0),
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r.l_partkey
+        for r in workloads.QUERIES["q11_important_parts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows == {1, 2}
