@@ -1873,3 +1873,125 @@ def ngram_contamination_rate(
             / F.col("n_shingles").cast("double")
         ).alias("contamination_rate"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_segment: int | None = None,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-wide EXACT segment deduplication with document
+    reassembly — the repeated-passage removal step of MassiveText /
+    Gopher and CCNet's line-level dedup (Rae et al. 2021 §A1.2; Wenzek
+    et al. 2019): split every document into segments, keep only the
+    FIRST occurrence of each distinct segment across the whole corpus
+    (first = smallest ``(doc_id, position)``), and rebuild each
+    document from its surviving segments in original order. Returns
+    ``(id_col, text_col)`` with every input document present — a
+    document whose every segment appeared earlier elsewhere comes back
+    as the empty string (the downstream length/quality filter drops
+    it, as in the published pipelines).
+
+    Segmentation is a parameter, exact on any SQL engine:
+      * ``sep`` (default ``"\\n\\n"``: paragraphs; ``"\\n"``: CCNet
+        lines): literal-separator split; empty segments (consecutive
+        separators, leading/trailing) are dropped before dedup and the
+        rebuild joins with ``join_sep`` (defaults to ``sep``), so
+        spacing is normalized deterministically.
+      * ``words_per_segment``: fixed word windows (whitespace words,
+        ``n`` per segment, last window ragged) — the windowed variant
+        for corpora without separator structure; rebuild joins words
+        with single spaces.
+
+    First-occurrence-wins is the published tie-break; because it is a
+    pure function of (segment, doc_id, position), the whole operator
+    replays as one SQL chain (see the ``corpus_segment_dedup`` oracle).
+
+    Scale shape: the dedup is ``groupBy(segment).agg(min(struct(id,
+    pos)))`` — NOT a window over the corpus: partial aggregation
+    combines map-side, so the exchange carries one candidate row per
+    per-partition-distinct segment (a corpus of mostly-duplicated
+    boilerplate shuffles a fraction of itself), and no corpus-wide
+    sort exists anywhere. Reassembly is one ``groupBy(id)`` with an
+    in-memory ``array_sort`` per document (documents are bounded; the
+    corpus is not). Two exchanges total, both keyed, both
+    AQE-coalescible; the final presence join is a left join on the id
+    column. At 100 TB this is the same shape as the word-count
+    rollup — scan-dominated, skew-safe (a hot boilerplate segment is
+    ONE group row after map-side combine, not a straggler
+    partition)."""
+    import re as _re
+
+    if (sep is None) == (words_per_segment is None):
+        raise ValueError(
+            "segment_dedup: exactly one of sep / words_per_segment"
+            " must be given"
+        )
+    for reserved in ("_pos", "_seg", "_w", "_first"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"segment_dedup: input already has a {reserved!r} column"
+                " (internal temp name); rename it first"
+            )
+    if words_per_segment is not None:
+        n = int(words_per_segment)
+        if n < 1:
+            raise ValueError(
+                f"segment_dedup: words_per_segment must be >= 1, got {n}"
+            )
+        out_sep = " "
+        # fixed word windows: ws = non-empty whitespace words; segment
+        # i (1-based) = words[(i-1)*n : i*n] joined by one space
+        segs = df.select(
+            id_col,
+            F.expr(
+                f"array_remove(split({text_col}, ' '), '')"
+            ).alias("_w"),
+        ).select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, int(ceil(size(_w) / {n}.0))),"
+                    f" i -> array_join(slice(_w, (i - 1) * {n} + 1, {n}), ' '))"
+                )
+            ).alias("_pos", "_seg"),
+        )
+    else:
+        if sep == "":
+            raise ValueError("segment_dedup: sep must be non-empty")
+        out_sep = join_sep if join_sep is not None else sep
+        segs = df.select(
+            id_col,
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("_pos", "_seg"),
+        ).where(F.col("_seg") != "")
+    # first occurrence per distinct segment: min(struct(id, pos)) with
+    # map-side partial aggregation — the anti-straggler form
+    winners = (
+        segs.groupBy("_seg")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"))
+        .select(
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first._pos").alias("_pos"),
+            "_seg",
+        )
+    )
+    rebuilt = winners.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(_pos, _seg))),"
+                   " s -> s._seg)"),
+            out_sep,
+        ).alias("_rebuilt")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(text_col),
+        )
+    )

@@ -53,6 +53,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # that proved it. Every operator family keeps at least one in-window
 # representative.
 _PRIORITY_ORDER = [
+    # ---- round-15 additions ----
+    "corpus_segment_dedup",  # NEW r15: repeated-passage removal + reassembly
     # ---- round-14 window (driver checks ~first 50) ----
     "text_vocab_tokenize",  # NEW r14: greedy vocab tokenizer application
     "text_vocab_token_counts",  # NEW r14: per-doc counts under the vocab

@@ -1049,3 +1049,51 @@ def incremental_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.where(F.col("id") % 2 == 1), store, num_planes=64, rows_per_band=16,
         dim=64,
     )
+
+
+@register(
+    "corpus_segment_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[((i - 1) * 3 + 1):((i - 1) * 3 + 3)], ' ')
+                   AS seg
+        FROM words,
+             UNNEST(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1)) t(i)
+    ),
+    winners AS (
+        SELECT doc_id, pos, seg FROM chunks
+        QUALIFY row_number() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, pos) = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+        FROM winners GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact repeated-passage removal with reassembly
+    (operators.dedup.segment_dedup — r15): the MassiveText/Gopher
+    repeated-passage step / CCNet line dedup, first occurrence wins,
+    every document rebuilt from its surviving segments in order. The
+    synthetic corpus has no paragraph separators, so the workload uses
+    the fixed-word-window segmenter (3-word windows — ~19% of windows
+    are corpus-wide duplicates at sf0.01); the production paragraph /
+    line modes share the identical dedup+rebuild plan and are pinned
+    in pytest. Plan: groupBy(segment) min-struct (map-side combine, no
+    corpus window/sort) + one groupBy(doc) rebuild + a left presence
+    join."""
+    from ..operators.dedup import segment_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return segment_dedup(
+        docs, "text", "doc_id", sep=None, words_per_segment=3
+    )

@@ -1013,3 +1013,68 @@ def test_embedding_lsh_buckets_validates_geometry(spark):
     df = spark.createDataFrame([(1, [1000000] * 64)], "id long, qv array<bigint>")
     with _pytest.raises(ValueError, match="must divide"):
         embedding_lsh_buckets(df, num_planes=64, rows_per_band=7)
+
+
+def test_segment_dedup_paragraph_mode(spark):
+    """r15: the MassiveText repeated-passage contract in paragraph
+    mode — first occurrence (smallest (doc_id, pos)) of each distinct
+    paragraph survives, later copies are cut, documents reassemble in
+    original order, fully-duplicate documents come back empty, and
+    empty segments from consecutive separators are dropped."""
+    from hadoop_multiple_streaming_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta"),
+            (2, "beta\n\ngamma\n\nalpha"),   # beta+alpha cut, gamma kept
+            (3, "alpha\n\nbeta"),             # fully duplicate -> ""
+            (4, "\n\n\n\ndelta\n\n"),        # empty segments dropped
+            (5, ""),                          # empty doc stays empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in segment_dedup(docs, "text", "doc_id", sep="\n\n").collect()
+    }
+    assert got == {
+        1: "alpha\n\nbeta",
+        2: "gamma",
+        3: "",
+        4: "delta",
+        5: "",
+    }
+
+
+def test_segment_dedup_line_mode_and_word_windows(spark):
+    """r15: CCNet line mode (sep='\\n') and the fixed word-window
+    segmenter agree with hand computation; ragged final window kept."""
+    from hadoop_multiple_streaming_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "y\nz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in segment_dedup(docs, "text", "doc_id", sep="\n").collect()
+    }
+    assert got == {1: "x\ny", 2: "z"}
+
+    # word windows of 2: doc 1 -> ["a b", "c"], doc 2 -> ["a b", "d"]
+    docs2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: r.text
+        for r in segment_dedup(
+            docs2, "text", "doc_id", sep=None, words_per_segment=2
+        ).collect()
+    }
+    assert got2 == {1: "a b c", 2: "d"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        segment_dedup(docs2, "text", "doc_id", sep="\n", words_per_segment=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        segment_dedup(docs2, "text", "doc_id", sep=None)
