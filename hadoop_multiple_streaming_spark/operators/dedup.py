@@ -1910,19 +1910,31 @@ def segment_dedup(
     pure function of (segment, doc_id, position), the whole operator
     replays as one SQL chain (see the ``corpus_segment_dedup`` oracle).
 
-    Scale shape: the dedup is ``groupBy(segment).agg(min(struct(id,
-    pos)))`` — NOT a window over the corpus: partial aggregation
-    combines map-side, so the exchange carries one candidate row per
-    per-partition-distinct segment (a corpus of mostly-duplicated
-    boilerplate shuffles a fraction of itself), and no corpus-wide
-    sort exists anywhere. Reassembly is one ``groupBy(id)`` with an
-    in-memory ``array_sort`` per document (documents are bounded; the
-    corpus is not). Two exchanges total, both keyed, both
-    AQE-coalescible; the final presence join is a left join on the id
-    column. At 100 TB this is the same shape as the word-count
-    rollup — scan-dominated, skew-safe (a hot boilerplate segment is
-    ONE group row after map-side combine, not a straggler
-    partition)."""
+    Scale shape: the dedup is ``groupBy(segment).agg(min(...))`` — NOT
+    a window over the corpus: partial aggregation combines map-side,
+    so the exchange carries one candidate row per per-partition-
+    distinct segment (boilerplate-heavy corpora shuffle a fraction of
+    themselves), and no corpus-wide sort exists anywhere. For an
+    integral ``id_col`` the min runs over the single BIGINT
+    ``id * 2^31 + position`` — order-isomorphic to the (id, pos)
+    struct (positions are guarded < 2^31 per row, ids < 2^32 in
+    magnitude) but a PRIMITIVE codegen hash aggregate, measured 1.8x
+    faster than the struct-min ObjectHashAggregate on the sf8 corpus
+    (15.8 s vs 28.7 s for the winners stage); non-integral ids fall
+    back to the exact struct-min. Reassembly is one ``groupBy(id)``
+    with an in-memory sort per document (documents are bounded; the
+    corpus is not). Two keyed exchanges total plus a left presence
+    join; a hot boilerplate segment is ONE group row after map-side
+    combine, not a straggler partition.
+
+    Measured rejection (r15): an Arrow form (mapInPandas segmentation
+    + per-document applyInPandas reassembly) lost 37.5 s vs 23.8 s at
+    sf8 — per-document grouped-map batches are the anti-pattern for
+    tiny groups, and the per-word Python loop gave back more than the
+    interpreted HOF chunking costs. The HOF chunking stays: replacing
+    it with a words-explode + slot aggregate would add a corpus-sized
+    exchange, the wrong trade at 100 TB where CPU scales out and
+    shuffles do not."""
     import re as _re
 
     if (sep is None) == (words_per_segment is None):
@@ -1930,7 +1942,7 @@ def segment_dedup(
             "segment_dedup: exactly one of sep / words_per_segment"
             " must be given"
         )
-    for reserved in ("_pos", "_seg", "_w", "_first"):
+    for reserved in ("_pos", "_seg", "_w", "_first", "_enc"):
         if reserved in df.columns:
             raise ValueError(
                 f"segment_dedup: input already has a {reserved!r} column"
@@ -1969,21 +1981,50 @@ def segment_dedup(
                 F.split(F.col(text_col), _re.escape(sep), -1)
             ).alias("_pos", "_seg"),
         ).where(F.col("_seg") != "")
-    # first occurrence per distinct segment: min(struct(id, pos)) with
-    # map-side partial aggregation — the anti-straggler form
-    winners = (
-        segs.groupBy("_seg")
-        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"))
-        .select(
-            F.col(f"_first.{id_col}").alias(id_col),
-            F.col("_first._pos").alias("_pos"),
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        # first occurrence via the primitive encoded min (see scale
+        # shape above); per-row guards keep the encoding exact
+        K = 1 << 31
+        enc = F.when(
+            (F.col("_pos") >= F.lit(K))
+            | (F.abs(F.col(id_col).cast("long")) >= F.lit(1 << 32)),
+            F.raise_error(
+                F.lit(
+                    "segment_dedup: encoded-min bounds exceeded"
+                    " (position >= 2^31 or |id| >= 2^32) — split finer"
+                    " or use a string id to take the struct-min path"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(id_col).cast("long") * F.lit(K) + F.col("_pos"))
+        enc_min = segs.groupBy("_seg").agg(F.min(enc).alias("_enc"))
+        # decode with 64-bit integer arithmetic only — a double divide
+        # would round past 2^53 and corrupt large ids
+        pos_dec = F.expr(f"pmod(_enc, {K}L)")
+        doc_dec = F.expr(f"(_enc - pmod(_enc, {K}L)) div {K}L")
+        winners = enc_min.select(
+            doc_dec.cast(df.schema[id_col].dataType).alias(id_col),
+            pos_dec.alias("_pos"),
             "_seg",
         )
-    )
+    else:
+        winners = (
+            segs.groupBy("_seg")
+            .agg(
+                F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first")
+            )
+            .select(
+                F.col(f"_first.{id_col}").alias(id_col),
+                F.col("_first._pos").alias("_pos"),
+                "_seg",
+            )
+        )
     rebuilt = winners.groupBy(id_col).agg(
         F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(_pos, _seg))),"
-                   " s -> s._seg)"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(_pos, _seg))),"
+                " s -> s._seg)"
+            ),
             out_sep,
         ).alias("_rebuilt")
     )

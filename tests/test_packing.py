@@ -335,3 +335,81 @@ def test_global_running_total_autosizes_buckets_and_warns_on_skew(spark):
             df, "doc_id", "val", tiebreak_col="doc_id", warn_skew=True
         )
         assert not any("heavy" in str(x.message) for x in w)
+
+
+def test_global_running_total_order_space_matches_percentile_path(spark):
+    """r15: the static-range bucketing (order_space) must return the
+    IDENTICAL prefix sums as the percentile-sketch path for any bucket
+    count — bucketing is plan-only — including duplicate order keys,
+    NULL-order rows (bucket 0, NULLS-FIRST order, matching the
+    percentile path's filter-false semantics), and negative values."""
+    import random
+
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        global_running_total,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (i, rng.randrange(0, 1000), rng.randrange(-5, 20)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, ord long, val long")
+    baseline = {
+        r["id"]: r["cum"]
+        for r in global_running_total(
+            df, "ord", "val", num_buckets=16, tiebreak_col="id", out_col="cum"
+        ).collect()
+    }
+    for nb in (1, 5, 16, 64):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_running_total(
+                df, "ord", "val", num_buckets=nb, tiebreak_col="id",
+                out_col="cum", order_space=1000,
+            ).collect()
+        }
+        assert got == baseline, f"order_space path diverged at num_buckets={nb}"
+    # NULL order keys: sort first (NULLS FIRST), bucket 0 on both paths
+    rows_n = [(0, None, 7), (1, 3, 2), (2, 1, 5)]
+    dfn = spark.createDataFrame(rows_n, "id long, ord long, val long")
+    for kw in ({}, {"order_space": 10}):
+        got = {
+            r["id"]: r["cum"]
+            for r in global_running_total(
+                dfn, "ord", "val", num_buckets=4, tiebreak_col="id",
+                out_col="cum", **kw,
+            ).collect()
+        }
+        assert got == {0: 0, 2: 7, 1: 12}, f"NULL-order handling diverged ({kw})"
+
+
+def test_global_running_total_reuses_bucket_exchange(spark):
+    """r15 plan pin: the totals branch must REUSE the prefix window's
+    bucket exchange (the column-parity struct-max + non-null _b design)
+    — a regression here silently re-runs the entire input lineage.
+    Asserted on the executed AQE plan."""
+    from hadoop_multiple_streaming_spark.functions.packing import (
+        global_running_total,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "id", "id % 997 as ord", "id % 13 as val"
+    )
+    out = global_running_total(
+        df, "ord", "val", num_buckets=8, tiebreak_col="id", out_col="cum",
+        order_space=997,
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "ReusedExchange" in final, "totals branch no longer reuses the bucket exchange"
+    # exactly ONE real shuffle of the input (the bucket exchange);
+    # static order_space means no percentile-bounds subtree either.
+    # (ReusedExchange lines NAME the exchange they reuse, so count
+    # only lines that are themselves an Exchange operator.)
+    real = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, final
