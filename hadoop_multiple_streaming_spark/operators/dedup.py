@@ -1875,6 +1875,129 @@ def ngram_contamination_rate(
     )
 
 
+def _segment_explode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str | None,
+    words_per_segment: int | None,
+    join_sep: str | None,
+):
+    """Shared segmentation front-end of :func:`segment_dedup` /
+    :func:`incremental_segment_dedup`: validate args, explode to
+    (id_col, _pos, _seg) rows, return (segs, out_sep)."""
+    import re as _re
+
+    if (sep is None) == (words_per_segment is None):
+        raise ValueError(
+            "segment_dedup: exactly one of sep / words_per_segment"
+            " must be given"
+        )
+    for reserved in ("_pos", "_seg", "_w", "_first", "_enc"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"segment_dedup: input already has a {reserved!r} column"
+                " (internal temp name); rename it first"
+            )
+    if words_per_segment is not None:
+        n = int(words_per_segment)
+        if n < 1:
+            raise ValueError(
+                f"segment_dedup: words_per_segment must be >= 1, got {n}"
+            )
+        out_sep = " "
+        # fixed word windows: ws = non-empty whitespace words; segment
+        # i (1-based) = words[(i-1)*n : i*n] joined by one space
+        segs = df.select(
+            id_col,
+            F.expr(
+                f"array_remove(split({text_col}, ' '), '')"
+            ).alias("_w"),
+        ).select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, int(ceil(size(_w) / {n}.0))),"
+                    f" i -> array_join(slice(_w, (i - 1) * {n} + 1, {n}), ' '))"
+                )
+            ).alias("_pos", "_seg"),
+        )
+    else:
+        if sep == "":
+            raise ValueError("segment_dedup: sep must be non-empty")
+        out_sep = join_sep if join_sep is not None else sep
+        segs = df.select(
+            id_col,
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("_pos", "_seg"),
+        ).where(F.col("_seg") != "")
+    return segs, out_sep
+
+
+def _segment_first_occurrence(segs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """First-occurrence winners per distinct segment: the primitive
+    encoded-min for integral ids (order-isomorphic id*2^31+pos — see
+    segment_dedup's scale-shape notes), exact struct-min otherwise."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        K = 1 << 31
+        enc = F.when(
+            (F.col("_pos") >= F.lit(K))
+            | (F.abs(F.col(id_col).cast("long")) >= F.lit(1 << 32)),
+            F.raise_error(
+                F.lit(
+                    "segment_dedup: encoded-min bounds exceeded"
+                    " (position >= 2^31 or |id| >= 2^32) — split finer"
+                    " or use a string id to take the struct-min path"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(id_col).cast("long") * F.lit(K) + F.col("_pos"))
+        enc_min = segs.groupBy("_seg").agg(F.min(enc).alias("_enc"))
+        # decode with 64-bit integer arithmetic only — a double divide
+        # would round past 2^53 and corrupt large ids
+        pos_dec = F.expr(f"pmod(_enc, {K}L)")
+        doc_dec = F.expr(f"(_enc - pmod(_enc, {K}L)) div {K}L")
+        return enc_min.select(
+            doc_dec.cast(df.schema[id_col].dataType).alias(id_col),
+            pos_dec.alias("_pos"),
+            "_seg",
+        )
+    return (
+        segs.groupBy("_seg")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"))
+        .select(
+            F.col(f"_first.{id_col}").alias(id_col),
+            F.col("_first._pos").alias("_pos"),
+            "_seg",
+        )
+    )
+
+
+def _segment_rebuild(
+    winners: DataFrame, df: DataFrame, id_col: str, text_col: str, out_sep: str
+) -> DataFrame:
+    """Reassemble documents from surviving segments in original order;
+    every input document present (fully-deduplicated ones -> '')."""
+    rebuilt = winners.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_pos, _seg))),"
+                " s -> s._seg)"
+            ),
+            out_sep,
+        ).alias("_rebuilt")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1935,104 +2058,51 @@ def segment_dedup(
     it with a words-explode + slot aggregate would add a corpus-sized
     exchange, the wrong trade at 100 TB where CPU scales out and
     shuffles do not."""
-    import re as _re
+    segs, out_sep = _segment_explode(
+        df, text_col, id_col, sep, words_per_segment, join_sep
+    )
+    winners = _segment_first_occurrence(segs, df, id_col)
+    return _segment_rebuild(winners, df, id_col, text_col, out_sep)
 
-    if (sep is None) == (words_per_segment is None):
-        raise ValueError(
-            "segment_dedup: exactly one of sep / words_per_segment"
-            " must be given"
-        )
-    for reserved in ("_pos", "_seg", "_w", "_first", "_enc"):
-        if reserved in df.columns:
-            raise ValueError(
-                f"segment_dedup: input already has a {reserved!r} column"
-                " (internal temp name); rename it first"
-            )
-    if words_per_segment is not None:
-        n = int(words_per_segment)
-        if n < 1:
-            raise ValueError(
-                f"segment_dedup: words_per_segment must be >= 1, got {n}"
-            )
-        out_sep = " "
-        # fixed word windows: ws = non-empty whitespace words; segment
-        # i (1-based) = words[(i-1)*n : i*n] joined by one space
-        segs = df.select(
-            id_col,
-            F.expr(
-                f"array_remove(split({text_col}, ' '), '')"
-            ).alias("_w"),
-        ).select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, int(ceil(size(_w) / {n}.0))),"
-                    f" i -> array_join(slice(_w, (i - 1) * {n} + 1, {n}), ' '))"
-                )
-            ).alias("_pos", "_seg"),
-        )
-    else:
-        if sep == "":
-            raise ValueError("segment_dedup: sep must be non-empty")
-        out_sep = join_sep if join_sep is not None else sep
-        segs = df.select(
-            id_col,
-            F.posexplode(
-                F.split(F.col(text_col), _re.escape(sep), -1)
-            ).alias("_pos", "_seg"),
-        ).where(F.col("_seg") != "")
-    id_type = df.schema[id_col].dataType.simpleString()
-    if id_type in ("tinyint", "smallint", "int", "bigint"):
-        # first occurrence via the primitive encoded min (see scale
-        # shape above); per-row guards keep the encoding exact
-        K = 1 << 31
-        enc = F.when(
-            (F.col("_pos") >= F.lit(K))
-            | (F.abs(F.col(id_col).cast("long")) >= F.lit(1 << 32)),
-            F.raise_error(
-                F.lit(
-                    "segment_dedup: encoded-min bounds exceeded"
-                    " (position >= 2^31 or |id| >= 2^32) — split finer"
-                    " or use a string id to take the struct-min path"
-                )
-            ).cast("long"),
-        ).otherwise(F.col(id_col).cast("long") * F.lit(K) + F.col("_pos"))
-        enc_min = segs.groupBy("_seg").agg(F.min(enc).alias("_enc"))
-        # decode with 64-bit integer arithmetic only — a double divide
-        # would round past 2^53 and corrupt large ids
-        pos_dec = F.expr(f"pmod(_enc, {K}L)")
-        doc_dec = F.expr(f"(_enc - pmod(_enc, {K}L)) div {K}L")
-        winners = enc_min.select(
-            doc_dec.cast(df.schema[id_col].dataType).alias(id_col),
-            pos_dec.alias("_pos"),
-            "_seg",
-        )
-    else:
-        winners = (
-            segs.groupBy("_seg")
-            .agg(
-                F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first")
-            )
-            .select(
-                F.col(f"_first.{id_col}").alias(id_col),
-                F.col("_first._pos").alias("_pos"),
-                "_seg",
-            )
-        )
-    rebuilt = winners.groupBy(id_col).agg(
-        F.array_join(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_pos, _seg))),"
-                " s -> s._seg)"
-            ),
-            out_sep,
-        ).alias("_rebuilt")
+
+def incremental_segment_dedup(
+    new_batch: DataFrame,
+    seen_segments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_segment: int | None = None,
+    join_sep: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental :func:`segment_dedup` — the arriving-batch form of
+    repeated-passage removal a rolling corpus ingest needs: segments
+    already present in the persisted ``seen_segments`` store (one
+    ``segment`` string column) are cut from every batch document, the
+    batch then dedupes WITHIN itself first-occurrence-wins, and each
+    document is rebuilt from its surviving segments in order. Returns
+    ``(deduped_docs, new_segments)``: append ``new_segments`` (the
+    batch's store-novel distinct segments) to the store and the
+    invariant "the store holds every segment ever seen, and no segment
+    ever survives twice across the corpus lifetime" is maintained
+    batch over batch — exactly the union-corpus semantics of running
+    :func:`segment_dedup` over history + batch with history winning
+    every tie, without ever re-scanning history (oracle-checked).
+
+    Scale shape: one left-anti join of the batch's segments (batch-
+    sized) against the store's single key column — keep the store as a
+    segment-only parquet table, bucketed on the segment, and daily
+    batches join without re-shuffling the store side; then the same
+    groupBy(min)/rebuild plan as ``segment_dedup``. History is touched
+    only through the join."""
+    segs, out_sep = _segment_explode(
+        new_batch, text_col, id_col, sep, words_per_segment, join_sep
     )
-    return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_rebuilt"), F.lit("")).alias(text_col),
-        )
+    fresh = segs.join(
+        seen_segments.select(F.col("segment").alias("_seg")),
+        "_seg",
+        "left_anti",
     )
+    winners = _segment_first_occurrence(fresh, new_batch, id_col)
+    deduped = _segment_rebuild(winners, new_batch, id_col, text_col, out_sep)
+    new_segments = winners.select(F.col("_seg").alias("segment"))
+    return deduped, new_segments

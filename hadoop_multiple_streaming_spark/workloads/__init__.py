@@ -55,6 +55,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 _PRIORITY_ORDER = [
     # ---- round-15 additions ----
     "corpus_segment_dedup",  # NEW r15: repeated-passage removal + reassembly
+    "incremental_segment_dedup",  # NEW r15: arriving-batch form, seen-segment store
     # ---- round-14 window (driver checks ~first 50) ----
     "text_vocab_tokenize",  # NEW r14: greedy vocab tokenizer application
     "text_vocab_token_counts",  # NEW r14: per-doc counts under the vocab

@@ -1097,3 +1097,66 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(
         docs, "text", "doc_id", sep=None, words_per_segment=3
     )
+
+
+@register(
+    "incremental_segment_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[((i - 1) * 3 + 1):((i - 1) * 3 + 3)], ' ')
+                   AS seg
+        FROM words,
+             UNNEST(range(1, CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1)) t(i)
+    ),
+    store AS (SELECT DISTINCT seg FROM chunks WHERE doc_id % 2 = 0),
+    fresh AS (
+        SELECT doc_id, pos, seg FROM chunks
+        WHERE doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM store s WHERE s.seg = chunks.seg)
+    ),
+    winners AS (
+        SELECT doc_id, pos, seg FROM fresh
+        QUALIFY row_number() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, pos) = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+        FROM winners GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """,
+)
+def incremental_segment_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental repeated-passage removal
+    (operators.dedup.incremental_segment_dedup — r15): even doc_ids
+    play the persisted seen-segment store, odd doc_ids the arriving
+    batch. Store-known segments are cut from every batch document via
+    ONE left-anti join on the segment column (history is never
+    re-scanned past the join), the batch then dedupes within itself
+    first-occurrence-wins and rebuilds. Completes the incremental-
+    ingest matrix (exact / minhash / bloom / embedding-LSH / segment).
+    The returned frame is the deduped batch; the new-segment store
+    delta is the operator's second return (pinned in pytest with the
+    union-corpus-equivalence invariant)."""
+    from ..operators.dedup import _segment_explode, incremental_segment_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    seen = (
+        _segment_explode(history, "text", "doc_id", None, 3, None)[0]
+        .select(F.col("_seg").alias("segment"))
+        .distinct()
+    )
+    deduped, _new_segs = incremental_segment_dedup(
+        batch, seen, "text", "doc_id", sep=None, words_per_segment=3
+    )
+    return deduped

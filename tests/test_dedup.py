@@ -1078,3 +1078,48 @@ def test_segment_dedup_line_mode_and_word_windows(spark):
         segment_dedup(docs2, "text", "doc_id", sep="\n", words_per_segment=2)
     with pytest.raises(ValueError, match="exactly one"):
         segment_dedup(docs2, "text", "doc_id", sep=None)
+
+
+def test_incremental_segment_dedup_union_corpus_equivalence(spark):
+    """r15: the batch-over-batch invariant — running
+    incremental_segment_dedup against the seen-segment store is
+    EQUIVALENT to running segment_dedup over history + batch with
+    history winning every tie, and the returned new-segment delta
+    keeps the store exactly 'every segment ever seen'."""
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        _segment_explode,
+        incremental_segment_dedup,
+        segment_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [(0, "alpha\n\nbeta"), (2, "gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "beta\n\ndelta"),       # beta seen -> cut; delta new
+            (13, "delta\n\nepsilon"),    # delta taken by 11 -> cut
+            (15, "alpha\n\ngamma"),      # fully seen -> ""
+        ],
+        "doc_id long, text string",
+    )
+    seen = (
+        _segment_explode(history, "text", "doc_id", "\n\n", None, None)[0]
+        .select(F.col("_seg").alias("segment"))
+        .distinct()
+    )
+    deduped, new_segs = incremental_segment_dedup(
+        batch, seen, "text", "doc_id", sep="\n\n"
+    )
+    got = {r.doc_id: r.text for r in deduped.collect()}
+    assert got == {11: "delta", 13: "epsilon", 15: ""}
+    assert {r.segment for r in new_segs.collect()} == {"delta", "epsilon"}
+
+    # union-corpus equivalence: history ids sort below batch ids, so
+    # plain segment_dedup over the union restricted to batch docs must
+    # match the incremental result exactly
+    union_out = segment_dedup(
+        history.unionByName(batch), "text", "doc_id", sep="\n\n"
+    ).where(F.col("doc_id") >= 10)
+    assert {r.doc_id: r.text for r in union_out.collect()} == got
