@@ -113,6 +113,10 @@ HEADLINE = [
     # longest-match vocab segmentation — fused one-fence/one-exchange
     # Arrow kernel; 1.02x DuckDB at sf4.0, CROSSOVER r14 addendum)
     "text_vocab_tokenize",
+    # round-15 extension surface: corpus-wide repeated-passage removal
+    # with reassembly (first-occurrence-wins encoded-min, no corpus
+    # window/sort; 1.99x DuckDB at sf8.0, CROSSOVER r15 addendum)
+    "corpus_segment_dedup",
 ]
 
 
