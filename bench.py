@@ -3,8 +3,18 @@
 ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...},
-     "reps": {...}, "ctrl": {...}, "ctrl_ref": sec, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Per-rep samples and host-health controls (``reps``/``ctrl``/
+``ctrl_ref``) go to a SIDECAR file (default BENCH_REPS.json next to
+this script; override with SPARK_GRAFT_REPS_FILE), NOT the stdout
+line. MEASUREMENT BUG FIX (opt round r15): the driver tail-captures
+only the last 2000 characters of stdout, and embedding reps pushed
+the single JSON line past that window in rounds 13 AND 14 —
+BENCH_r13.json and BENCH_r14.json both carry ``parsed: null``
+(exactly the round-6 fingerprint overflow, re-introduced by the r13
+reps column). The stdout line is now the 5 contract keys only
+(~1.5 KB at 48 queries); everything else rides sidecars.
 
 ``ctrl``/``ctrl_ref`` (r15): each query's host-health control series —
 a FIXED 10 MB Arrow round-trip timed before the first rep and before
@@ -299,16 +309,37 @@ def main() -> int:
         reps[name] = [round(s, 3) for s in samples]
         ctrl[name] = controls
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # the stdout contract line carries ONLY the 5 driver keys; reps and
+    # host-health controls ride a sidecar so the line stays far under
+    # the driver's 2000-char stdout tail capture (see module docstring)
     payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "reps": reps,
-        "ctrl": ctrl,
-        "ctrl_ref": ctrl_ref,
         "sf": sf,
     }
+    reps_file = os.environ.get(
+        "SPARK_GRAFT_REPS_FILE", os.path.join(REPO, "BENCH_REPS.json")
+    )
+    try:
+        with open(reps_file, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "value": total,
+                    "queries": times,
+                    "reps": reps,
+                    "ctrl": ctrl,
+                    "ctrl_ref": ctrl_ref,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"[bench] reps/ctrl sidecar -> {reps_file}", file=sys.stderr)
+    except OSError as e:
+        print(f"[bench] reps sidecar write FAILED: {e}", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_PLAN_FINGERPRINTS", "1") != "0":
         plans: dict[str, dict[str, int]] = {}
         for name in names:
@@ -330,7 +361,17 @@ def main() -> int:
         except OSError as e:
             print(f"[bench] plan file write FAILED: {e}", file=sys.stderr)
     # the compact metric JSON is the FINAL stdout line — keep it that way
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    if len(line) > 1900:
+        # loud tripwire: the driver captures only the last 2000 chars
+        # of stdout — a line near/over that silently becomes
+        # parsed:null in BENCH_r{N}.json (it happened in r6, r13, r14)
+        print(
+            f"[bench] WARNING: stdout line {len(line)} chars —"
+            " approaching the driver's 2000-char capture window",
+            file=sys.stderr,
+        )
+    print(line)
     return 0
 
 
