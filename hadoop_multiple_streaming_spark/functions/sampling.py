@@ -230,6 +230,8 @@ def _grouped_hash_topk(
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    from .localrel import local_relation
+
     spark = df.sparkSession
     gtype = df.schema[group_col].dataType
     sub_width = SPACE // num_subgroups
@@ -273,7 +275,7 @@ def _grouped_hash_topk(
         # partitions would be — either way the plain per-group window
         # is already bounded; skip the subgroup machinery entirely
         w_rank = Window.partitionBy(group_col).orderBy("_hv", F.col(key_col))
-        rel = spark.createDataFrame(
+        rel = local_relation(spark,
             [(g, q) for g, q in sorted(
                 quota_by_group.items(), key=lambda kv: str(kv[0])
             )],
@@ -323,7 +325,7 @@ def _grouped_hash_topk(
             if off < q:
                 rel_rows.append((g, sg, off, q))
             off += c
-    rel = spark.createDataFrame(
+    rel = local_relation(spark,
         sorted(rel_rows, key=lambda t: (str(t[0]), t[1])),
         StructType(
             [

@@ -593,12 +593,86 @@ def ivf_train_int(
     return cent
 
 
-def assign_cells(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign_cells_arrow(cent_rows: list):
+    """Arrow-batched integer nearest-cell assignment, BIT-IDENTICAL to
+    the ``_ARGMIN_INT`` expression (optimization r15, guide §4.2): all
+    arithmetic is exact int64 — (x-c)^2 summed over dims — so there is
+    no rounding to reason about at all (the expression fold is 0L-seeded
+    bigint too), and ``cent_rows`` is sorted by cluster id so
+    np.argmin's first-min IS the smallest-cluster tie rule of the
+    (d, cluster) lexicographic sort. Exactness bound: |x-c| <= ~3e9
+    before the int64 sum could overflow at dim 64 — quantized unit-norm
+    embeddings (1e6 scale) sit ~3 orders below that.
+
+    Motivation (measured, sf0.1, 2000x16x64): the interpreted
+    zip_with/aggregate argmin is NOT whole-stage-codegen'd and costs
+    ~1.8 s per evaluation — and ann_ivfpq_adc's plan evaluates it
+    twice (bucket assignment + the residual path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    clusters = [int(c) for c, _ in cent_rows]
+    cents = [[int(x) for x in v] for _, v in cent_rows]
+
+    @pandas_udf("long")
+    def assign_udf(qv):
+        import numpy as np
+        import pandas as pd
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.int64)
+        C = np.asarray(cents, dtype=np.int64)  # k x dim
+        ids = np.asarray(clusters, dtype=np.int64)
+        kc = 128  # centroid blocking as in _assign_argmin_np
+        best_d = None
+        best_i = None
+        rows = np.arange(M.shape[0])
+        for j0 in range(0, C.shape[0], kc):
+            Cb = C[j0 : j0 + kc]
+            db = np.zeros((M.shape[0], Cb.shape[0]), dtype=np.int64)
+            for d in range(C.shape[1]):
+                diff = M[:, d : d + 1] - Cb[None, :, d]
+                db += diff * diff
+            bi = np.argmin(db, axis=1)
+            bd = db[rows, bi]
+            if best_d is None:
+                best_d, best_i = bd, ids[j0 + bi]
+            else:
+                better = bd < best_d
+                best_d = np.where(better, bd, best_d)
+                best_i = np.where(better, ids[j0 + bi], best_i)
+        return pd.Series(best_i)
+
+    return assign_udf
+
+
+def assign_cells(
+    quantized: DataFrame, centroids: DataFrame, impl: str = "expr"
+) -> DataFrame:
     """Nearest-cell assignment by exact bigint L2 (ties to the smaller
     cluster id): (id, cluster). The centroids collapse into ONE
     broadcast row and the argmin runs inside each data row — zero
     corpus shuffle (the kmeans_lloyd projection trick, integer
-    flavor)."""
+    flavor).
+
+    ``impl="arrow"`` collects the (tiny) centroid table and assigns
+    via an exact-int64 numpy kernel — bit-identical by integer math
+    (test-asserted impl equivalence), ~30x faster than the interpreted
+    zip_with fold at sf0.1. Cluster ids are emitted as bigint (the
+    expr path's struct sort preserves the input cluster type; callers
+    that need the arrow path must use integral cluster ids, same
+    contract as kmeans_lloyd impl='arrow')."""
+    if impl == "arrow":
+        cent_rows = sorted(
+            (int(r["cluster"]), list(r["cv"])) for r in centroids.collect()
+        )
+        return quantized.select(
+            "id", "qv", _assign_cells_arrow(cent_rows)(F.col("qv")).alias("cluster")
+        ).select("id", "cluster")
+    if impl != "expr":
+        raise ValueError(
+            f"assign_cells: impl must be 'expr' or 'arrow', got {impl!r}"
+        )
     cent_arr = centroids.agg(
         F.collect_list(F.struct("cluster", "cv")).alias("_cents")
     )
@@ -607,11 +681,58 @@ def assign_cells(quantized: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _pq_encode_arrow(cb_rows: list, m: int, dim: int):
+    """Arrow-batched PQ encode, BIT-IDENTICAL to the expr path
+    (optimization r15, guide §4.2): exact int64 subvector distances,
+    first-min argmin over code-ascending codewords = the min-of-struct
+    (d2, code) tie rule. ``cb_rows`` is (subspace, code, cw) sorted by
+    (subspace, code).
+
+    Motivation (measured, sf0.1): the expr path's broadcast join
+    explodes |corpus| x m x k rows (256k at 2000 docs) through an
+    interpreted zip_with/aggregate distance — ~1.8 s, the single
+    hottest span in ann_ivfpq_adc's steady-state plan. The kernel does
+    the same multiply-accumulates vectorized in one pass, and the
+    explode + repartition + two aggregates disappear from the plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    by_sub: dict[int, tuple[list[int], list[list[int]]]] = {}
+    for s, code, cw in cb_rows:
+        by_sub.setdefault(int(s), ([], []))
+        by_sub[int(s)][0].append(int(code))
+        by_sub[int(s)][1].append([int(x) for x in cw])
+
+    @pandas_udf("array<bigint>")
+    def encode_udf(qv):
+        import numpy as np
+        import pandas as pd
+
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        M = np.vstack(qv.map(np.asarray).to_numpy()).astype(np.int64)
+        n = M.shape[0]
+        out = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            codes_j = np.asarray(by_sub[j][0], dtype=np.int64)
+            CW = np.asarray(by_sub[j][1], dtype=np.int64)  # k x sub
+            Sub = M[:, j * sub : (j + 1) * sub]
+            db = np.zeros((n, CW.shape[0]), dtype=np.int64)
+            for t in range(sub):
+                diff = Sub[:, t : t + 1] - CW[None, :, t]
+                db += diff * diff
+            out[:, j] = codes_j[np.argmin(db, axis=1)]
+        return pd.Series([row.tolist() for row in out])
+
+    return encode_udf
+
+
 def pq_encode(
     quantized: DataFrame,
     codebooks: DataFrame,
     m: int = 8,
     dim: int = 64,
+    impl: str = "expr",
 ) -> DataFrame:
     """Product-quantization encode (the FAISS PQ compressor): split
     each ``dim``-long integer vector into ``m`` subvectors and replace
@@ -632,6 +753,29 @@ def pq_encode(
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"pq_encode: dim={dim} not divisible by m={m}")
+    if impl == "arrow":
+        # collect the (m x k)-row codebook (tiny by PQ's design) and
+        # encode in one exact-int64 numpy pass; bit-identical to the
+        # expr path (test-asserted), with the |corpus| x m x k explode
+        # join, its repartition and both aggregates gone from the plan
+        cb_rows = sorted(
+            (int(r["subspace"]), int(r["code"]), list(r["cw"]))
+            for r in codebooks.collect()
+        )
+        subs = {s for s, _, _ in cb_rows}
+        if subs != set(range(m)):
+            raise ValueError(
+                f"pq_encode: arrow impl needs codebooks for subspaces "
+                f"0..{m - 1}, got {sorted(subs)}"
+            )
+        return quantized.select(
+            "id",
+            _pq_encode_arrow(cb_rows, m, dim)(F.col("qv")).alias("codes"),
+        )
+    if impl != "expr":
+        raise ValueError(
+            f"pq_encode: impl must be 'expr' or 'arrow', got {impl!r}"
+        )
     pieces = quantized.select(
         "id",
         F.posexplode(

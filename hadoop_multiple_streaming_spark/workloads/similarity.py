@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_relation
 from ..operators.dedup import quantize_embeddings
 from ..operators.similarity import cosine_topk, ivf_topk
 from . import register
@@ -1305,11 +1306,11 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the tiny centroid relation once; assignment,
         # residuals, and probe ranking all reuse the literal
         cent_rows = [(int(r["cluster"]), list(r["cv"])) for r in cent.collect()]
-        buckets0 = assign_cells(vecs, spark.createDataFrame(
-            cent_rows, "cluster long, cv array<bigint>"
+        buckets0 = assign_cells(vecs, local_relation(
+            spark, cent_rows, "cluster long, cv array<bigint>"
         )).select("id", F.col("cluster").alias("bucket"))
-        cent_lit = spark.createDataFrame(
-            cent_rows, "cluster long, cv array<bigint>"
+        cent_lit = local_relation(
+            spark, cent_rows, "cluster long, cv array<bigint>"
         )
         residuals0 = (
             vecs.join(buckets0, "id")
@@ -1323,9 +1324,17 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (cent_rows, cb_rows)
         _IVFPQ_TRAIN_CACHE[sf_dir] = cached
     cent_rows, cb_rows = cached
-    cent = spark.createDataFrame(cent_rows, "cluster long, cv array<bigint>")
-    cb = spark.createDataFrame(cb_rows, "subspace int, code int, cw array<bigint>")
-    buckets = assign_cells(vecs, cent).select(
+    # JVM LocalRelations, NOT createDataFrame (functions.localrel): the
+    # Python-RDD literal path made every one of this plan's SIX
+    # broadcast builds a 32-task Python scan — measured ~42 CPU-s of
+    # pure Python-worker round-trips per rep at sf0.1 (guide §4)
+    cent = local_relation(spark, cent_rows, "cluster long, cv array<bigint>")
+    cb = local_relation(spark, cb_rows, "subspace int, code int, cw array<bigint>")
+    # arrow impls (r15): the interpreted zip_with/aggregate argmin and
+    # the |corpus| x m x k encode join were the two hottest spans of
+    # this plan (~1.8 s each at sf0.1); the exact-int64 kernels are
+    # bit-identical (tests/test_similarity.py impl-equivalence pins)
+    buckets = assign_cells(vecs, cent, impl="arrow").select(
         "id", F.col("cluster").alias("bucket")
     )
     d2c = F.expr(
@@ -1350,7 +1359,7 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cent.select(F.col("cluster").alias("bucket"), "cv"), "bucket")
         .select("id", F.zip_with("qv", "cv", lambda x, c: x - c).alias("qv"))
     )
-    codes = pq_encode(residuals, cb, m=8, dim=64)
+    codes = pq_encode(residuals, cb, m=8, dim=64, impl="arrow")
     out = ivfpq_adc_topk(
         codes,
         buckets,

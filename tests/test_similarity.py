@@ -651,3 +651,64 @@ def test_mixed_norm_guard_and_stored_bounds(spark, tmp_path):
     assert read_ivf_norm_bounds(spark, path) == (25, 25)
     append_ivf_index(q2, path)
     assert read_ivf_norm_bounds(spark, path) == (25, 2500)
+
+
+def test_assign_cells_impl_equivalence(spark):
+    """r15 optimization pin: the exact-int64 Arrow kernel must agree
+    with the _ARGMIN_INT expression fold on every row — including
+    EXACT ties, where both must keep the smallest cluster id."""
+    from hadoop_multiple_streaming_spark.operators.similarity import assign_cells
+
+    cent = spark.createDataFrame(
+        [(0, [0, 0, 0, 0]), (1, [10, 0, 0, 0]), (2, [10, 0, 0, 0])],
+        "cluster long, cv array<bigint>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0, 1, 0, 0]),
+            (2, [9, 0, 0, 0]),
+            (3, [5, 0, 0, 0]),   # exact tie between cluster 0 and 1/2
+            (4, [10, 0, 0, 0]),  # exact tie between cluster 1 and 2
+            (5, [1000000, -1000000, 1000000, -1000000]),
+        ],
+        "id long, qv array<bigint>",
+    )
+    want = {
+        (r.id, r.cluster) for r in assign_cells(vecs, cent, impl="expr").collect()
+    }
+    got = {
+        (r.id, r.cluster) for r in assign_cells(vecs, cent, impl="arrow").collect()
+    }
+    assert got == want
+    assert dict(got)[3] == 0 and dict(got)[4] == 1  # smallest-id ties
+
+
+def test_pq_encode_impl_equivalence(spark):
+    """r15 optimization pin: the Arrow encode kernel must reproduce
+    the expr path's codes bit for bit — exact int64 distances, ties to
+    the smaller code id."""
+    from hadoop_multiple_streaming_spark.operators.similarity import pq_encode
+
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [0, 0]), (0, 1, [10, 10]), (0, 2, [10, 10]),  # 1/2 tie
+            (1, 0, [0, 0]), (1, 1, [6, 8]),
+        ],
+        "subspace int, code long, cw array<long>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0, 0, 10, 10]),
+            (2, [9, 9, 0, 0]),
+            (3, [10, 10, 3, 4]),  # subspace-1 exact tie: |(3,4)| to both
+            (4, [5, 5, 3, 4]),    # subspace-0 exact tie between 0 and 1/2
+        ],
+        "id long, qv array<long>",
+    )
+    want = {r.id: list(r.codes) for r in pq_encode(vecs, cb, m=2, dim=4).collect()}
+    got = {
+        r.id: list(r.codes)
+        for r in pq_encode(vecs, cb, m=2, dim=4, impl="arrow").collect()
+    }
+    assert got == want
+    assert got[3][1] == 0  # tie in subspace 1 -> smaller code
