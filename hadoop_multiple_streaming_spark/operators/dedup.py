@@ -752,6 +752,59 @@ def _bucket_verify_arrow(threshold: float):
     return verify_udf
 
 
+def _bucket_keep_arrow(threshold: float, max_cluster_size: int | None = None):
+    """Fused in-cluster keep computation for semantic_dedup's arrow
+    path (optimization r15, guide §2.4): ONE Arrow stage per cluster
+    stream computes each member's final keep flag directly — keep =
+    false iff some SAME-CLUSTER member with a SMALLER id has cosine >=
+    threshold — instead of emitting pairs, distinct-ing the drop ids,
+    and left-joining them back to the corpus (which consumed the
+    members relation twice and cost two extra exchanges + a join).
+    The cosine math is byte-for-byte the _bucket_verify_arrow /
+    expression math: exact int64 Gram dot, correctly-rounded IEEE
+    double sqrt/multiply/divide (bit-identical, test-asserted).
+    Clusters above ``max_cluster_size`` skip the Gram entirely and
+    keep every member (the same skew guard the pairing path applies);
+    singletons are trivially kept."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<id:bigint,keep:boolean>>")
+    def keep_udf(members):
+        import numpy as np
+        import pandas as pd
+
+        CHUNK = 4096  # bounds transient Gram blocks exactly as verify
+        out = []
+        for bucket in members:
+            ids = np.asarray([m["id"] for m in bucket], dtype=np.int64)
+            m = len(ids)
+            if m < 2 or (max_cluster_size is not None and m > max_cluster_size):
+                out.append([(int(i), True) for i in ids])
+                continue
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = np.vstack([np.asarray(bucket[i]["qv"]) for i in order]).astype(
+                np.int64, copy=False
+            )
+            n2 = np.asarray([bucket[i]["n2"] for i in order], dtype=np.float64)
+            norms = np.sqrt(n2)
+            keep = np.ones(m, dtype=bool)
+            for lo in range(0, m, CHUNK):
+                hi = min(lo + CHUNK, m)
+                block = (M[lo:hi] @ M.T).astype(np.float64)
+                cos = block / (norms[lo:hi, None] * norms[None, :])
+                # member i is dropped iff any j < i (global id order)
+                # matches; columns j >= row's global index are masked
+                hit = cos >= threshold
+                col = np.arange(m)[None, :]
+                row = (np.arange(lo, hi))[:, None]
+                keep[lo:hi] &= ~(hit & (col < row)).any(axis=1)
+            out.append([(int(i), bool(k)) for i, k in zip(ids, keep)])
+        return pd.Series(out)
+
+    return keep_udf
+
+
 def auto_band_params(
     n_vectors: int,
     threshold: float,
@@ -829,6 +882,7 @@ def auto_semantic_clusters(
     kmeans_iters: int = 2,
     dim: int = 64,
     impl: str = "arrow",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic, SQL-replayable k-means clustering for
     ``semantic_dedup``'s auto path: seed centroids are the k input
@@ -859,8 +913,14 @@ def auto_semantic_clusters(
         (F.row_number().over(Window.orderBy("_h", "id")) - 1).alias("cluster"),
         F.expr("transform(qv, x -> cast(x as double))").alias("c"),
     )
+    carry = [c for c in (carry or []) if c != "id"]
     return kmeans_lloyd(
-        quantized.select("id", "qv"), init, iters=kmeans_iters, dim=dim, impl=impl
+        quantized.select("id", "qv", *[c for c in carry if c != "qv"]),
+        init,
+        iters=kmeans_iters,
+        dim=dim,
+        impl=impl,
+        carry=carry,
     )
 
 
@@ -882,7 +942,7 @@ def coarse_cluster_count(k: int) -> int:
     return 1 << ((L + 1) // 2)
 
 
-def _fine_lloyd_cells(target_cluster_size: int, iters: int, dim: int):
+def _fine_lloyd_cells(target_cluster_size: int, iters: int, dim: int, carry: list[str] | None = None):
     """Per-coarse-cell fine k-means for hierarchical_semantic_clusters
     — one Arrow stage per cell (applyInPandas), NO driver-side fine
     centroids (at 10^10 docs the fine codebook is GBs; keeping each
@@ -953,9 +1013,10 @@ def _fine_lloyd_cells(target_cluster_size: int, iters: int, dim: int):
                 new_cents.append(s.astype(np.float64) / int(mask.sum()))
             cent_ids = np.asarray(new_ids, dtype=np.int64)
             cents = np.vstack(new_cents)
-        return pd.DataFrame(
-            {"id": ids, "cluster": (coarse << 32) + assign}
-        )
+        out = {"id": ids, "cluster": (coarse << 32) + assign}
+        for c in carry or []:  # column passthrough — same-row values
+            out[c] = pdf[c].to_numpy()
+        return pd.DataFrame(out)
 
     return fn
 
@@ -966,6 +1027,7 @@ def hierarchical_semantic_clusters(
     target_cluster_size: int = 200,
     kmeans_iters: int = 2,
     dim: int = 64,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Coarse-fine (two-level) clustering for semantic_dedup — the
     scale path that replaces flat k-means' n*k assignment term with
@@ -999,12 +1061,23 @@ def hierarchical_semantic_clusters(
     pairing's max_cluster_size guard is unaffected."""
     k1 = coarse_cluster_count(k)
     coarse = auto_semantic_clusters(
-        quantized, k1, kmeans_iters=kmeans_iters, dim=dim, impl="arrow"
+        quantized, k1, kmeans_iters=kmeans_iters, dim=dim, impl="arrow",
+        carry=["qv"] + [c for c in (carry or []) if c not in ("id", "qv")],
     ).withColumnRenamed("cluster", "coarse")
-    members = quantized.select("id", "qv").join(coarse, "id")
-    return members.groupBy("coarse").applyInPandas(
-        _fine_lloyd_cells(target_cluster_size, kmeans_iters, dim),
-        schema="id long, cluster long",
+    # the coarse assignment CARRIES qv (and any caller columns) through
+    # its projection instead of joining the (id, coarse) result back to
+    # the corpus on id (r15, guide §2.4): the join was a whole extra
+    # corpus exchange/broadcast and re-evaluated the assignment kernel
+    # inside the build side
+    carry = [c for c in (carry or []) if c != "id"]
+    carry_ddl = "".join(
+        ", " + f.name + " " + f.dataType.simpleString()
+        for f in quantized.schema.fields
+        if f.name in carry
+    )
+    return coarse.groupBy("coarse").applyInPandas(
+        _fine_lloyd_cells(target_cluster_size, kmeans_iters, dim, carry=carry),
+        schema="id long, cluster long" + carry_ddl,
     )
 
 
@@ -1350,31 +1423,47 @@ def semantic_dedup(
                 target_cluster_size=target_cluster_size,
                 kmeans_iters=kmeans_iters,
                 dim=dim,
+                carry=["qv", "n2"],
             )
         else:
             clusters = auto_semantic_clusters(
-                quantized, k, kmeans_iters=kmeans_iters, dim=dim
+                quantized, k, kmeans_iters=kmeans_iters, dim=dim,
+                carry=["qv", "n2"],
             )
-    members = quantized.select("id", "qv", "n2").join(clusters, "id")
+    # the assignment is a pure projection of ``quantized`` — when the
+    # clustering frame already CARRIES (qv, n2) on the same row (the
+    # auto paths above, or a caller using kmeans_lloyd's carry=), take
+    # members straight from it instead of joining the (id, cluster)
+    # result back to the corpus on id (r15, guide §2.4: that join was
+    # an extra corpus exchange/broadcast per query and re-evaluated
+    # the assignment inside the join's build side)
+    if {"qv", "n2"} <= set(clusters.columns):
+        members = clusters.select("id", "qv", "n2", "cluster")
+    else:
+        members = quantized.select("id", "qv", "n2").join(clusters, "id")
     if pairs_impl == "arrow":
+        # FUSED single-pass shape (r15, guide §2.4): the per-cluster
+        # kernel emits each member's final keep flag directly, so the
+        # members relation is consumed ONCE and the pair explode, the
+        # drops DISTINCT exchange and the final left join all vanish
+        # (plan: 3 Exchanges + 3 joins -> 1 Exchange + 0 joins). Same
+        # math, same rows: keep = false iff a smaller-id same-cluster
+        # member clears the cosine threshold (bit-identical cosines,
+        # test-asserted vs the expr path).
         grouped = members.select(
             "cluster",
             F.struct(
                 "id", F.col("qv").cast("array<int>").alias("qv"), "n2"
             ).alias("_m"),
         ).groupBy("cluster").agg(F.collect_list("_m").alias("members"))
-        keep_f = F.size("members") >= 2
-        if max_cluster_size is not None:
-            keep_f = keep_f & (F.size("members") <= max_cluster_size)
-        pairs = (
-            grouped.where(keep_f)
-            .select(
-                F.explode(
-                    _bucket_verify_arrow(threshold)(F.col("members"))
-                ).alias("p")
-            )
-            .select("p.id_a", "p.id_b")
-        )
+        return grouped.select(
+            "cluster",
+            F.explode(
+                _bucket_keep_arrow(threshold, max_cluster_size)(
+                    F.col("members")
+                )
+            ).alias("_r"),
+        ).select(F.col("_r.id").alias("id"), "cluster", F.col("_r.keep").alias("keep"))
     elif pairs_impl == "expr":
         pool = members
         if max_cluster_size is not None:

@@ -171,6 +171,7 @@ def kmeans_lloyd(
     iters: int = 2,
     dim: int = 64,
     impl: str = "expr",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over quantized embedding vectors: ``iters``
     rounds of (assign every vector to its nearest centroid by squared
@@ -216,7 +217,16 @@ def kmeans_lloyd(
     slower inside semantic_dedup where the assignment tree is consumed
     twice. The eager collect jobs are the cheaper shape; don't re-add
     it without beating that A/B.) The returned assignment frame itself
-    stays lazy in both impls."""
+    stays lazy in both impls.
+
+    ``carry`` (optimization r15, guide §2.4): extra columns of
+    ``quantized`` to pass through into the returned frame — (id,
+    *carry, cluster). The assignment is a pure per-row projection, so
+    a caller that needs the vectors alongside the cluster (SemDeDup's
+    in-cluster pairing) can take them straight from the same row
+    instead of joining the (id, cluster) result BACK to the corpus on
+    id — that join was a whole extra exchange/broadcast of the corpus
+    (and re-evaluated the assignment inside the build side)."""
     # dim must match the data: a mismatch makes zip_with pad with
     # nulls, every distance NULL, and the argmin silently collapse to
     # the smallest cluster id — fail loudly instead. The check is a
@@ -235,6 +245,7 @@ def kmeans_lloyd(
             )
         ),
     )
+    carry = [c for c in (carry or []) if c != "id"]
     if impl == "arrow":
         cent_rows = sorted(
             (r["cluster"], list(r["c"])) for r in init_centroids.collect()
@@ -257,6 +268,7 @@ def kmeans_lloyd(
             )
         return quantized.select(
             "id",
+            *carry,
             _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
         )
     if impl != "expr":
@@ -288,7 +300,10 @@ def kmeans_lloyd(
             F.collect_list(F.struct("cluster", "c")).alias("_cents")
         )
         assigned = quantized.crossJoin(F.broadcast(cent_arr)).select(
-            "id", "qv", argmin.alias("cluster")
+            "id",
+            "qv",
+            *[c for c in carry if c != "qv"],
+            argmin.alias("cluster"),
         )
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
@@ -300,7 +315,7 @@ def kmeans_lloyd(
                 *[(F.col(f"_s{i}").cast("double") / F.col("n")) for i in range(dim)]
             ).alias("c"),
         )
-    return assigned.select("id", "cluster")
+    return assigned.select("id", *carry, "cluster")
 
 
 _L2 = (

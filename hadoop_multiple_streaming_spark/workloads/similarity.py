@@ -573,8 +573,12 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B at sf0.1: inplan 8.2-42.5 s vs arrow 3.5-6.1 s (control
     # dedup_exact equal on both sides). The eager collect jobs ARE the
     # cheaper shape here.
-    assigned = kmeans_lloyd(q.select("id", "qv"), init, iters=2, impl="arrow")
+    # carry (qv, n2) through the assignment projection so
+    # semantic_dedup's members come straight off the same rows — no
+    # corpus self-join on id (r15; quantize_embeddings' qv is the
+    # identical 1e6-scale transform this query's q builds)
     quant = quantize_embeddings(emb, "embedding", "vec_id")
+    assigned = kmeans_lloyd(quant, init, iters=2, impl="arrow", carry=["qv", "n2"])
     return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
 
 
