@@ -3,6 +3,8 @@ documents + embeddings, one parquet per table)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,9 +37,31 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: per-process BASE-RELATION cache, keyed (app id, sf_dir, table,
+#: path mtime). ``spark.read.parquet(path)`` pays a fresh driver-side
+#: file listing + footer schema read + analysis round-trip on EVERY
+#: call — 80-500 ms per query construction at sf0.1 (measured,
+#: tools/floor_decompose.py), pure metadata work re-done per bench
+#: rep. Caching the LAZY DataFrame handle is the same thing Spark's
+#: own catalog does for tables (InMemoryFileIndex reuse; guide §6
+#: filesourcePartitionFileCacheSize): no rows are cached, every
+#: execution still scans the parquet. The mtime in the key makes a
+#: rewritten path (tests regenerate fixture dirs) read fresh.
+_DF_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — keep the projection/filter in the caller so
     Catalyst pushes them into this scan."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # non-local path (hdfs/s3 URI) — no cheap stat; don't cache
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+    df = _DF_CACHE.get(key) if mtime is not None else None
+    if df is not None:
+        return df
     if name == "events":
         # tolerate nanos-precision generators (vectorized reader rejects
         # TIMESTAMP(NANOS) without this; harmless for micros files)
@@ -45,8 +69,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # date_format/date_trunc follow the session timezone; pin UTC —
         # the driver's session may not have been built by our factory
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_events_ts(spark.read.parquet(path))
+    else:
+        df = spark.read.parquet(path)
+    if mtime is not None:
+        _DF_CACHE[key] = df
+    return df
 
 
 #: per-process table-row-count cache, keyed (sf_dir, table). The

@@ -38,3 +38,27 @@ def test_registry_smoke_subprocess():
         timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_table_load_cache_reuses_handle_and_sees_rewrites(spark, tmp_path):
+    """The base-relation cache (opt r15) must (a) return the SAME lazy
+    DataFrame for an unchanged path — that reuse is what removes the
+    per-rep file listing + footer read from every query construction —
+    and (b) read FRESH data after the path is rewritten (mtime key),
+    so fixture-regenerating tests never see stale schema/rows."""
+    from hadoop_multiple_streaming_spark.workloads import tables
+
+    d = str(tmp_path)
+    spark.range(3).toDF("x").write.mode("overwrite").parquet(f"{d}/part.parquet")
+    a = tables.load(spark, d, "part")
+    b = tables.load(spark, d, "part")
+    assert a is b, "unchanged path must hit the cache"
+    assert a.count() == 3
+
+    import time as _t
+
+    _t.sleep(0.05)  # dir mtime granularity
+    spark.range(5).toDF("y").write.mode("overwrite").parquet(f"{d}/part.parquet")
+    c = tables.load(spark, d, "part")
+    assert c is not a, "rewritten path must miss the cache"
+    assert c.columns == ["y"] and c.count() == 5
