@@ -876,6 +876,33 @@ def auto_cluster_count(
     return k if max_k is None else min(max_k, k)
 
 
+def _integral_id(df: DataFrame) -> bool:
+    """True when df.id is an integer type — the precondition for the
+    driver-local seed replay (str(int) == Spark's long->string cast;
+    float/decimal renderings are engine-specific, so those fall back)."""
+    return df.schema["id"].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+
+
+def _local_seed_cents(rows: list, k: int) -> list:
+    """The k hash-ordered seed centroids from collected (id, qv) rows —
+    replays ``row_number() OVER (ORDER BY md5(cast(id as string)), id)
+    <= k`` with cluster = rank-1. hashlib.md5 over the decimal id
+    string is Spark's md5(cast(bigint as string)) (the same replay
+    _fine_lloyd_cells pins); hex-string tuple sort == the engine's
+    ASCII string order."""
+    import hashlib
+
+    order = sorted(
+        (hashlib.md5(str(int(r["id"])).encode()).hexdigest(), int(r["id"]), r["qv"])
+        for r in rows
+    )[: int(k)]
+    return [
+        (rank, [float(x) for x in qv]) for rank, (_h, _i, qv) in enumerate(order)
+    ]
+
+
 def auto_semantic_clusters(
     quantized: DataFrame,
     k: int,
@@ -883,6 +910,7 @@ def auto_semantic_clusters(
     dim: int = 64,
     impl: str = "arrow",
     carry: list[str] | None = None,
+    local_rows: list | None = None,
 ) -> DataFrame:
     """Deterministic, SQL-replayable k-means clustering for
     ``semantic_dedup``'s auto path: seed centroids are the k input
@@ -900,7 +928,31 @@ def auto_semantic_clusters(
     shuffle-free broadcast-centroid argmin projection."""
     from pyspark.sql.window import Window
 
-    from .similarity import kmeans_lloyd  # deferred: similarity imports dedup
+    from .similarity import (  # deferred: similarity imports dedup
+        _lloyd_local_cents,
+        _try_collect_local,
+        kmeans_assign_frame,
+        kmeans_lloyd,
+    )
+
+    carry_cols = [c for c in (carry or []) if c != "id"]
+    if impl == "arrow":
+        # r15 local fast path (guide §1.2 step 1): seeds + every Lloyd
+        # update round computed on the driver from ONE bounded collect —
+        # replaces the seed-collect job and the per-round aggregate jobs.
+        # Bit-identical: _local_seed_cents replays the hash-ordered
+        # row_number seed pick, _lloyd_local_cents the update math.
+        rows = local_rows
+        if rows is None and _integral_id(quantized):
+            rows = _try_collect_local(quantized, ["id", "qv"])
+        if rows is not None:
+            cent_rows = _local_seed_cents(rows, k)
+            cent_rows = _lloyd_local_cents(
+                [list(r["qv"]) for r in rows], cent_rows, kmeans_iters, dim
+            )
+            return kmeans_assign_frame(
+                quantized, cent_rows, dim, carry=carry_cols
+            )
 
     seeds = (
         quantized.select(
@@ -1028,6 +1080,7 @@ def hierarchical_semantic_clusters(
     kmeans_iters: int = 2,
     dim: int = 64,
     carry: list[str] | None = None,
+    local_rows: list | None = None,
 ) -> DataFrame:
     """Coarse-fine (two-level) clustering for semantic_dedup — the
     scale path that replaces flat k-means' n*k assignment term with
@@ -1063,6 +1116,7 @@ def hierarchical_semantic_clusters(
     coarse = auto_semantic_clusters(
         quantized, k1, kmeans_iters=kmeans_iters, dim=dim, impl="arrow",
         carry=["qv"] + [c for c in (carry or []) if c not in ("id", "qv")],
+        local_rows=local_rows,
     ).withColumnRenamed("cluster", "coarse")
     # the coarse assignment CARRIES qv (and any caller columns) through
     # its projection instead of joining the (id, coarse) result back to
@@ -1395,7 +1449,23 @@ def semantic_dedup(
     and honoring it here would grow coarse cells linearly with n —
     uncapped, cells stay ~sqrt(n*target) at any corpus size."""
     if clusters is None:
-        n_rows = n if n is not None else quantized.count()
+        # r15: ONE guarded CollectLimit replaces the sizing count()
+        # AND feeds the driver-local seed/Lloyd fast path downstream
+        # (auto_semantic_clusters); at scale the probe early-stops and
+        # every distributed shape is unchanged
+        from .similarity import _try_collect_local  # deferred
+
+        local_rows = (
+            _try_collect_local(quantized, ["id", "qv"])
+            if _integral_id(quantized)
+            else None
+        )
+        if n is not None:
+            n_rows = n
+        elif local_rows is not None:
+            n_rows = len(local_rows)
+        else:
+            n_rows = quantized.count()
         k = auto_cluster_count(n_rows, target_cluster_size)
         if clusters_impl not in ("auto", "flat", "hierarchical"):
             raise ValueError(
@@ -1424,11 +1494,13 @@ def semantic_dedup(
                 kmeans_iters=kmeans_iters,
                 dim=dim,
                 carry=["qv", "n2"],
+                local_rows=local_rows,
             )
         else:
             clusters = auto_semantic_clusters(
                 quantized, k, kmeans_iters=kmeans_iters, dim=dim,
                 carry=["qv", "n2"],
+                local_rows=local_rows,
             )
     # the assignment is a pure projection of ``quantized`` — when the
     # clustering frame already CARRIES (qv, n2) on the same row (the

@@ -22,11 +22,85 @@ Scale notes (100 TB of vectors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import _dot
+
+#: Row cap for the guarded driver-local Lloyd fast path (optimization
+#: r15, guide §1.2 step 1): below it the iterative k-means jobs
+#: (seed/init collect + one aggregate job per update round) collapse
+#: into ONE bounded CollectLimit job and the update rounds run in
+#: NumPy on the driver — bit-identical math, ~0.4-0.6 s of per-query
+#: job floor removed at sf0.1. 2^17 rows x 64 int64 dims is ~67 MB of
+#: vector payload on the driver — well under the broadcast-relation
+#: budget the samplers already allow. At scale the probe costs one
+#: early-stopping CollectLimit (reads ~1 partition) and falls back to
+#: the distributed rounds. Env-parameterised; <= 0 disables the path.
+_LOCAL_KMEANS_CAP = int(os.environ.get("SPARK_GRAFT_LOCAL_KMEANS_CAP", str(1 << 17)))
+
+
+def _try_collect_local(df: DataFrame, cols: list, cap: int | None = None):
+    """Guarded driver-materialisation probe (guide §5): ONE CollectLimit
+    job bounded at cap+1 rows. Returns the rows when the relation fits
+    the cap, else None (caller keeps the distributed shape). Never
+    collects more than cap+1 rows regardless of corpus size."""
+    cap = _LOCAL_KMEANS_CAP if cap is None else int(cap)
+    if cap <= 0:
+        return None
+    rows = df.select(*cols).limit(cap + 1).collect()
+    return None if len(rows) > cap else rows
+
+
+def _lloyd_local_cents(qvs: list, cent_rows: list, iters: int, dim: int) -> list:
+    """``iters - 1`` Lloyd update rounds on the DRIVER over collected
+    vectors — bit-identical to the distributed arrow loop: the same
+    blocked argmin kernel (:func:`_assign_argmin_np`, dim-sequential
+    IEEE fold), exact int64 per-cluster sums, and one Python int/int
+    correctly-rounded double division per mean (the cap bounds every
+    sum far below 2^53, where the distributed ``cast(s as double)/n``
+    and Python's exact-rational division provably agree)."""
+    import numpy as np
+
+    if not qvs:
+        # distributed replay: the first update round's groupBy over an
+        # empty corpus returns no rows, so the centroid set empties
+        return cent_rows if iters <= 1 else []
+    for qv in qvs:
+        if len(qv) != dim:
+            raise ValueError(
+                f"kmeans_lloyd: dim={dim} but vectors have {len(qv)} elements"
+            )
+    Mi = np.asarray(qvs, dtype=np.int64)
+    Mf = Mi.astype(np.float64)
+    for _ in range(iters - 1):
+        clusters = [c for c, _ in cent_rows]
+        cents = [list(map(float, v)) for _, v in cent_rows]
+        assign = _assign_argmin_np(Mf, clusters, cents)
+        new_rows = []
+        for c in np.unique(assign):  # ascending, like the sorted() below
+            mask = assign == c
+            s = Mi[mask].sum(axis=0)  # exact int64 sums
+            n = int(mask.sum())
+            new_rows.append((int(c), [int(s[d]) / n for d in range(dim)]))
+        cent_rows = sorted(new_rows)
+    return cent_rows
+
+
+def kmeans_assign_frame(
+    quantized: DataFrame, cent_rows: list, dim: int, carry: list | None = None
+) -> DataFrame:
+    """The lazy tail of :func:`kmeans_lloyd`: in-plan Arrow argmin
+    assignment of final driver-held centroids — (id, *carry, cluster)."""
+    carry = [c for c in (carry or []) if c != "id"]
+    return quantized.select(
+        "id",
+        *carry,
+        _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+    )
 
 
 def cosine_topk(
@@ -250,27 +324,35 @@ def kmeans_lloyd(
         cent_rows = sorted(
             (r["cluster"], list(r["c"])) for r in init_centroids.collect()
         )
-        for _ in range(iters - 1):
-            assigned_it = quantized.select(
-                "id",
-                "qv",
-                _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
-            )
-            sums = assigned_it.groupBy("cluster").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
-            ).collect()
-            # driver-side means: exact bigint sums / count — the same
-            # correctly-rounded double division the SQL replay performs
-            cent_rows = sorted(
-                (r["cluster"], [r[f"_s{i}"] / r["n"] for i in range(dim)])
-                for r in sums
-            )
-        return quantized.select(
-            "id",
-            *carry,
-            _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+        local = (
+            _try_collect_local(quantized, ["qv"]) if iters > 1 else None
         )
+        if local is not None:
+            # r15 local fast path: the iters-1 update-round JOBS (each a
+            # scan + ArrowEval + 64-sum aggregate + collect) collapse
+            # into this one bounded qv collect; math bit-identical (see
+            # _lloyd_local_cents)
+            cent_rows = _lloyd_local_cents(
+                [list(r["qv"]) for r in local], cent_rows, iters, dim
+            )
+        else:
+            for _ in range(iters - 1):
+                assigned_it = quantized.select(
+                    "id",
+                    "qv",
+                    _kmeans_assign_arrow(cent_rows, dim)(F.col("qv")).alias("cluster"),
+                )
+                sums = assigned_it.groupBy("cluster").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("qv")[i]).alias(f"_s{i}") for i in range(dim)],
+                ).collect()
+                # driver-side means: exact bigint sums / count — the same
+                # correctly-rounded double division the SQL replay performs
+                cent_rows = sorted(
+                    (r["cluster"], [r[f"_s{i}"] / r["n"] for i in range(dim)])
+                    for r in sums
+                )
+        return kmeans_assign_frame(quantized, cent_rows, dim, carry=carry)
     if impl != "expr":
         raise ValueError(
             f"kmeans_lloyd: impl must be 'expr' or 'arrow', got {impl!r}"

@@ -558,10 +558,6 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("qv"),
     )
-    init = _centroid_sums(q, "label", "cluster", "n").select(
-        "cluster",
-        F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
-    )
     # impl="arrow": the MLlib-style driver-side-centroid scale path —
     # the interpreted HOF argmin was the measured wall-clock bottleneck
     # past 10k vectors (bit-identical results, test-asserted). r14
@@ -578,7 +574,42 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus self-join on id (r15; quantize_embeddings' qv is the
     # identical 1e6-scale transform this query's q builds)
     quant = quantize_embeddings(emb, "embedding", "vec_id")
-    assigned = kmeans_lloyd(quant, init, iters=2, impl="arrow", carry=["qv", "n2"])
+    # optimization r15 (guide §1.2 step 1): below the local-kmeans cap,
+    # ONE bounded collect of (label, qv) feeds BOTH the per-label-mean
+    # init (exact int sums, one int/int double division — the same
+    # arithmetic the _centroid_sums plan performs) and the driver-local
+    # Lloyd update round, replacing the init-aggregate job plus one
+    # update-round job. Past the cap the original two-job shape runs.
+    from ..operators.similarity import (
+        _lloyd_local_cents,
+        _try_collect_local,
+        kmeans_assign_frame,
+    )
+
+    rows = _try_collect_local(q, ["label", "qv"])
+    if rows is not None:
+        sums: dict = {}
+        for r in rows:
+            s, n = sums.get(r["label"], (None, 0))
+            qv = r["qv"]
+            if s is None:
+                s = [0] * len(qv)
+            sums[r["label"]] = ([a + b for a, b in zip(s, qv)], n + 1)
+        init_rows = sorted(
+            (lbl, [int(sd) / n for sd in s]) for lbl, (s, n) in sums.items()
+        )
+        cent_rows = _lloyd_local_cents(
+            [list(r["qv"]) for r in rows], init_rows, 2, 64
+        )
+        assigned = kmeans_assign_frame(quant, cent_rows, 64, carry=["qv", "n2"])
+    else:
+        init = _centroid_sums(q, "label", "cluster", "n").select(
+            "cluster",
+            F.expr("transform(sums, s -> cast(s as double) / n)").alias("c"),
+        )
+        assigned = kmeans_lloyd(
+            quant, init, iters=2, impl="arrow", carry=["qv", "n2"]
+        )
     return semantic_dedup(quant, assigned, threshold=0.45, pairs_impl="arrow")
 
 

@@ -712,3 +712,47 @@ def test_pq_encode_impl_equivalence(spark):
     }
     assert got == want
     assert got[3][1] == 0  # tie in subspace 1 -> smaller code
+
+
+def test_local_lloyd_matches_distributed_rounds(spark, monkeypatch):
+    """The r15 driver-local Lloyd fast path (guarded CollectLimit +
+    NumPy update rounds) must be bit-identical to the distributed
+    arrow loop it replaces — same assignments from kmeans_lloyd AND
+    from the auto seed path, cap respected."""
+    import numpy as np
+
+    from hadoop_multiple_streaming_spark.operators import similarity as S
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        auto_semantic_clusters,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [int(x) for x in rng.integers(-1000, 1000, 8)]) for i in range(80)
+    ]
+    q = spark.createDataFrame(rows, "id long, qv array<long>")
+    init = spark.createDataFrame(
+        [(0, [600.0] * 8), (1, [-600.0] * 8), (2, [0.0] * 8)],
+        "cluster long, c array<double>",
+    )
+
+    def run_lloyd():
+        return {
+            r.id: r.cluster
+            for r in S.kmeans_lloyd(q, init, iters=4, dim=8, impl="arrow").collect()
+        }
+
+    def run_auto():
+        return {
+            r.id: r.cluster
+            for r in auto_semantic_clusters(q, k=5, kmeans_iters=3, dim=8).collect()
+        }
+
+    local_l, local_a = run_lloyd(), run_auto()
+    # cap 0 disables the local path -> the distributed rounds run
+    monkeypatch.setattr(S, "_LOCAL_KMEANS_CAP", 0)
+    assert run_lloyd() == local_l
+    assert run_auto() == local_a
+    # and a cap below the corpus size also falls back (probe returns None)
+    monkeypatch.setattr(S, "_LOCAL_KMEANS_CAP", 10)
+    assert S._try_collect_local(q, ["qv"]) is None
