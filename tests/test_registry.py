@@ -62,3 +62,26 @@ def test_table_load_cache_reuses_handle_and_sees_rewrites(spark, tmp_path):
     c = tables.load(spark, d, "part")
     assert c is not a, "rewritten path must miss the cache"
     assert c.columns == ["y"] and c.count() == 5
+
+
+def test_table_count_footer_matches_job(spark, tmp_path):
+    """r15: table_count answers from the parquet footer for local
+    single-file tables (zero jobs), falls back to a count() job for
+    directory tables, and refreshes when the file is rewritten."""
+    import os
+    import time
+
+    from hadoop_multiple_streaming_spark.workloads.tables import table_count
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(137).toPandas().to_parquet(p)
+    assert table_count(spark, str(tmp_path), "t") == 137
+    # rewrite -> new mtime key -> fresh footer read
+    time.sleep(0.01)
+    spark.range(5).toPandas().to_parquet(p)
+    os.utime(p)
+    assert table_count(spark, str(tmp_path), "t") == 5
+    # directory-shaped table falls back to the count() job
+    d = str(tmp_path / "d.parquet")
+    spark.range(23).write.mode("overwrite").parquet(d)
+    assert table_count(spark, str(tmp_path), "d") == 23
