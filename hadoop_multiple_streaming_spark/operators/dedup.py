@@ -275,12 +275,23 @@ def lsh_candidate_pairs(
 # ------------------------------------------------------------- jaccard
 
 
+#: standalone-mode sizes-broadcast gate (r15 opt): below this many
+#: corpus documents the per-doc set-size relation (ONE row per doc,
+#: two longs) is explicitly broadcast into the final ratio joins, so
+#: the corpus-PAIR-scaled counts aggregate streams through them with
+#: ZERO further exchanges. 2^17 docs ≈ a 2-3 MB hashed relation —
+#: far under any broadcast hazard; above the cap the r12-measured
+#: sort-merge pin stays (see the na/nb comment in _ngram_overlap_pairs).
+_NGRAM_BROADCAST_SIZES_CAP = 1 << 17
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     threshold: float,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
     expand_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: |A ∩ B| / |A ∪ B| >= threshold.
     With ``candidates`` (e.g. from lsh_candidate_pairs) the intersect
@@ -310,10 +321,19 @@ def ngram_jaccard_pairs(
     collect_set also makes a pre-distinct'd shingle input unnecessary:
     pass word_shingles(distinct=False) and the per-doc dedup happens
     INSIDE this aggregation's map-side partial — no separate distinct
-    Exchange over the full shingle multiset."""
+    Exchange over the full shingle multiset.
+
+    ``n_docs`` (r15 opt): the caller-known corpus document count
+    (cheap from parquet footer metadata). In standalone mode, when
+    ``n_docs <= _NGRAM_BROADCAST_SIZES_CAP`` the doc-scaled sizes
+    relation is broadcast instead of sort-merge-pinned — the
+    pair-scaled counts side then streams through both ratio joins
+    with no further exchange. None (default) or above-cap keeps the
+    r12 sort-merge pin unchanged; results are identical either way
+    (join strategy only)."""
     return _ngram_overlap_pairs(
         shingles, threshold, candidates, max_doc_freq, kind="jaccard",
-        expand_partitions=expand_partitions,
+        expand_partitions=expand_partitions, n_docs=n_docs,
     )
 
 
@@ -323,6 +343,7 @@ def ngram_containment_pairs(
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
     expand_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT over shingle sets: |A ∩ B| / min(|A|, |B|) >=
     threshold — the asymmetric near-dup measure (Broder's containment)
@@ -331,11 +352,12 @@ def ngram_containment_pairs(
     ~|A|/|B| (arbitrarily low as the host grows). Same physical plan,
     governors, and args as ngram_jaccard_pairs (one shared
     groupBy(shingle) Exchange feeding sizes + streamed pair expansion,
-    optional candidates restriction, optional ``max_doc_freq`` cap);
+    optional candidates restriction, optional ``max_doc_freq`` cap,
+    optional ``n_docs`` sizes-broadcast gate);
     only the final ratio differs. Returns (id_a, id_b, containment)."""
     return _ngram_overlap_pairs(
         shingles, threshold, candidates, max_doc_freq, kind="containment",
-        expand_partitions=expand_partitions,
+        expand_partitions=expand_partitions, n_docs=n_docs,
     )
 
 
@@ -346,6 +368,7 @@ def _ngram_overlap_pairs(
     max_doc_freq: int | None,
     kind: str,
     expand_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     if expand_partitions is not None:
         if expand_partitions < 1:
@@ -398,8 +421,9 @@ def _ngram_overlap_pairs(
     if candidates is not None:
         inter = inter.join(candidates, ["id_a", "id_b"])
     counts = inter.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
-    # sizes has ONE ROW PER DOCUMENT — corpus-scaled, never hinted for
-    # broadcast (at 10B docs a hint is an executor OOM). In the
+    # sizes has ONE ROW PER DOCUMENT — corpus-scaled, so broadcasting
+    # it is only safe under an EXPLICIT count gate (below; at 10B docs
+    # an unconditional hint is an executor OOM). In the
     # candidates mode counts IS small by construction (bounded by the
     # LSH candidate set) and AQE may broadcast it. In the standalone
     # mode counts is corpus-PAIR-scaled — and AQE's broadcastability
@@ -417,8 +441,22 @@ def _ngram_overlap_pairs(
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     if candidates is None:
-        na = na.hint("merge")
-        nb = nb.hint("merge")
+        # r15 opt (guide §3.1): with a caller-supplied corpus doc count
+        # under the cap, broadcast the (id, n) sizes relation — the
+        # pair-scaled counts aggregate then flows into BOTH ratio joins
+        # with zero further exchanges (it was re-shuffled by id_a and
+        # again by id_b under the sort-merge pin). The hazard the merge
+        # pin guards against is AQE broadcasting the PAIR-scaled counts
+        # side off its lying compressed-bytes estimate; an explicit
+        # broadcast of the doc-scaled sizes under a row-count gate is a
+        # different relation with a hard bound. Above the cap (or with
+        # no count supplied): the measured r12 pin, unchanged.
+        if n_docs is not None and n_docs <= _NGRAM_BROADCAST_SIZES_CAP:
+            na = F.broadcast(na)
+            nb = F.broadcast(nb)
+        else:
+            na = na.hint("merge")
+            nb = nb.hint("merge")
     if kind == "jaccard":
         measure = F.col("c").cast("double") / (
             F.col("na") + F.col("nb") - F.col("c")

@@ -129,7 +129,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate distinct Exchange."""
     docs = load(spark, sf_dir, "documents").repartition(32)
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
-    return ngram_jaccard_pairs(sh, threshold=0.8, max_doc_freq=_NGRAM_DF_CAP)
+    # n_docs from the parquet footer (zero jobs): under the operator's
+    # 2^17 cap the sizes relation broadcasts and the pair-scaled counts
+    # stream unshuffled into both ratio joins; above, the r12 SMJ pin
+    return ngram_jaccard_pairs(
+        sh,
+        threshold=0.8,
+        max_doc_freq=_NGRAM_DF_CAP,
+        n_docs=table_count(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -1001,6 +1009,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         max_doc_freq=_NGRAM_DF_CAP,
         expand_partitions=expand,
+        n_docs=table_count(spark, sf_dir, "documents"),
     )
 
 

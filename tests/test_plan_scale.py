@@ -207,24 +207,62 @@ def test_ngram_jaccard_single_scan_streamed_pairs(spark, sf_dir):
     # tripled — scan+explode+collect_set once per consumer — and only
     # stage-level reuse collapses it):
     #   * ONE corpus FileScan: the groupBy(shingle) exchange is reused
-    #     by the sizes branch, and nb reuses na's id-count exchange
-    #     (>= 2 ReusedExchange), so the expensive shingle aggregation
-    #     is computed once;
+    #     by the sizes branch, so the expensive shingle aggregation is
+    #     computed once;
     #   * the pair expansion is the TWO chained Generates
     #     (posexplode + slice explode) — never a flattened per-group
     #     pair array (humongous-allocation hazard on hot shingles);
-    #   * both corpus-pair-scaled sizes joins stay sort-merge (the
-    #     hint('merge') pin — AQE's compressed-bytes estimate judged
-    #     the sorted pair aggregate broadcastable at sf4.0 and blew
-    #     driver maxResultSize).
+    #   * r15 opt: the test corpus is under the operator's
+    #     _NGRAM_BROADCAST_SIZES_CAP (footer-count gate), so BOTH
+    #     ratio joins are broadcast of the doc-scaled sizes relation —
+    #     the pair-scaled counts aggregate streams through them with
+    #     no further exchange (no SortMergeJoin anywhere).
     df = workloads.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
     final = _final_plan_of(df)
     assert final.count("FileScan") == 1, final
-    assert final.count("ReusedExchange") >= 2, final
-    assert final.count("SortMergeJoin") == 2, final
-    assert "BroadcastHashJoin" not in final, final
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("BroadcastHashJoin") == 2, final
+    assert "SortMergeJoin" not in final, final
     assert "posexplode" in final and "slice(ids" in final, final
     assert "flatten" not in final, final
+
+
+def test_ngram_sizes_broadcast_gate_scale_fallback(spark, sf_dir):
+    # The sizes-broadcast gate is COUNT-gated, not unconditional: above
+    # _NGRAM_BROADCAST_SIZES_CAP (or with no count supplied — the
+    # pre-r15 call shape) both ratio joins keep the r12 sort-merge pin
+    # (AQE's compressed-bytes estimate judged the PAIR-scaled counts
+    # aggregate broadcastable at sf4.0 and blew driver maxResultSize —
+    # that pin must survive at scale). Rows must be IDENTICAL on both
+    # paths: join strategy only, never results.
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        _NGRAM_BROADCAST_SIZES_CAP,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+    from hadoop_multiple_streaming_spark.workloads.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    over_cap = ngram_jaccard_pairs(
+        sh, threshold=0.8, max_doc_freq=32,
+        n_docs=_NGRAM_BROADCAST_SIZES_CAP + 1,
+    )
+    plan = _plan_of(over_cap)
+    assert "SortMergeJoin" in plan, plan
+    assert not [
+        b for b in _broadcast_join_blocks(plan) if "id_a" in b or "id_b" in b
+    ], plan
+    under_cap = ngram_jaccard_pairs(
+        sh, threshold=0.8, max_doc_freq=32, n_docs=200
+    )
+    plan2 = _plan_of(under_cap)
+    assert "SortMergeJoin" not in plan2, plan2
+    rows_merge = sorted(map(tuple, over_cap.collect()))
+    rows_bcast = sorted(map(tuple, under_cap.collect()))
+    assert rows_bcast == rows_merge and rows_merge, (
+        len(rows_merge), len(rows_bcast),
+    )
 
 
 def test_global_shuffle_no_corpus_global_window(spark, sf_dir):
