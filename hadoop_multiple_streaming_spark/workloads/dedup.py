@@ -21,7 +21,7 @@ from ..operators.dedup import (
     word_shingles,
 )
 from . import register
-from .tables import load, table_count
+from .tables import load, spread_scan, table_count
 
 # shared oracle CTE: distinct word 3-gram shingles per doc
 _SHINGLES_CTE = """
@@ -78,7 +78,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the docs table is one small parquet file (one scan
     # partition); the md5-heavy shingling must spread across cores —
     # at 100 TB the scan itself yields enough partitions
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     # distinct=False: MinHash's per-seed MIN is invariant to duplicate
     # shingles, so the dedup shuffle (the pipeline's biggest stage) is
     # skipped; the oracle's DISTINCT sh CTE yields the same minima.
@@ -127,7 +127,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether or not the cap binds). distinct=False: the per-doc shingle
     dedup happens inside the operator's collect_set aggregation — no
     separate distinct Exchange."""
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     # n_docs from the parquet footer (zero jobs): under the operator's
     # 2^17 cap the sizes relation broadcasts and the pair-scaled counts
@@ -164,7 +164,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (integer-exact bit votes from md5
     nibbles); pairing is hamming distance on these — no join needed to
     produce the sketch itself."""
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     return simhash_fingerprints(docs, "text", "doc_id", bits=64)
 
 
@@ -210,7 +210,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint the Spark label propagation converges to."""
     from ..operators.dedup import dedup_clusters
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     # distinct=False works for BOTH consumers: MinHash is duplicate-
     # invariant, and the Jaccard operator dedups via collect_set
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
@@ -284,7 +284,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition); the per-row sign-bit computation (a higher-order
     # function — CodegenFallback, interpreted) must spread across
     # cores. At 100 TB the scan itself yields enough partitions.
-    emb = load(spark, sf_dir, "embeddings").repartition(32)
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     q = quantize_embeddings(emb, "embedding", "vec_id")
     # sig_impl="arrow" is the explicit scale-path opt-in (fused
     # bucket-side verify, 2 Arrow fences, no verify joins); the
@@ -360,7 +360,7 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap count() (documented opt-in; pass n= to stay lazy)."""
     from ..operators.dedup import embedding_lsh_pairs
 
-    emb = load(spark, sf_dir, "embeddings").repartition(32)
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     q = quantize_embeddings(emb, "embedding", "vec_id")
     twin = q.select(
         (F.col("id") + 10_000_000).alias("id"),
@@ -427,7 +427,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sketch-to-pairs path, O(candidates) end to end."""
     from ..operators.dedup import simhash_banded_pairs
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     fps = simhash_fingerprints(docs, "text", "doc_id", bits=64)
     return simhash_banded_pairs(fps, max_hamming=3, bands=4)
 
@@ -449,7 +449,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any word 3-gram with it are flagged for removal. One semi
     join on the shingle, distinct ids out — the pre-training
     contamination sweep at its 100 TB shape (probe side broadcasts)."""
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     corpus = sh.where(F.col("id") % 97 != 0)
     probes = sh.where(F.col("id") % 97 == 0)
@@ -477,7 +477,7 @@ def contamination_rate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 3-grams found in the held-out probe set (every 97th doc)
     — the fuzzy-decontamination refinement of the binary any-overlap
     flag. Exact-integer ratio, hash-checked."""
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     corpus = sh.where(F.col("id") % 97 != 0)
     probes = sh.where(F.col("id") % 97 == 0)
@@ -511,7 +511,7 @@ def duplicate_span_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(span) exchange over the window stream."""
     from ..operators.dedup import duplicate_spans
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return duplicate_spans(docs, "text", "doc_id", span_tokens=12, min_docs=2)
 
 
@@ -575,7 +575,7 @@ def substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame replicated the corpus exchange under every probe subtree
     # (r14: the executed plan carried 4 scan+repartition copies)
     docs_raw = load(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs_raw.repartition(32)
+    docs = spread_scan(docs_raw)
     toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
         docs_raw.where(F.col("doc_id") % 17 == 0)
@@ -622,7 +622,7 @@ def decontaminate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probes from the UNREPARTITIONED scan — see substring_decontamination
     docs_raw = load(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs_raw.repartition(32)
+    docs = spread_scan(docs_raw)
     toks = F.expr("array_remove(split(text, ' '), '')")
     probes = (
         docs_raw.where(F.col("doc_id") % 17 == 0)
@@ -699,7 +699,7 @@ def incremental_minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFra
     16-byte bucket keys."""
     from ..operators.dedup import minhash_band_buckets, minhash_signatures
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     sig = minhash_signatures(sh, num_hashes=16)
     store = minhash_band_buckets(
@@ -754,7 +754,7 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     prebuilt bitmap exists to avoid."""
     from ..operators.bloom import bloom_anti_join, build_bloom
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     corpus = docs.where(F.col("doc_id") % 97 != 0).select(
         "doc_id", "lang", "text"
     )
@@ -991,7 +991,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; only the final ratio differs."""
     from ..operators.dedup import ngram_containment_pairs
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
     # expansion width pinned past AQE coalescing once the corpus is
     # big enough for the pair expansion to dominate (measured
@@ -1046,7 +1046,7 @@ def incremental_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch keys against store keys — the store never holds vectors."""
     from ..operators.dedup import embedding_lsh_buckets, embedding_lsh_store_hits
 
-    emb = load(spark, sf_dir, "embeddings").repartition(32)
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
     q = quantize_embeddings(emb, "embedding", "vec_id")
     # 4 bands x 16-bit buckets: selective on the isotropic synthetic
     # vectors (narrower bands saturate the bucket space and every

@@ -19,7 +19,7 @@ from ..functions.textanalysis import (
     ws_token_count,
 )
 from . import register
-from .tables import load
+from .tables import load, spread_scan
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -551,7 +551,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term — and both sides arrive already term-partitioned from the
     dfreq aggregation, so the exchange is reusable; AQE converts to
     broadcast at runtime when the measured vocab is genuinely small."""
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
@@ -589,7 +589,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full sort at scale); ties broken by the bigram string."""
     from ..operators.dedup import word_shingles
 
-    docs = load(spark, sf_dir, "documents").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents"))
     grams = word_shingles(docs, "text", "doc_id", n=2, distinct=False)
     return (
         grams.groupBy(F.col("shingle").alias("bigram"))
@@ -1301,13 +1301,13 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream pairing is a groupBy(fp)."""
     from ..operators.text import winnowing_fingerprints
 
-    # repartition(32): the single-file test tables scan as 1-2 input
+    # spread_scan: the single-file test tables scan as 1-2 input
     # splits, which starves this per-document projection of
     # parallelism (measured: a flat 3.6-3.9x DuckDB from sf0.1 to
-    # sf1.0 with 2 tasks; 32-way it drops under the bar like
+    # sf1.0 with 2 tasks; cores-wide it drops under the bar like
     # winnowing_pairs, which always had this). A real multi-file
     # corpus scan yields >= cores partitions and needs no repartition.
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
 
 
@@ -1341,7 +1341,7 @@ def winnowing_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes possible. One groupBy(fp) + pair-count aggregation."""
     from ..operators.text import winnowing_fingerprints, winnowing_pairs
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = spread_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fps = winnowing_fingerprints(docs, "text", "doc_id", k=4, window=5)
     return winnowing_pairs(fps.select("doc_id", "fp"), min_shared=2)
 

@@ -85,3 +85,20 @@ def test_table_count_footer_matches_job(spark, tmp_path):
     d = str(tmp_path / "d.parquet")
     spark.range(23).write.mode("overwrite").parquet(d)
     assert table_count(spark, str(tmp_path), "d") == 23
+
+
+def test_spread_scan_derives_from_session_parallelism(spark):
+    """r15 opt: the scan-starvation repartition derives its width from
+    the session's defaultParallelism (local[$SPARK_GRAFT_CPUS] -> that
+    core count) instead of a literal 32 tuned for local[32] — the
+    driver's lower-core-count scaling bench must not pay 32 tasks on
+    8 cores, and rows must be partition-count invariant."""
+    from hadoop_multiple_streaming_spark.workloads.tables import spread_scan
+
+    df = spark.range(100).toDF("doc_id")
+    out = spread_scan(df)
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == par
+    assert "RoundRobinPartitioning(%d)" % par in out._jdf.queryExecution().toString()
+    # same rows regardless of width
+    assert sorted(r.doc_id for r in out.collect()) == list(range(100))
