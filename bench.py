@@ -249,6 +249,25 @@ def main() -> int:
         print(f"[bench] control reference FAILED: {str(e)[:200]}", file=sys.stderr)
         ctrl_ref = -1.0
 
+    # ctrl-spike rep retry (r16, VERDICT task 1): a query whose EVERY
+    # observed control reads far above ctrl_ref ran entirely inside a
+    # host-contention window — its min is polluted no matter how well
+    # the reps agree (r15's driver row: dedup_minhash_lsh 11.18 s on
+    # the cold 32c run vs 1.53 s on the same HEAD at 8c). When that
+    # holds, the adaptive loop takes bounded EXTRA reps (cap 5 total,
+    # each preceded by a fresh control) so the min gets a chance to
+    # land on a quiet window; one quiet control anywhere in the query's
+    # series clears the flag. The timed region per rep is unchanged —
+    # this only adds reps, never removes or re-times any.
+    _CTRL_SPIKE_FACTOR = 3.0
+    _MAX_REPS_CONTENDED = 5
+
+    def all_controls_contended(controls: list[float]) -> bool:
+        if ctrl_ref <= 0:
+            return False
+        valid = [c for c in controls if c >= 0]
+        return bool(valid) and min(valid) > _CTRL_SPIKE_FACTOR * ctrl_ref
+
     names = [n for n in HEADLINE if n in workloads.QUERIES]
     # warm IMMEDIATELY before timing each query (not one global warm
     # pass): the generated-class cache is shared across queries, and a
@@ -279,10 +298,11 @@ def main() -> int:
         samples: list[float] = []
         controls: list[float] = []
         try:
-            while len(samples) < 4:
+            max_reps = 4
+            while len(samples) < max_reps:
                 # host-health control: before the FIRST rep (doubles
                 # as this query's Arrow pre-warm) and before every
-                # divergence-triggered extra rep (3rd/4th — exactly
+                # divergence-triggered extra rep (3rd/4th/5th — exactly
                 # where a contended host needs machine-flagging); the
                 # stable second rep skips it to keep wall time sane
                 if len(samples) != 1:
@@ -294,7 +314,13 @@ def main() -> int:
                 df = workloads.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 samples.append(time.monotonic() - t0)
-                if len(samples) >= 2:
+                # every control so far spiked -> the min is suspect;
+                # allow bounded extra reps hoping for a quiet window
+                # (a single quiet control clears the flag)
+                contended = all_controls_contended(controls)
+                if contended:
+                    max_reps = _MAX_REPS_CONTENDED
+                if len(samples) >= 2 and not contended:
                     s = sorted(samples)
                     if s[1] <= s[0] * 1.2:
                         break
