@@ -40,7 +40,17 @@ from .dedup import _dot
 #: budget the samplers already allow. At scale the probe costs one
 #: early-stopping CollectLimit (reads ~1 partition) and falls back to
 #: the distributed rounds. Env-parameterised; <= 0 disables the path.
-_LOCAL_KMEANS_CAP = int(os.environ.get("SPARK_GRAFT_LOCAL_KMEANS_CAP", str(1 << 17)))
+#: Driver-memory formula: the probe holds cap rows x dim int64 coords
+#: plus Row overhead — roughly cap * dim * 8 bytes of payload with a
+#: few-x Python object overhead (2^17 rows x 64 dims ~ 67 MB payload).
+#: The env value is CLAMPED to 2^20 (r16, VERDICT task 8): past that
+#: the probe becomes a multi-GB driver collect — on a corpus that size
+#: the distributed rounds are the correct shape, not a bigger collect.
+_LOCAL_KMEANS_CAP_CEIL = 1 << 20
+_LOCAL_KMEANS_CAP = min(
+    int(os.environ.get("SPARK_GRAFT_LOCAL_KMEANS_CAP", str(1 << 17))),
+    _LOCAL_KMEANS_CAP_CEIL,
+)
 
 
 def _try_collect_local(df: DataFrame, cols: list, cap: int | None = None):

@@ -756,3 +756,23 @@ def test_local_lloyd_matches_distributed_rounds(spark, monkeypatch):
     # and a cap below the corpus size also falls back (probe returns None)
     monkeypatch.setattr(S, "_LOCAL_KMEANS_CAP", 10)
     assert S._try_collect_local(q, ["qv"]) is None
+
+
+def test_local_kmeans_cap_env_clamped(monkeypatch):
+    """The env override is clamped to the 2^20 ceiling (r16, VERDICT
+    task 8): a runaway SPARK_GRAFT_LOCAL_KMEANS_CAP must not turn the
+    bounded probe into a multi-GB driver collect."""
+    import importlib
+
+    from hadoop_multiple_streaming_spark.operators import similarity as S
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_KMEANS_CAP", str(1 << 24))
+    try:
+        importlib.reload(S)
+        assert S._LOCAL_KMEANS_CAP == S._LOCAL_KMEANS_CAP_CEIL == 1 << 20
+        monkeypatch.setenv("SPARK_GRAFT_LOCAL_KMEANS_CAP", "4096")
+        importlib.reload(S)
+        assert S._LOCAL_KMEANS_CAP == 4096  # below the ceiling: honored
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_LOCAL_KMEANS_CAP")
+        importlib.reload(S)
