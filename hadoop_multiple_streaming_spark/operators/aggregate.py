@@ -157,18 +157,14 @@ def value_frequencies(parsed: DataFrame) -> DataFrame:
     )
 
 
-def value_histogram(parsed: DataFrame) -> DataFrame:
-    """ValueHistogram: per key, statistics over the FREQUENCIES of the
-    distinct values (hadoop ValueHistogram report: unique-count, min,
-    median, max, average, stddev of the per-value counts).
-
-    Hadoop parity: the median is the sorted element at index n/2 (a
-    long, NOT interpolated), min/median/max are longs; avg/stddev are
-    computed from exact integer sums so the doubles are deterministic
-    across engines.
-    """
-    freqs = value_frequencies(parsed.where(F.col("agg_type") == HISTOGRAM))
-    return freqs.groupBy("agg_type", "key").agg(
+def histogram_stats(freqs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The ValueHistogram statistics aggregation over a ``cnt``
+    frequency relation, factored out so the typed/fused query forms
+    and the descriptor path share ONE definition of the report math
+    (Hadoop parity: median = sorted element at index n/2, NOT
+    interpolated; avg/stddev from exact integer sums so the doubles
+    are deterministic across engines)."""
+    return freqs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("distinct_values"),
         F.min("cnt").alias("min_count"),
         # sorted element at index n/2, 0-based -> element_at is 1-based
@@ -184,6 +180,20 @@ def value_histogram(parsed: DataFrame) -> DataFrame:
             "- (cast(sum(cnt) as double) / count(1)) * (cast(sum(cnt) as double) / count(1)))"
         ).alias("stddev_count"),
     )
+
+
+def value_histogram(parsed: DataFrame) -> DataFrame:
+    """ValueHistogram: per key, statistics over the FREQUENCIES of the
+    distinct values (hadoop ValueHistogram report: unique-count, min,
+    median, max, average, stddev of the per-value counts).
+
+    Hadoop parity: the median is the sorted element at index n/2 (a
+    long, NOT interpolated), min/median/max are longs; avg/stddev are
+    computed from exact integer sums so the doubles are deterministic
+    across engines.
+    """
+    freqs = value_frequencies(parsed.where(F.col("agg_type") == HISTOGRAM))
+    return histogram_stats(freqs, ["agg_type", "key"])
 
 
 def histogram_report_lines(hist: DataFrame) -> DataFrame:

@@ -149,3 +149,55 @@ def test_direct_path_requires_pure_scalar_menu(spark):
     pairs = [("UniqValueCount:u", "x"), ("UniqValueCount:u", "x"), ("UniqValueCount:u", "y")]
     got = {r.key: r.value for r in aggregate_reduce(kv_df(spark, pairs), types=["UniqValueCount"]).collect()}
     assert got == {"u": "2"}
+
+
+def test_agg_fused_forms_match_text_path(spark, sf_dir):
+    """r16 equivalence gate (VERDICT task 2): the fused columnar forms
+    of the agg descriptor queries must return IDENTICAL rows and
+    schema to the retained text/KV-path references on the real tables
+    — the fold of serialize -> splitKeyVal -> parse_agg_key is only
+    adoptable because it is an identity on these constructed lines."""
+    from hadoop_multiple_streaming_spark.workloads.aggregates import (
+        _agg_long_sum_native_kvpath,
+        _agg_long_sum_textpath,
+        _agg_value_histogram_kvpath,
+        agg_long_sum,
+        agg_long_sum_native,
+        agg_value_histogram,
+    )
+
+    for fused_fn, ref_fn in (
+        (agg_long_sum, _agg_long_sum_textpath),
+        (agg_long_sum_native, _agg_long_sum_native_kvpath),
+        (agg_value_histogram, _agg_value_histogram_kvpath),
+    ):
+        fused = fused_fn(spark, sf_dir)
+        ref = ref_fn(spark, sf_dir)
+        assert [ (f.name, f.dataType.simpleString()) for f in fused.schema.fields ] == [
+            (f.name, f.dataType.simpleString()) for f in ref.schema.fields
+        ], fused_fn.__name__
+        got = sorted(tuple(r) for r in fused.collect())
+        want = sorted(tuple(r) for r in ref.collect())
+        assert got == want, fused_fn.__name__
+
+
+def test_agg_fused_long_sum_raises_on_null_key(spark):
+    """The descriptor path raises loudly on a null key group (it parses
+    as a missing-prefix descriptor); the fused form must keep that loud
+    failure, not silently aggregate the null group."""
+    import pytest as _pytest
+
+    from hadoop_multiple_streaming_spark.workloads.aggregates import (
+        _fused_long_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, v int"
+    )
+    with _pytest.raises(Exception, match="missing 'AggType:' prefix"):
+        _fused_long_sum(df, "k", "v").collect()
+    ok = {r.key: r.value for r in _fused_long_sum(
+        spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v int"),
+        "k", "v",
+    ).collect()}
+    assert ok == {"a": "3", "b": "5"}
