@@ -39,17 +39,29 @@ def pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical streaming job through the REAL subprocess path:
     text -> pipe mapper (word\\t1) -> repartition+sortWithinPartitions
     by key -> pipe reducer (streaming sum over the sorted partition) —
-    reference P1+G1+P2 in one query (README.md:8-11's WC branch)."""
-    # repartition: pipe parallelism == partition count (one subprocess
-    # per partition; the docs parquet is a single small file -> one
-    # partition -> one subprocess without this)
+    reference P1+G1+P2 in one query (README.md:8-11's WC branch).
+
+    Pipe parallelism == partition count (one subprocess per
+    partition; the docs parquet is a single small file -> one
+    partition -> one subprocess without the repartition, while a
+    100 TB scan already yields enough partitions). r16 (VERDICT task
+    7): both counts derive from the session instead of the 16/8
+    literals tuned for neither local mode nor a cluster. The width is
+    ``defaultParallelism // 2`` because every pipe partition occupies
+    TWO schedulable units — the JVM feeder task and its child
+    subprocess — so cores/2 lanes saturate the host without
+    oversubscribing (interleaved A/B at sf0.1 on local[32]: 16/16
+    lanes 0.83 s, 16/8 0.86, 8/8 0.88, 32/32 1.15). Results are
+    partition-count invariant: the shuffle is BY KEY, so every key's
+    lines land in one reducer subprocess at any count."""
+    lanes = max(1, spark.sparkContext.defaultParallelism // 2)
     docs = (
         load(spark, sf_dir, "documents")
         .select(F.col("text").alias("line"))
-        .repartition(16)
+        .repartition(lanes)
     )
     kv = pipe_map(docs, _script("wc_map.py"))
-    out = pipe_reduce(kv, _script("wc_red.py"), num_partitions=8)
+    out = pipe_reduce(kv, _script("wc_red.py"), num_partitions=lanes)
     return out.select("key", F.col("value").cast("long").alias("cnt"))
 
 

@@ -78,26 +78,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a starved local scan across the
+    """Round-robin repartition a starved LOCAL-MODE scan across the
     session's cores.
 
     The sf test tables are ONE parquet file with ONE row group, so a
     scan yields 1-2 input splits and any per-row kernel downstream
     (md5 shingling, Arrow embedding math) runs on 1-2 cores. This
     spreads it to ``defaultParallelism`` — derived from the session
-    (local[$SPARK_GRAFT_CPUS] → that core count; on a cluster, the
-    executor-core total) rather than a constant tuned for local[32]
-    (r15 opt: was a literal ``repartition(32)`` at every site, which
-    the driver's lower-core-count bench would have paid 4x task
-    overhead for). A real multi-file 100 TB corpus scan already
-    yields >= cores partitions and needs no repartition at all — the
-    round-robin exchange here is the *local single-file* parallelism
-    floor, not a scale requirement. Results are partition-count
-    invariant at every call site (hash-deterministic per-row kernels
-    and groupBy folds; seeds pick by ORDER BY md5(id), never by
-    partition order).
+    (local[$SPARK_GRAFT_CPUS] → that core count) rather than a
+    constant tuned for local[32] (r15 opt: was a literal
+    ``repartition(32)`` at every site, which the driver's
+    lower-core-count bench would have paid 4x task overhead for).
+
+    r16 (ADVICE #1): applied in LOCAL masters only. On a cluster a
+    real multi-file corpus scan already yields >= cores partitions —
+    the unconditional round-robin added a full shuffle of the corpus
+    for nothing, and under dynamic allocation ``defaultParallelism``
+    at plan-construction time can be far below the eventual
+    executor-core total (e.g. 2 before executors register), actively
+    SHRINKING scan parallelism. A cluster job stuck with one giant
+    unsplittable file should repartition explicitly at the read
+    (guide §2.5 input skew), not through this local-floor helper.
+    Results are partition-count invariant at every call site
+    (hash-deterministic per-row kernels and groupBy folds; seeds pick
+    by ORDER BY md5(id), never by partition order), so the two modes
+    return identical rows.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 #: per-process table-row-count cache, keyed (sf_dir, table, mtime).
