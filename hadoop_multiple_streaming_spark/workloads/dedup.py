@@ -357,18 +357,28 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin recall through 8 auto-sized bands stays >90% while random
     candidates stay linear in n — the property the auto law exists to
     guarantee. Eagerness note: the corpus count feeding the law is one
-    cheap count() (documented opt-in; pass n= to stay lazy)."""
+    cheap count() (documented opt-in; pass n= to stay lazy).
+
+    r16 (VERDICT task 5): original + twin are emitted by ONE explode
+    per input row instead of a self-union — the union read the
+    repartition exchange twice (ReusedExchange) and fed the Arrow
+    signature fence 2x the partitions (64 tasks at local[32]), which
+    doubled the per-task fence overhead that this row's host-noise
+    variance amplified. Same rows (union order is irrelevant to the
+    bucket groupBy); interleaved A/B at sf0.1: 1.481 -> 1.141 s with
+    rep spread 2.08/1.48 -> 1.24/1.14."""
     from ..operators.dedup import embedding_lsh_pairs
 
     emb = spread_scan(load(spark, sf_dir, "embeddings"))
     q = quantize_embeddings(emb, "embedding", "vec_id")
-    twin = q.select(
-        (F.col("id") + 10_000_000).alias("id"),
-        F.expr("concat(array(qv[0] + 20000L), slice(qv, 2, size(qv) - 1))").alias(
-            "qv"
-        ),
-    ).withColumn("n2", F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
-    allq = q.select("id", "qv", "n2").unionByName(twin.select("id", "qv", "n2"))
+    twin_qv = "concat(array(qv[0] + 20000L), slice(qv, 2, size(qv) - 1))"
+    pair = F.expr(
+        "array(struct(id, qv, n2), "
+        "named_struct('id', id + 10000000L, "
+        f"'qv', {twin_qv}, "
+        f"'n2', aggregate({twin_qv}, 0L, (a, x) -> a + x * x)))"
+    )
+    allq = q.select(F.explode(pair).alias("r")).select("r.id", "r.qv", "r.n2")
     n0 = table_count(spark, sf_dir, "embeddings")
     return embedding_lsh_pairs(
         allq, threshold=0.95, n=2 * n0, sig_impl="arrow"
