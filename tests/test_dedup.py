@@ -1123,3 +1123,43 @@ def test_incremental_segment_dedup_union_corpus_equivalence(spark):
         history.unionByName(batch), "text", "doc_id", sep="\n\n"
     ).where(F.col("doc_id") >= 10)
     assert {r.doc_id: r.text for r in union_out.collect()} == got
+
+
+def test_fused_minhash_matches_expression_path(spark):
+    """r16 (VERDICT task 4): the fused shingle+minhash Arrow kernel
+    must be bit-identical to word_shingles(distinct=False) ->
+    minhash_signatures on every edge the expression chain defines:
+    consecutive spaces (empty tokens kept), exactly-n tokens, < n
+    tokens / NULL text (no row), duplicate shingles (min-invariant),
+    unicode (UTF-8 md5)."""
+    from hadoop_multiple_streaming_spark.operators.dedup import (
+        fused_minhash_signatures,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a  b c d"),               # consecutive spaces -> empty token
+        (3, "x y z"),                  # exactly 3 tokens -> 1 shingle
+        (4, "too short"),              # < 3 tokens -> no signature row
+        (5, None),                     # NULL text -> no signature row
+        (6, "r r r r r r"),            # heavy duplicate shingles
+        (7, "héllo wörld ünïcode bytes test"),
+        (8, ""),                       # empty -> 1 empty token -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
+    want = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(sh, num_hashes=16).collect()
+    }
+    got = {
+        r.id: list(r.sig)
+        for r in fused_minhash_signatures(
+            docs, "text", "doc_id", n=3, num_hashes=16
+        ).collect()
+    }
+    assert got == want
+    assert 4 not in got and 5 not in got and 8 not in got
+    assert set(got) == {1, 2, 3, 6, 7}
