@@ -712,12 +712,13 @@ def incremental_minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFra
     document sharing any band bucket with the store is flagged with
     its hit-band count. One left-semi join of exploded batch buckets
     against the key store; the store never holds signatures, just
-    16-byte bucket keys."""
-    from ..operators.dedup import minhash_band_buckets, minhash_signatures
+    16-byte bucket keys. r16: signatures come from the fused Arrow
+    shingle+minhash kernel (same md5 values — see dedup_minhash_lsh),
+    removing the shingle explosion and its aggregation exchange."""
+    from ..operators.dedup import fused_minhash_signatures, minhash_band_buckets
 
     docs = spread_scan(load(spark, sf_dir, "documents"))
-    sh = word_shingles(docs, "text", "doc_id", n=3, distinct=False)
-    sig = minhash_signatures(sh, num_hashes=16)
+    sig = fused_minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16)
     store = minhash_band_buckets(
         sig.where(F.col("id") % 2 == 0), rows_per_band=2
     )
