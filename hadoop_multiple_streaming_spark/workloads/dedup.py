@@ -714,7 +714,22 @@ def incremental_minhash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFra
     against the key store; the store never holds signatures, just
     16-byte bucket keys. r16: signatures come from the fused Arrow
     shingle+minhash kernel (same md5 values — see dedup_minhash_lsh),
-    removing the shingle explosion and its aggregation exchange."""
+    removing the shingle explosion and its aggregation exchanges.
+
+    Known double-compute, examined and kept (r16, VERDICT task 6):
+    the demo synthesizes BOTH sides from one table, and the id-parity
+    branch filters push below every deterministic boundary, so the
+    signature lineage evaluates once per branch — true of the
+    pre-r16 expression form too (its final plan carried two complete
+    scan->explode->md5->aggregate pipelines with zero ReusedExchange;
+    `plans/r16/incremental_minhash_dedup_before.txt`). An id-hash
+    repartition between kernel and branch point does NOT fix it (the
+    filters push below the new exchange — measured, still two
+    MapInPandas) and costs ~0.3 s at sf0.1 (A/B mins: fused 1.51,
+    expr 1.73, fused+repartition 1.85). The double-compute is an
+    artifact of the self-split demo only: in the real incremental
+    pattern the store is at-rest (band, bucket) parquet and the
+    kernel runs once, on the arriving batch."""
     from ..operators.dedup import fused_minhash_signatures, minhash_band_buckets
 
     docs = spread_scan(load(spark, sf_dir, "documents"))
